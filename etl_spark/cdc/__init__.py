@@ -1,0 +1,22 @@
+"""CDC event model, last-writer-wins semantics, replay drivers.
+
+The reference's "capture" unit — an idempotent incremental load per
+``(tabela_destino, unidade_geografica, periodo)``
+(/root/reference/src/impulsoetl/scripts/geral.py:36-116) — maps here to a
+WAL/binlog stream of ``I/U/D`` events keyed ``(repo, path)``, replayed in
+epochs (micro-batches) into a :class:`etl_spark.lake.LakeTable` with
+exactly-once manifests.
+"""
+
+from etl_spark.cdc.events import EVENT_SCHEMA, synth_events, write_event_epochs
+from etl_spark.cdc.lww import lww_dedup
+from etl_spark.cdc.replay import replay_batches, replay_events
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "synth_events",
+    "write_event_epochs",
+    "lww_dedup",
+    "replay_batches",
+    "replay_events",
+]

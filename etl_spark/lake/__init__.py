@@ -1,0 +1,24 @@
+"""ACID lake-table format on parquet.
+
+No Iceberg/Delta runtime jar ships in this environment, so the engine
+implements the minimal subset of an Iceberg-style table format it needs,
+from scratch, on plain parquet + JSON snapshots:
+
+- atomic snapshot commits (optimistic concurrency via exclusive link),
+- bucket-pruned copy-on-write MERGE (last-writer-wins upserts + tombstoned
+  deletes),
+- additive schema evolution,
+- time travel (read any retained snapshot),
+- exactly-once commit manifests keyed by caller-supplied manifest keys
+  (e.g. ``(checkpoint_epoch, batch_id)``).
+
+Reference capabilities covered: the Postgres COPY loader with
+savepoint/rollback (/root/reference/src/impulsoetl/utilitarios/bd.py:165-261),
+the capture-history exactly-once ledger (scripts/geral.py:92-109), write
+semaphores (utilitarios/semaforos.py:26-119) and the versioned-table intent
+(bd.py:77-84).
+"""
+
+from etl_spark.lake.table import CommitConflict, LakeTable, MergeStats, Snapshot
+
+__all__ = ["LakeTable", "Snapshot", "MergeStats", "CommitConflict"]

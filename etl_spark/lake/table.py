@@ -1,0 +1,486 @@
+"""LakeTable — snapshot-isolated, bucket-partitioned upsert table on parquet.
+
+Design (Spark-first, built for a 1000-executor cluster even though tests run
+on local[32]):
+
+* **Layout.** Rows are hash-bucketed on the key columns into ``n_buckets``
+  buckets (``pmod(xxhash64(key...), n_buckets)``). Bucketing by the *full*
+  key — not by ``repo`` alone — is the skew defense: a hot repo holding 30%
+  of all events still spreads across all buckets, so no single MERGE task
+  becomes the straggler. (The reference's analogue is per-UF/municipality
+  work splitting, /root/reference/src/impulsoetl/utilitarios/repetidores.py:23-87.)
+* **MERGE = bucket-pruned copy-on-write.** A change batch only rewrites the
+  buckets its keys hash into; untouched buckets are carried into the new
+  snapshot by reference. At 100 TB the rewrite amplification is bounded by
+  (batch keys / n_buckets coverage), and each bucket merges independently —
+  one shuffle on the key, no global sort.
+* **Exactly-once.** Every merge carries a ``manifest_key``; the snapshot
+  records the set of applied keys. Re-applying an already-committed batch is
+  a metadata no-op (the reference's ``capturas_historico`` ledger +
+  semaphores, scripts/geral.py:92-109, semaforos.py:26-119).
+* **Atomic commit.** A snapshot JSON is staged then published with an
+  exclusive hard link — concurrent writers race on the version number and
+  the loser gets ``CommitConflict`` (optimistic concurrency; on an object
+  store this would be a catalog swap).
+* **Tombstones.** Deletes are retained as ``_deleted`` rows carrying their
+  LWW version so a *late* insert with an older ``(op_ts, event_id)`` loses
+  to the delete, matching sequential-replay semantics. (Compaction may
+  expire tombstones older than the event-time watermark.)
+* **Schema evolution.** Additive: new batch columns extend the table schema;
+  old data files are read through the evolved schema and missing columns
+  surface as NULL (the reference's ``*_ADICIONAIS`` backfill,
+  sihsus/aih_rd.py:362-377, and ``extend_existing`` dynamic models,
+  sisab/producao.py:1170-1245).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+__all__ = ["LakeTable", "Snapshot", "MergeStats", "CommitConflict"]
+
+# Internal metadata columns stored in data files.
+META_DELETED = "_deleted"
+BUCKET_COL = "__bucket"
+_SNAP_DIR = "_snapshots"
+_DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same snapshot version first."""
+
+
+@dataclass
+class MergeStats:
+    manifest_key: str
+    applied: bool  # False => manifest hit, no-op
+    version: int
+    batch_rows: int = 0
+    distinct_keys: int = 0
+    buckets_rewritten: int = 0
+    buckets_total: int = 0
+    rows_written: int = 0
+    deletes_written: int = 0
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    schema: StructType          # user schema (no meta columns)
+    key_cols: list[str]
+    version_cols: list[str]
+    n_buckets: int
+    buckets: dict[int, list[str]]   # bucket -> data file paths (table-relative)
+    applied: list[str] = field(default_factory=list)
+    props: dict[str, str] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "format_version": 1,
+                "version": self.version,
+                "parent": self.parent,
+                "schema": self.schema.jsonValue(),
+                "key_cols": self.key_cols,
+                "version_cols": self.version_cols,
+                "n_buckets": self.n_buckets,
+                "buckets": {str(k): v for k, v in self.buckets.items()},
+                "applied": self.applied,
+                "props": self.props,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "Snapshot":
+        d = json.loads(text)
+        return Snapshot(
+            version=d["version"],
+            parent=d["parent"],
+            schema=StructType.fromJson(d["schema"]),
+            key_cols=d["key_cols"],
+            version_cols=d["version_cols"],
+            n_buckets=d["n_buckets"],
+            buckets={int(k): v for k, v in d["buckets"].items()},
+            applied=d["applied"],
+            props=d.get("props", {}),
+        )
+
+
+class LakeTable:
+    """An upsert-able table with snapshot isolation.
+
+    ``key_cols`` identify a row (e.g. ``[repo, path]``); ``version_cols``
+    order writers per key (e.g. ``[op_ts, event_id]`` — lexicographic,
+    higher wins).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------------ DDL
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: StructType,
+        key_cols: list[str],
+        version_cols: list[str],
+        n_buckets: int = 32,
+        props: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        path = os.path.abspath(path)
+        snap_dir = os.path.join(path, _SNAP_DIR)
+        if os.path.exists(snap_dir) and os.listdir(snap_dir):
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(snap_dir, exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        missing = [c for c in key_cols + version_cols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"key/version columns not in schema: {missing}")
+        table = LakeTable(spark, path)
+        snap = Snapshot(
+            version=0,
+            parent=None,
+            schema=schema,
+            key_cols=list(key_cols),
+            version_cols=list(version_cols),
+            n_buckets=n_buckets,
+            buckets={},
+            applied=[],
+            props=props or {},
+        )
+        table._publish(snap)
+        return table
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "LakeTable":
+        table = LakeTable(spark, path)
+        table.current_snapshot()  # raises if absent
+        return table
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        snap_dir = os.path.join(os.path.abspath(path), _SNAP_DIR)
+        return os.path.isdir(snap_dir) and any(
+            f.endswith(".json") for f in os.listdir(snap_dir)
+        )
+
+    # ------------------------------------------------------------ snapshots
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self.path, _SNAP_DIR, f"v{version:010d}.json")
+
+    def versions(self) -> list[int]:
+        snap_dir = os.path.join(self.path, _SNAP_DIR)
+        out = []
+        for name in os.listdir(snap_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def current_version(self) -> int:
+        versions = self.versions()
+        if not versions:
+            raise FileNotFoundError(f"no snapshots in {self.path}")
+        return versions[-1]
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self.current_version()
+        with open(self._snap_path(version)) as fh:
+            return Snapshot.from_json(fh.read())
+
+    def current_snapshot(self) -> Snapshot:
+        return self.snapshot(None)
+
+    def history(self) -> list[Snapshot]:
+        return [self.snapshot(v) for v in self.versions()]
+
+    def _publish(self, snap: Snapshot) -> None:
+        """Atomically publish a snapshot (optimistic concurrency)."""
+        final = self._snap_path(snap.version)
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(snap.to_json())
+        try:
+            os.link(tmp, final)  # fails iff another writer won the race
+        except FileExistsError as exc:
+            raise CommitConflict(
+                f"snapshot v{snap.version} already committed by another writer"
+            ) from exc
+        finally:
+            os.unlink(tmp)
+
+    # ---------------------------------------------------------------- reads
+
+    def _full_schema(self, snap: Snapshot) -> StructType:
+        """User schema + meta columns as stored in data files."""
+        return StructType(
+            list(snap.schema.fields) + [StructField(META_DELETED, _bool(), False)]
+        )
+
+    def _read_files(self, snap: Snapshot, files: list[str]) -> DataFrame:
+        full = self._full_schema(snap)
+        if not files:
+            return self.spark.createDataFrame([], full)
+        paths = [os.path.join(self.path, f) for f in files]
+        # Explicit schema => old-vintage files missing newly-added columns
+        # surface them as NULL (additive schema evolution on read).
+        return self.spark.read.schema(full).parquet(*paths)
+
+    def read(
+        self,
+        version: int | None = None,
+        with_meta: bool = False,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Read live rows (tombstones filtered) at a snapshot version."""
+        snap = self.snapshot(version)
+        if buckets is None:
+            files = [f for fl in snap.buckets.values() for f in fl]
+        else:
+            files = [f for b in buckets for f in snap.buckets.get(b, [])]
+        df = self._read_files(snap, files)
+        df = df.filter(~F.col(META_DELETED))
+        if not with_meta:
+            df = df.select(*[f.name for f in snap.schema.fields])
+        return df
+
+    def bucket_expr(self, snap: Snapshot):
+        """Bucket id of a row: pmod(xxhash64(key cols), n_buckets)."""
+        return F.pmod(F.xxhash64(*[F.col(c) for c in snap.key_cols]),
+                      F.lit(snap.n_buckets)).cast("int")
+
+    # ---------------------------------------------------------------- MERGE
+
+    def merge(
+        self,
+        batch: DataFrame,
+        manifest_key: str,
+        op_col: str = "op",
+        delete_op: str = "D",
+        max_retries: int = 3,
+    ) -> MergeStats:
+        """LWW-upsert a change batch; exactly-once via ``manifest_key``.
+
+        ``batch`` columns = key cols + version cols + ``op_col`` + payload.
+        Payload columns not yet in the table schema trigger additive schema
+        evolution; table columns missing from the batch are NULL-backfilled.
+        """
+        for attempt in range(max_retries + 1):
+            snap = self.current_snapshot()
+            if manifest_key in snap.applied:
+                return MergeStats(manifest_key, False, snap.version)
+            try:
+                return self._merge_once(snap, batch, manifest_key, op_col, delete_op)
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _merge_once(
+        self,
+        snap: Snapshot,
+        batch: DataFrame,
+        manifest_key: str,
+        op_col: str,
+        delete_op: str,
+    ) -> MergeStats:
+        from etl_spark.cdc.lww import lww_dedup  # local import, no cycle at module load
+
+        key_cols, ver_cols = snap.key_cols, snap.version_cols
+        for c in key_cols + ver_cols + [op_col]:
+            if c not in batch.columns:
+                raise ValueError(f"batch missing required column {c!r}")
+
+        # ---- additive schema evolution -------------------------------
+        table_fields = {f.name: f for f in snap.schema.fields}
+        batch_user_cols = [c for c in batch.columns if c != op_col]
+        new_fields = [
+            StructField(f.name, f.dataType, True)
+            for f in batch.schema.fields
+            if f.name not in table_fields and f.name != op_col
+        ]
+        evolved_schema = StructType(list(snap.schema.fields) + new_fields)
+        user_cols = [f.name for f in evolved_schema.fields]
+        payload_cols = [c for c in user_cols if c not in key_cols + ver_cols]
+
+        # ---- batch-local LWW dedup (map-side combinable max_by) ------
+        deduped = lww_dedup(batch, key_cols, ver_cols, extra_cols=[op_col])
+        # NULL-backfill table columns the batch doesn't carry, align types.
+        aligned = deduped.select(
+            *[
+                (F.col(c) if c in deduped.columns else F.lit(None)).cast(
+                    dict((f.name, f.dataType) for f in evolved_schema.fields)[c]
+                ).alias(c)
+                for c in user_cols
+            ],
+            F.col(op_col),
+        )
+        aligned = aligned.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(snap.n_buckets)).cast("int"),
+        )
+
+        # Keep the deduped batch small in memory for the two passes below.
+        aligned = aligned.persist()
+        try:
+            counts = aligned.groupBy(BUCKET_COL).count().collect()
+            affected = sorted(r[BUCKET_COL] for r in counts)
+            distinct_keys = sum(r["count"] for r in counts)
+            if not affected:
+                new_snap = self._child(snap, evolved_schema, snap.buckets, manifest_key)
+                self._publish(new_snap)
+                return MergeStats(manifest_key, True, new_snap.version, 0, 0, 0,
+                                  snap.n_buckets, 0, 0)
+
+            # ---- read only affected buckets of current state ---------
+            existing_files = [f for b in affected for f in snap.buckets.get(b, [])]
+            existing = self._read_files(snap, existing_files)  # evolved-read: missing→NULL
+            # Re-project through evolved schema (adds brand-new columns as NULL).
+            existing = existing.select(
+                *[
+                    (F.col(c) if c in existing.columns else F.lit(None)).cast(
+                        dict((f.name, f.dataType) for f in evolved_schema.fields)[c]
+                    ).alias(c)
+                    for c in user_cols
+                ],
+                F.col(META_DELETED),
+            )
+
+            # ---- LWW combine: batch row wins iff version strictly newer
+            b = aligned.alias("b")
+            e = existing.alias("e")
+            on = [F.col(f"b.{c}").eqNullSafe(F.col(f"e.{c}")) for c in key_cols]
+            cond = on[0]
+            for c in on[1:]:
+                cond = cond & c
+            joined = b.join(e, cond, "full_outer")
+
+            b_ver = F.struct(*[F.col(f"b.{c}") for c in ver_cols])
+            e_ver = F.struct(*[F.col(f"e.{c}") for c in ver_cols])
+            b_present = F.col(f"b.{ver_cols[0]}").isNotNull()
+            e_present = F.col(f"e.{ver_cols[0]}").isNotNull()
+            batch_wins = b_present & (~e_present | (b_ver > e_ver))
+
+            is_delete = F.col(f"b.{op_col}") == F.lit(delete_op)
+            out_cols = []
+            for c in user_cols:
+                src = F.when(batch_wins, F.col(f"b.{c}")).otherwise(F.col(f"e.{c}"))
+                if c in payload_cols:
+                    # Tombstones carry no payload.
+                    src = F.when(batch_wins & is_delete, F.lit(None).cast(
+                        dict((f.name, f.dataType) for f in evolved_schema.fields)[c]
+                    )).otherwise(src)
+                out_cols.append(src.alias(c))
+            deleted = F.when(batch_wins, is_delete).otherwise(F.col(f"e.{META_DELETED}"))
+            merged = joined.select(
+                *out_cols,
+                deleted.alias(META_DELETED),
+                F.when(batch_wins, F.col(f"b.{BUCKET_COL}"))
+                .otherwise(
+                    F.pmod(
+                        F.xxhash64(*[F.col(f"e.{c}") for c in key_cols]),
+                        F.lit(snap.n_buckets),
+                    ).cast("int")
+                )
+                .alias(BUCKET_COL),
+            )
+
+            # ---- write rewritten buckets ------------------------------
+            new_files, rows_written, deletes_written = self._write_buckets(
+                merged, snap.version + 1
+            )
+            buckets = dict(snap.buckets)  # carry untouched buckets by reference
+            for bkt in affected:
+                buckets[bkt] = new_files.get(bkt, [])
+            new_snap = self._child(snap, evolved_schema, buckets, manifest_key)
+            self._publish(new_snap)
+            return MergeStats(
+                manifest_key=manifest_key,
+                applied=True,
+                version=new_snap.version,
+                batch_rows=-1,  # not counted (avoid an extra job over raw batch)
+                distinct_keys=distinct_keys,
+                buckets_rewritten=len(affected),
+                buckets_total=snap.n_buckets,
+                rows_written=rows_written,
+                deletes_written=deletes_written,
+            )
+        finally:
+            aligned.unpersist()
+
+    def _write_buckets(
+        self, merged: DataFrame, version: int
+    ) -> tuple[dict[int, list[str]], int, int]:
+        """Write per-bucket parquet files; return bucket→relative paths."""
+        staging = os.path.join(self.path, _DATA_DIR, f".stage-v{version}-{uuid.uuid4().hex}")
+        (
+            merged.repartition(F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        new_files: dict[int, list[str]] = {}
+        rows_written = deletes_written = 0
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            bkt = int(entry.split("=", 1)[1])
+            src_dir = os.path.join(staging, entry)
+            files = []
+            for i, name in enumerate(sorted(os.listdir(src_dir))):
+                if not name.endswith(".parquet"):
+                    continue
+                rel = f"{_DATA_DIR}/v{version:010d}-b{bkt:05d}-{i:04d}.parquet"
+                shutil.move(os.path.join(src_dir, name), os.path.join(self.path, rel))
+                files.append(rel)
+            new_files[bkt] = files
+        shutil.rmtree(staging, ignore_errors=True)
+        return new_files, rows_written, deletes_written
+
+    def _child(
+        self,
+        snap: Snapshot,
+        schema: StructType,
+        buckets: dict[int, list[str]],
+        manifest_key: str,
+    ) -> Snapshot:
+        return Snapshot(
+            version=snap.version + 1,
+            parent=snap.version,
+            schema=schema,
+            key_cols=snap.key_cols,
+            version_cols=snap.version_cols,
+            n_buckets=snap.n_buckets,
+            buckets=buckets,
+            applied=snap.applied + [manifest_key],
+            props=snap.props,
+        )
+
+    # --------------------------------------------------------------- utils
+
+    def applied_manifests(self) -> set[str]:
+        return set(self.current_snapshot().applied)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def _bool():
+    from pyspark.sql.types import BooleanType
+
+    return BooleanType()
