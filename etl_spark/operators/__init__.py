@@ -1,0 +1,34 @@
+from etl_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_buckets,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_groups,
+)
+from etl_spark.operators.joins import (
+    anti_join_fill,
+    asof_join,
+    broadcast_lookup,
+    range_join,
+)
+from etl_spark.operators.reshape import (
+    group_nest_sorted,
+    melt,
+    param_fanout,
+)
+from etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    hyperplane_bucket,
+    lsh_ann_topk,
+)
+
+__all__ = [
+    "anti_join_fill", "asof_join", "broadcast_lookup", "range_join",
+    "group_nest_sorted", "melt", "param_fanout",
+    "exact_dedup_groups", "lsh_buckets", "lsh_candidate_pairs",
+    "minhash_signature", "ngram_jaccard_pairs", "simhash", "simhash_groups",
+    "brute_force_topk", "cosine", "hyperplane_bucket", "lsh_ann_topk",
+]

@@ -1,0 +1,175 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection, all as
+declarative DataFrame plans over a ``documents``-shaped table
+(id, text, ...). Every hash is :func:`etl_spark.functions.hashing.
+portable_hash60`, so a pure-SQL DuckDB oracle reproduces the results
+bit-for-bit (the correctness gate).
+
+Scale design (100 TB corpus):
+- Exact dedup is one hash-groupBy with map-side partial aggregation.
+- MinHash signatures are per-row expressions — no shuffle at all.
+- LSH banding replaces the O(n²) pair space with a groupBy on band keys;
+  candidate pairs come from *within buckets only*. Bucket skew (a viral
+  boilerplate shingle set) is bounded by ``max_bucket`` guard.
+- SimHash is per-row + one self-join on the 16-bit prefix for candidates.
+- Exact Jaccard runs only on LSH candidates, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark.functions.hashing import portable_hash60
+from etl_spark.functions.text import tokens, word_shingles
+
+__all__ = [
+    "exact_dedup_groups", "minhash_signature", "lsh_buckets",
+    "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash", "simhash_groups",
+]
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """One row per distinct content hash: canonical (min) id + member count.
+    The classic exact-dedup reduce — one shuffle on the hash, partial
+    (map-side) combine."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, num_hashes: int = 16, shingle_k: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Append an array<long> MinHash signature per row.
+
+    Hash family i = portable_hash60("{i}|" + shingle); signature[i] is the
+    min over the document's distinct word shingles. Pure per-row expression:
+    generation shuffles nothing and parallelizes embarrassingly."""
+    sh = word_shingles(text_col, shingle_k)
+
+    def _minhash(i: int):
+        # one-arg closure (a `i=i` default would make pyspark treat the
+        # lambda as binary and feed the array index as `i`)
+        return F.array_min(F.transform(sh, lambda s: portable_hash60(s, salt=i)))
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    return df.withColumn(out_col, sig)
+
+
+def lsh_buckets(
+    df: DataFrame, id_col: str, sig_col: str = "minhash",
+    bands: int = 4, rows_per_band: int = 4,
+) -> DataFrame:
+    """Explode each signature into ``bands`` band-bucket keys
+    (band id + md5 of that band's signature slice). Docs sharing any bucket
+    are near-dup candidates."""
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.element_at(F.col(sig_col), b * rows_per_band + r + 1).cast("string")
+                      for r in range(rows_per_band)],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return df.select(F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str, max_bucket: int = 1000
+) -> DataFrame:
+    """Distinct candidate (a, b) pairs (a < b) from shared LSH buckets.
+
+    ``max_bucket`` drops degenerate buckets (boilerplate that hashes half the
+    corpus together) — the skew guard that keeps the within-bucket self-join
+    quadratic blowup bounded; dropped buckets should be logged upstream."""
+    sized = buckets.groupBy("band", "bucket").agg(
+        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n")
+    )
+    ok = sized.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    a = ok.select(F.explode("ids").alias("a"), "band", "bucket")
+    b = ok.select(F.explode("ids").alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    ``pairs`` has columns (a, b); the shingle sets are joined in twice
+    (broadcast when small). Output: (a, b, jaccard) with jaccard rounded to
+    6 dp for engine-portable comparison."""
+    sets_ = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_k).alias("__sh")
+    )
+    j = (
+        pairs.join(sets_.withColumnRenamed("__id", "a").withColumnRenamed("__sh", "sh_a"), "a")
+        .join(sets_.withColumnRenamed("__id", "b").withColumnRenamed("__sh", "sh_b"), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.round(F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 6)
+    return (
+        j.select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhash") -> DataFrame:
+    """Append a ``bits``-bit SimHash of the whitespace tokens.
+
+    bit b of the fingerprint = 1 iff sum over tokens of ±1 (sign of bit b of
+    the token's portable hash) is positive. Pure per-row array aggregation —
+    no explode, no shuffle."""
+    ts = tokens(text_col)
+    hs = F.transform(ts, lambda t: portable_hash60(t))
+
+    def _vote(b: int):
+        # closure factory: pyspark's higher-order functions introspect the
+        # lambda arity, so a `b=b` default arg would be miscounted as a
+        # third lambda variable.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_votes = [F.aggregate(hs, F.lit(0).cast("long"), _vote(b)) for b in range(bits)]
+    fp = None
+    for b, vote in enumerate(bit_votes):
+        term = F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return df.withColumn(out_col, fp)
+
+
+def simhash_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Docs sharing an identical SimHash (near-dup clusters at this bit
+    width): fingerprint → canonical id + member count."""
+    withfp = simhash(df, text_col, bits)
+    return (
+        withfp.groupBy(F.col("simhash"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_members"))
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, both declarative:
+
+- **Brute-force top-k** (the exactness baseline): cross-join query × corpus
+  with the corpus *broadcast* (queries stream past it — no shuffle of the
+  big side), cosine via higher-order array functions (JVM-side, codegen'd,
+  no Python), then per-query argmax-k via map-side-combinable aggregation.
+  At 100 TB of corpus this inverts: broadcast the (small) query set and
+  stream the corpus, which is the same plan with roles swapped.
+- **LSH-bucketed ANN** (the scale path): sign-bit random-hyperplane sketch
+  computed from deterministic per-dimension weights (portable hashes, so the
+  partitioning is reproducible), candidates restricted to same-bucket rows —
+  turning the all-pairs product into a bucketed equi-join.
+
+Similarities are rounded (4 dp) before ranking with an id tiebreak so
+results are engine-portable (the DuckDB oracle reproduces them exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark.functions.hashing import portable_hash60
+
+__all__ = ["cosine", "brute_force_topk", "hyperplane_bucket", "lsh_ann_topk"]
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<numeric> columns (double math)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbours per query: (q_id, c_id, sim, rank).
+
+    Ranking key = (sim desc, c_id asc) with sim rounded to 4 dp →
+    deterministic across engines. Aggregation is top-k via sorted slice of
+    collected candidate structs per query — combinable, no global window."""
+    joined = queries.crossJoin(F.broadcast(corpus))
+    if exclude_self:
+        joined = joined.filter(F.col(q_id) != F.col(c_id))
+    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4)
+    cand = joined.select(F.col(q_id), F.col(c_id), sim.alias("sim"))
+    # order by (-sim, c_id): array_sort on a struct sorts lexicographically.
+    ranked = (
+        cand.groupBy(q_id)
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct((-F.col("sim")).alias("neg"),
+                                                          F.col(c_id).alias("cid")))),
+                     1, k).alias("top"))
+        .select(F.col(q_id), F.posexplode("top").alias("pos", "t"))
+        .select(
+            F.col(q_id),
+            F.col("t.cid").alias(c_id),
+            (-F.col("t.neg")).alias("sim"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
+    )
+    return ranked
+
+
+def hyperplane_bucket(vec, n_bits: int = 8, seed: int = 7):
+    """Sign-bit LSH sketch of an array<numeric>: bit b = sign of
+    Σ_d w(b,d)·vec[d] where w(b,d) ∈ {-1,+1} derives from a portable hash of
+    (seed, b, d). Deterministic, engine-portable, per-row only."""
+    def _weights(b: int):
+        # one-arg closure: a `b=b` default arg would be miscounted by
+        # pyspark's lambda introspection as the array-index parameter.
+        return lambda d: F.when(
+            portable_hash60(d.cast("string"), salt=seed * 1000 + b)
+            .bitwiseAND(F.lit(1)) == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    bucket = None
+    for b in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), _weights(b)),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        term = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    n_bits: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's hyperplane
+    bucket (equi-join on the sketch — prunes ~2^n_bits× of the pair space),
+    then exact cosine rank within candidates. Recall trades off with
+    n_bits; multi-probe = union over several seeds."""
+    qb = queries.withColumn("__bkt", hyperplane_bucket(F.col(q_vec), n_bits, seed))
+    cb = corpus.withColumn("__bkt", hyperplane_bucket(F.col(c_vec), n_bits, seed))
+    joined = qb.join(cb, "__bkt").filter(F.col(q_id) != F.col(c_id))
+    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4)
+    cand = joined.select(F.col(q_id), F.col(c_id), sim.alias("sim"))
+    return (
+        cand.groupBy(q_id)
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct((-F.col("sim")).alias("neg"),
+                                                          F.col(c_id).alias("cid")))),
+                     1, k).alias("top"))
+        .select(F.col(q_id), F.posexplode("top").alias("pos", "t"))
+        .select(
+            F.col(q_id),
+            F.col("t.cid").alias(c_id),
+            (-F.col("t.neg")).alias("sim"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
+    )

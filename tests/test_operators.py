@@ -1,0 +1,155 @@
+"""M2/M7 operator tests: joins (broadcast / range / as-of / anti-fill),
+reshape (melt / group-nest / fan-out), dedup suite, similarity search."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.operators import (
+    anti_join_fill,
+    asof_join,
+    broadcast_lookup,
+    brute_force_topk,
+    exact_dedup_groups,
+    group_nest_sorted,
+    lsh_ann_topk,
+    lsh_buckets,
+    lsh_candidate_pairs,
+    melt,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    param_fanout,
+    range_join,
+    simhash_groups,
+)
+
+
+def test_broadcast_lookup_plan_is_broadcast(spark):
+    fact = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    dim = spark.createDataFrame([(i, f"n{i}") for i in range(5)], ["k", "name"])
+    out = broadcast_lookup(fact, dim, "k")
+    assert out.count() == 100
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_join_period_lookup(spark):
+    periods = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), dt.date(2024, 1, 31), "2024.M1"),
+         (dt.date(2024, 2, 1), dt.date(2024, 2, 29), "2024.M2")],
+        ["start", "end", "period"],
+    )
+    facts = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 15)), (2, dt.date(2024, 2, 29)), (3, dt.date(2024, 3, 1))],
+        ["id", "d"],
+    )
+    out = range_join(facts, periods, F.col("d"), F.col("start"), F.col("end"))
+    got = {r["id"]: r["period"] for r in out.collect()}
+    assert got == {1: "2024.M1", 2: "2024.M2", 3: None}
+
+
+def test_asof_join_backward(spark):
+    rules = spark.createDataFrame(
+        [("ind", dt.date(2020, 1, 1), "v1"), ("ind", dt.date(2022, 1, 1), "v2")],
+        ["name", "valid_from", "rule"],
+    )
+    facts = spark.createDataFrame(
+        [(1, "ind", dt.date(2021, 6, 1)), (2, "ind", dt.date(2023, 1, 1)),
+         (3, "ind", dt.date(2019, 1, 1))],
+        ["id", "name", "d"],
+    )
+    out = asof_join(facts, rules, ["name"], ["name"], "d", "valid_from")
+    got = {r["id"]: r["rule"] for r in out.collect()}
+    assert got == {1: "v1", 2: "v2", 3: None}
+
+
+def test_anti_join_fill(spark):
+    keys = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    detail = spark.createDataFrame([(1, "a"), (3, "c")], ["k", "v"])
+    out = anti_join_fill(keys, detail, ["k"]).orderBy("k").collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "a"), (2, None), (3, "c")]
+
+
+def test_melt(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], ["id", "m1", "m2"])
+    out = melt(df, ["id"], var_name="metric", value_name="qty").orderBy("metric")
+    assert [(r["metric"], r["qty"]) for r in out.collect()] == [("m1", 10.0), ("m2", 20.0)]
+
+
+def test_group_nest_sorted(spark):
+    df = spark.createDataFrame(
+        [("e1", "TUE", "8-12"), ("e1", "MON", "8-12"), ("e2", "MON", "9-17")],
+        ["est", "day", "hours"],
+    )
+    out = {r["est"]: r["nested"]
+           for r in group_nest_sorted(df, ["est"], ("day", "hours")).collect()}
+    assert out == {"e1": "MON:8-12;TUE:8-12", "e2": "MON:9-17"}
+
+
+def test_param_fanout(spark):
+    out = param_fanout(spark, uf=["SP", "RJ"], month=[1, 2, 3])
+    assert out.count() == 6
+    assert set(out.columns) == {"uf", "month"}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], ["doc_id", "text"]
+    )
+    out = {r["canonical_id"]: r["n_members"]
+           for r in exact_dedup_groups(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words here now")],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signature(docs, "text", num_hashes=16, shingle_k=2)
+    pairs = lsh_candidate_pairs(lsh_buckets(sig, "doc_id", bands=8, rows_per_band=2), "doc_id")
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+    jac = ngram_jaccard_pairs(docs, pairs, "doc_id", "text", shingle_k=2)
+    row = [r for r in jac.collect() if (r["a"], r["b"]) == (1, 2)][0]
+    assert row["jaccard"] > 0.5
+
+
+def test_simhash_groups(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b c"), (3, "z q w")], ["doc_id", "text"])
+    out = simhash_groups(df, "doc_id", "text").collect()
+    by_canon = {r["canonical_id"]: r["n_members"] for r in out}
+    assert by_canon[1] == 2
+
+
+def _vec_df(spark, name_id, name_vec, rows):
+    return spark.createDataFrame(rows, [name_id, name_vec])
+
+
+def test_brute_force_topk(spark):
+    corpus = _vec_df(spark, "c_id", "c_vec", [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+    ])
+    queries = _vec_df(spark, "q_id", "q_vec", [(10, [1.0, 0.0])])
+    out = brute_force_topk(queries, corpus, k=2, exclude_self=False).collect()
+    assert [(r["c_id"], r["rank"]) for r in out] == [(1, 1), (2, 2)]
+    assert out[0]["sim"] == pytest.approx(1.0)
+
+
+def test_lsh_ann_matches_brute_force_mostly(spark):
+    import random
+
+    rnd = random.Random(5)
+    corpus = _vec_df(
+        spark, "c_id", "c_vec",
+        [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(60)],
+    )
+    queries = corpus.selectExpr("c_id as q_id", "c_vec as q_vec").limit(5)
+    ann = lsh_ann_topk(queries, corpus, k=3, n_bits=2)
+    # sanity: every result is a valid corpus id, ranked 1..k, not self
+    rows = ann.collect()
+    assert rows and all(1 <= r["rank"] <= 3 and r["q_id"] != r["c_id"] for r in rows)
