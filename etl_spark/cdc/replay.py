@@ -54,11 +54,11 @@ def replay_events(
     table_path: str,
     n_buckets: int = 32,
     metrics_sink=None,
+    key_cols: list[str] | None = None,
+    version_cols: list[str] | None = None,
 ) -> tuple[LakeTable, list[MergeStats]]:
     """End-to-end batch replay of a landed WAL directory (``epoch=N``
     subdirs) into a LakeTable at ``table_path`` (created if absent)."""
-    from etl_spark.cdc.events import EVENT_SCHEMA
-
     sample = spark.read.parquet(events_dir)
     user_fields = [f for f in sample.schema.fields if f.name not in ("op", "epoch")]
     from pyspark.sql.types import StructType
@@ -70,8 +70,8 @@ def replay_events(
             spark,
             table_path,
             schema=StructType(user_fields),
-            key_cols=["repo", "path"],
-            version_cols=["op_ts", "event_id"],
+            key_cols=key_cols or ["repo", "path"],
+            version_cols=version_cols or ["op_ts", "event_id"],
             n_buckets=n_buckets,
         )
     epochs = sorted(

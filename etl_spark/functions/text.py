@@ -40,14 +40,22 @@ def token_count(col: Column | str) -> Column:
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles as an array of strings: the unit of MinHash /
-    Jaccard near-dup detection."""
+    Jaccard near-dup detection.
+
+    Built by zipping the token array with its own k-1 shifted slices
+    (``zip_with`` pads the tail with NULLs; ``concat`` nulls them out and a
+    final filter drops them). Crucially there is NO ``element_at(ts, i)``
+    inside a lambda — that form re-evaluates the tokenization per element,
+    turning the expression quadratic in document length."""
     ts = tokens(col)
     n = F.size(ts)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(ts, i + F.lit(j)) for j in range(k)])
-    )
-    return F.array_distinct(sh)
+    parts = [ts] + [
+        F.slice(ts, j + 1, F.greatest(n - F.lit(j), F.lit(0))) for j in range(1, k)
+    ]
+    z = parts[-1]
+    for p in reversed(parts[:-1]):
+        z = F.zip_with(p, z, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(z, lambda x: x.isNotNull()))
 
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:

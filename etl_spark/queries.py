@@ -1,0 +1,927 @@
+"""Driver-contract query library: one entry per implemented operator
+(SURVEY.md §2), each with a DuckDB oracle that reproduces it exactly.
+
+Every query is a callable ``(spark, sf_dir) -> DataFrame`` over the driver's
+parquet tables (region nation customer supplier part orders lineitem events
+documents embeddings); ``ORACLES[name]`` is ANSI SQL DuckDB runs on the same
+tables. Engine-portability rules used throughout:
+
+- hashes: md5 / sha256 / :func:`etl_spark.functions.hashing.portable_hash60`
+  (identical in both engines);
+- floats: round before emitting (2-6 dp) and break ranking ties on ids;
+- money/ints: integer cent math instead of locale formatting;
+- sorted canonical strings instead of nondeterministic collect order.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.functions import (
+    decode_bool,
+    doc_fingerprint,
+    money_brl_to_double,
+    normalize_text,
+    null_if_all_nines,
+    parse_aaaammdd,
+    parse_dmy,
+    strip_non_digits,
+    stopword_ratio,
+    token_count,
+    zfill,
+)
+from etl_spark.functions.hashing import portable_hash60_sql
+from etl_spark.functions.text import STOPWORDS_EN, tokens, word_shingles
+from etl_spark.operators import (
+    anti_join_fill,
+    asof_join,
+    broadcast_lookup,
+    brute_force_topk,
+    exact_dedup_groups,
+    group_nest_sorted,
+    lsh_ann_topk,
+    lsh_buckets,
+    melt,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    range_join,
+    simhash_groups,
+)
+from etl_spark.plans import apply_de_para, impose_types, with_additive_columns
+
+__all__ = ["QUERIES", "ORACLES", "flagship"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _h60(expr: str) -> str:
+    return portable_hash60_sql(expr)
+
+
+# --------------------------------------------------------------------- CDC
+
+def q_cdc_lww_latest_state(spark, sf_dir):
+    """LWW dedup (SURVEY §2.5): latest event per user via combinable max_by."""
+    from etl_spark.cdc.lww import lww_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    out = lww_dedup(ev, ["user_id"], ["ts", "event_id"])
+    return out.select("user_id", "event_id", "ts", "event_type", "value", "props")
+
+
+SQL_CDC_LWW = """
+SELECT user_id, event_id, ts, event_type, value, props
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_cdc_replay_final_state(spark, sf_dir):
+    """Flagship: full engine path — events table reinterpreted as a WAL
+    (error=delete, signup=insert, rest=update), landed as epoch files,
+    replayed through LakeTable MERGE with exactly-once manifests; returns
+    the final live table state."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_replay_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, _ = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=16,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+    )
+    return table.read().select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+SQL_CDC_REPLAY = """
+SELECT user_id, event_id, ts, event_type, value, props
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+# -------------------------------------------------------- M1: transforms
+
+DE_PARA_LINEITEM = {
+    "l_orderkey": "order_id",
+    "l_linenumber": "line_no",
+    "l_quantity": "qty",
+    "l_extendedprice": "gross_price",
+    "l_discount": "discount_pct",
+    "l_shipdate": "ship_date",
+}
+
+
+def q_depara_projection(spark, sf_dir):
+    """DE-PARA rename map + type imposition (SURVEY §1.3, §2.3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = apply_de_para(li, DE_PARA_LINEITEM)
+    out = impose_types(out, {"line_no": "bigint", "ship_date": "date"})
+    # dates travel as ISO strings so the value hash is engine-portable
+    return out.withColumn("ship_date", F.col("ship_date").cast("string"))
+
+
+SQL_DEPARA = """
+SELECT l_orderkey AS order_id, CAST(l_linenumber AS BIGINT) AS line_no,
+       l_quantity AS qty, l_extendedprice AS gross_price,
+       l_discount AS discount_pct, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+FROM lineitem
+"""
+
+
+def q_cleaning_sentinels(spark, sf_dir):
+    """Null sentinels + code cleaning + boolean decode (SURVEY §2.7)."""
+    ev = _t(spark, sf_dir, "events")
+    k_code = strip_non_digits(F.col("props"))
+    return ev.select(
+        "event_id",
+        k_code.alias("k_code"),
+        null_if_all_nines(k_code).alias("k_clean"),
+        zfill("user_id", 6).alias("user_code"),
+        decode_bool("event_type", ["purchase", "signup"], ["view", "click"])
+        .alias("is_conversion"),
+    )
+
+
+SQL_CLEANING = """
+SELECT event_id,
+       regexp_replace(props, '[^0-9]', '', 'g') AS k_code,
+       CASE WHEN regexp_matches(regexp_replace(props, '[^0-9]', '', 'g'), '^9+$')
+            THEN NULL ELSE regexp_replace(props, '[^0-9]', '', 'g') END AS k_clean,
+       lpad(CAST(user_id AS VARCHAR), 6, '0') AS user_code,
+       CASE WHEN event_type IN ('purchase', 'signup') THEN TRUE
+            WHEN event_type IN ('view', 'click') THEN FALSE
+            ELSE NULL END AS is_conversion
+FROM events
+"""
+
+
+def q_date_roundtrip(spark, sf_dir):
+    """AAAAMMDD / DD/MM/AAAA parsers with coerce semantics (SURVEY §2.7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s8 = F.date_format("l_shipdate", "yyyyMMdd")
+    dmy = F.date_format("l_shipdate", "dd/MM/yyyy")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        s8.alias("s8"),
+        parse_aaaammdd(s8).cast("string").alias("d8"),
+        parse_dmy(dmy).cast("string").alias("d_dmy"),
+        parse_aaaammdd(F.lit("garbage")).cast("string").alias("d_bad"),
+    )
+
+
+SQL_DATES = """
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '%Y%m%d') AS s8,
+       strftime(l_shipdate, '%Y-%m-%d') AS d8,
+       strftime(l_shipdate, '%Y-%m-%d') AS d_dmy,
+       CAST(NULL AS VARCHAR) AS d_bad
+FROM lineitem
+"""
+
+
+def q_money_parse(spark, sf_dir):
+    """BRL money string parse (SURVEY §2.7) — integer cent math keeps the
+    string construction engine-portable."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    brl = F.concat(
+        F.lit("R$ "),
+        F.floor(cents / 100).cast("long").cast("string"),
+        F.lit(","),
+        F.lpad(F.pmod(cents, F.lit(100)).cast("string"), 2, "0"),
+    )
+    return o.select(
+        "o_orderkey", brl.alias("brl"), money_brl_to_double(brl).alias("parsed")
+    )
+
+
+SQL_MONEY = """
+WITH c AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderkey,
+       concat('R$ ', CAST(cents // 100 AS VARCHAR), ',',
+              lpad(CAST(cents % 100 AS VARCHAR), 2, '0')) AS brl,
+       CAST(replace(regexp_replace(
+              concat('R$ ', CAST(cents // 100 AS VARCHAR), ',',
+                     lpad(CAST(cents % 100 AS VARCHAR), 2, '0')),
+              '[R$ .]', '', 'g'), ',', '.') AS DOUBLE) AS parsed
+FROM c
+"""
+
+
+def q_normalize_names(spark, sf_dir):
+    """Text normalization (utilitarios/textos.py equivalent)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", normalize_text("p_name").alias("norm_name"))
+
+
+SQL_NORMALIZE = """
+SELECT p_partkey,
+       regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g'),
+                      '^_+|_+$', '', 'g') AS norm_name
+FROM part
+"""
+
+
+# ------------------------------------------------------------- M2: joins
+
+def q_dim_broadcast_enrich(spark, sf_dir):
+    """Broadcast dimension lookups (geografias.py equivalent)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    out = broadcast_lookup(c, n, F.col("c_nationkey") == F.col("n_nationkey"))
+    out = broadcast_lookup(out, r, F.col("n_regionkey") == F.col("r_regionkey"))
+    return out.select("c_custkey", "c_name", "n_name", "r_name")
+
+
+SQL_DIM_ENRICH = """
+SELECT c_custkey, c_name, n_name, r_name
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_range_join_period(spark, sf_dir):
+    """Range/interval dim lookup (periodo_por_data, datas.py:65-92)."""
+    o = _t(spark, sf_dir, "orders")
+    dim = (
+        o.select(F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("q_start"))
+        .distinct()
+        .select(
+            "q_start",
+            F.date_sub(F.add_months("q_start", 3), 1).alias("q_end"),
+        )
+    )
+    out = range_join(
+        o, dim, F.to_date("o_orderdate"), F.col("q_start"), F.col("q_end")
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("q_start").cast("string").alias("q_start"),
+        F.col("q_end").cast("string").alias("q_end"),
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT o_orderkey,
+       strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start,
+       strftime(CAST(date_trunc('quarter', o_orderdate) AS DATE)
+                + INTERVAL 3 MONTH - INTERVAL 1 DAY, '%Y-%m-%d') AS q_end
+FROM orders
+"""
+
+
+def q_asof_join_rules(spark, sf_dir):
+    """As-of (temporal) join against a versioned rule dim
+    (sisab/indicadores_municipios/tratamento.py:61-85 equivalent)."""
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type").distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(51))).alias("version"))
+        .select(
+            "event_type", "version",
+            F.timestamp_add(
+                "DAY", (F.col("version") * 7).cast("int"),
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+            ).alias("valid_from"),
+        )
+    )
+    out = asof_join(ev, dim, ["event_type"], ["event_type"], "ts", "valid_from")
+    return out.select("event_id", "event_type", F.col("version").alias("rule_version"))
+
+
+SQL_ASOF = """
+SELECT event_id, event_type,
+       CAST(floor(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) / 7)
+            AS BIGINT) AS rule_version
+FROM events
+"""
+
+
+def q_anti_join_fill(spark, sf_dir):
+    """Left-anti placeholder fill for missing detail records
+    (scnes/.../extracao.py:56-80 equivalent)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    detail = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+    return anti_join_fill(c, detail, ["c_custkey"])
+
+
+SQL_ANTI_FILL = """
+SELECT c_custkey, n_orders, max_price
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey AS k, COUNT(*) AS n_orders, round(MAX(o_totalprice), 2) AS max_price
+  FROM orders GROUP BY o_custkey
+) d ON c_custkey = d.k
+"""
+
+
+# ------------------------------------------------------------ aggregates
+
+def q_pricing_summary(spark, sf_dir):
+    """Grouped pricing rollup with map-side partial aggregation (the engine's
+    Q1-style headline agg; reference QA gates SURVEY §2.5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_quality_gate(spark, sf_dir):
+    """Validation-gate aggregates: distinct/null/count matrix
+    (sisab/relatorio_validacao_producao/verificacao.py:15-98)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+    )
+
+
+SQL_QUALITY = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+       strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+       strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+FROM lineitem
+"""
+
+
+def q_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation for hot keys (SURVEY §4 skew policy):
+    partial sums per (key, salt) then final combine — result identical to a
+    plain groupBy, shape survives a 1000× hot key."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("__salt", F.pmod(F.col("event_id"), F.lit(8)))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.sum("value").alias("pv"), F.count(F.lit(1)).alias("pc")
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.round(F.sum("pv"), 2).alias("sum_value"), F.sum("pc").alias("n"))
+    )
+
+
+SQL_SALTED = """
+SELECT event_type, round(SUM(value), 2) AS sum_value, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------- M7: reshape
+
+def q_melt_metrics(spark, sf_dir):
+    """Wide→long unpivot (sisab/producao.py:1016-1045 equivalent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return melt(
+        li, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        var_name="metric", value_name="qty",
+    )
+
+
+SQL_MELT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS qty FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
+def q_group_nest(spark, sf_dir):
+    """Group-and-nest to a canonical sorted string
+    (scnes/estabelecimentos_horarios/tratamento.py:41-70 equivalent)."""
+    o = _t(spark, sf_dir, "orders")
+    return group_nest_sorted(
+        o, ["o_custkey"], ("o_orderkey", "o_orderstatus"), out_col="orders_nested"
+    )
+
+
+SQL_GROUP_NEST = """
+SELECT o_custkey,
+       string_agg(concat(CAST(o_orderkey AS VARCHAR), ':', o_orderstatus), ';'
+                  ORDER BY concat(CAST(o_orderkey AS VARCHAR), ':', o_orderstatus))
+         AS orders_nested
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_param_fanout(spark, sf_dir):
+    """Parameter cross-product fan-out (itertools.product equivalent,
+    sisab/utilitarios_sisab_relatorio_producao.py:133-158)."""
+    r = _t(spark, sf_dir, "region")
+    quarters = spark.range(1, 5).select(F.col("id").alias("q"))
+    return r.crossJoin(F.broadcast(quarters)).select("r_regionkey", "r_name", "q")
+
+
+SQL_FANOUT = """
+SELECT r_regionkey, r_name, q
+FROM region CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS q)
+"""
+
+
+def q_union_evolution(spark, sf_dir):
+    """Additive schema evolution on union: old vintage lacks a column,
+    back-filled as typed NULL (aih_rd.py:362-377 + unionByName)."""
+    li = _t(spark, sf_dir, "lineitem")
+    old = li.filter(F.col("l_linenumber") <= 3).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    new = li.filter(F.col("l_linenumber") > 3).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_tax"
+    )
+    old = with_additive_columns(old, {"l_tax": "double"})
+    return old.unionByName(new)
+
+
+SQL_UNION_EVO = """
+SELECT l_orderkey, l_linenumber, l_quantity, CAST(NULL AS DOUBLE) AS l_tax
+FROM lineitem WHERE l_linenumber <= 3
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_quantity, l_tax
+FROM lineitem WHERE l_linenumber > 3
+"""
+
+
+# ----------------------------------------------- dedup / fingerprinting
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy (training-data op)."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(d, "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_members
+FROM documents GROUP BY md5(text)
+"""
+
+# Portable tokenization shared by the dedup/text oracles: split on runs of
+# whitespace, drop empties (mirrors etl_spark.functions.text.tokens).
+_SQL_TOKS = (
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+)
+# 3-word shingles from those tokens (mirrors word_shingles(k=3); MinHash and
+# Jaccard are insensitive to the array_distinct because they are set ops).
+_SQL_SHINGLE3 = f"""
+  SELECT doc_id, concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS s
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) t,
+       LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) r
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Deterministic document fingerprint (min portable hash of 3-shingles)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text", 3).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, MIN({_h60("s")}) AS fingerprint
+FROM ({_SQL_SHINGLE3}) sh
+GROUP BY doc_id
+"""
+
+
+def _minhash_sql(num_hashes: int) -> str:
+    mins = ",\n       ".join(
+        f"MIN({portable_hash60_sql('s', salt=i)}) AS m{i}" for i in range(num_hashes)
+    )
+    return f"SELECT doc_id, {mins} FROM ({_SQL_SHINGLE3}) sh GROUP BY doc_id"
+
+
+def q_minhash_lsh_buckets(spark, sf_dir):
+    """MinHash+LSH banding (near-dup candidate generation at corpus scale)."""
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(d, "text", num_hashes=16, shingle_k=3)
+    return lsh_buckets(sig, "doc_id", bands=4, rows_per_band=4)
+
+
+def _lsh_sql(bands: int = 4, rows: int = 4) -> str:
+    mh = _minhash_sql(bands * rows)
+    parts = []
+    for b in range(bands):
+        cols = ", ".join(
+            f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket\n"
+            f"FROM mh"
+        )
+    return f"WITH mh AS ({mh})\n" + "\nUNION ALL\n".join(parts)
+
+
+SQL_MINHASH_LSH = _lsh_sql(4, 4)
+
+
+def q_simhash_groups(spark, sf_dir):
+    """SimHash near-dup clusters (12-bit)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_groups(d, "doc_id", "text", bits=12)
+
+
+def _simhash_sql(bits: int = 12) -> str:
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tk FROM documents
+), hashed AS (
+  SELECT doc_id, {_h60("tk")} AS h FROM tok
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+)
+SELECT simhash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
+FROM fp GROUP BY simhash
+"""
+
+
+SQL_SIMHASH = _simhash_sql(12)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup scores for blocked candidate pairs
+    (blocking key: lang — stands in for the LSH bucket at small scale)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("a"), F.col("lang"))
+    b = d.select(F.col("doc_id").alias("b"), F.col("lang"))
+    pairs = a.join(b, "lang").filter(F.col("a") < F.col("b")).select("a", "b")
+    return ngram_jaccard_pairs(d, pairs, "doc_id", "text", shingle_k=3, threshold=0.15)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sets AS (
+  SELECT doc_id, lang, list_distinct(list(s)) AS sh
+  FROM ({_SQL_SHINGLE3}) g JOIN documents USING (doc_id)
+  GROUP BY doc_id, lang
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+FROM sets x JOIN sets y ON x.lang = y.lang AND x.doc_id < y.doc_id
+WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.15
+"""
+
+
+# ------------------------------------------------------- text analysis
+
+def q_text_quality(spark, sf_dir):
+    """Quality-score features: token count, stopword ratio, keep-flag."""
+    d = _t(spark, sf_dir, "documents")
+    stop_r = F.round(stopword_ratio("text"), 4)
+    n_tok = token_count("text")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_r.alias("stopword_r"),
+        ((n_tok >= 10) & (stop_r < F.lit(0.4))).alias("keep"),
+    )
+
+
+_SQL_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x -> lower(x) IN ({_SQL_STOPS})))
+                    AS DOUBLE) / len(toks) END, 4) AS stopword_r
+  FROM t
+)
+SELECT doc_id, n_tokens, stopword_r,
+       (n_tokens >= 10 AND stopword_r < 0.4) AS keep
+FROM f
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID: stopword votes per language, argmax with
+    deterministic tie-break to 'und'."""
+    d = _t(spark, sf_dir, "documents")
+    ts = tokens("text")
+    wordlists = {
+        "en": ["the", "a", "of", "and", "is"],
+        "pt": ["de", "da", "do", "em", "para"],
+        "es": ["el", "la", "los", "en", "por"],
+    }
+    def _hits(ws: list[str]):
+        # one-arg closure (a default arg would break pyspark lambda arity)
+        return F.size(F.filter(ts, lambda t: F.lower(t).isin(ws)))
+
+    votes = {lg: _hits(ws) for lg, ws in wordlists.items()}
+    en, pt, es = votes["en"], votes["pt"], votes["es"]
+    pred = (
+        F.when((en > pt) & (en > es), F.lit("en"))
+        .when((pt > en) & (pt > es), F.lit("pt"))
+        .when((es > en) & (es > pt), F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select("doc_id", en.alias("en_hits"), pred.alias("pred_lang"))
+
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+v AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','is'))) AS en,
+    len(list_filter(toks, x -> lower(x) IN ('de','da','do','em','para'))) AS pt,
+    len(list_filter(toks, x -> lower(x) IN ('el','la','los','en','por'))) AS es
+  FROM t
+)
+SELECT doc_id, en AS en_hits,
+       CASE WHEN en > pt AND en > es THEN 'en'
+            WHEN pt > en AND pt > es THEN 'pt'
+            WHEN es > en AND es > pt THEN 'es'
+            ELSE 'und' END AS pred_lang
+FROM v
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Per-source corpus stats (token counting rollup)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", token_count("text").alias("nt"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS total_tokens,
+       round(AVG(n_chars), 2) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    """Opaque-binary multimodal plumbing: payload as binary + typed
+    metadata (byte length, digest). The decode stage itself is the
+    mapInPandas stub exercised in tests/test_multimodal.py."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.sha2(payload, 256).alias("digest"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id, strlen(text) AS n_bytes, sha256(text) AS digest,
+       'text/plain' AS mime
+FROM documents
+"""
+
+
+# -------------------------------------------------- similarity search
+
+def q_ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-k neighbours (brute-force baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    queries = (
+        e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return brute_force_topk(queries, corpus, k=5)
+
+
+SQL_ANN_BRUTE = """
+SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 4) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])), 4) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (IVF-style coarse
+    partition: candidates only within a block)."""
+    from etl_spark.operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a"), F.col("label"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("label"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, "label").filter(F.col("a") < F.col("b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        pairs.select("a", "b", "label", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.25)
+    )
+
+
+SQL_EMBED_NEARDUP = """
+SELECT x.vec_id AS a, y.vec_id AS b, x.label,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings x JOIN embeddings y
+  ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                   CAST(y.embedding AS DOUBLE[])), 4) >= 0.25
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k (scale path: hyperplane sketch
+    prunes the candidate space; verified exactly by a SQL oracle that
+    replays the same deterministic hyperplanes)."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    queries = (
+        e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return lsh_ann_topk(queries, corpus, k=5, n_bits=4, seed=7)
+
+
+def _ann_lsh_sql(n_bits: int = 4, seed: int = 7, k: int = 5) -> str:
+    projs = []
+    for b in range(n_bits):
+        w = portable_hash60_sql("CAST(d - 1 AS VARCHAR)", salt=seed * 1000 + b)
+        projs.append(
+            f"SUM(e[d] * (CASE WHEN ({w}) & 1 = 1 THEN 1.0 ELSE -1.0 END)) AS p{b}"
+        )
+    bucket = " + ".join(f"(CASE WHEN p{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits))
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), proj AS (
+  SELECT vec_id, {", ".join(projs)}
+  FROM v, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS d) dims
+  GROUP BY vec_id
+), bkt AS (
+  SELECT vec_id, CAST({bucket} AS INTEGER) AS bucket FROM proj
+), joined AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         round(list_cosine_similarity(qv.e, cv.e), 4) AS sim
+  FROM bkt q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  JOIN v qv ON qv.vec_id = q.vec_id
+  JOIN v cv ON cv.vec_id = c.vec_id
+  WHERE q.vec_id < 20
+)
+SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+  FROM joined
+) WHERE rank <= {k}
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_sql(4, 7, 5)
+
+
+# ------------------------------------------------------------- registry
+
+QUERIES = {
+    "cdc_lww_latest_state": q_cdc_lww_latest_state,
+    "cdc_replay_final_state": q_cdc_replay_final_state,
+    "depara_projection": q_depara_projection,
+    "cleaning_sentinels": q_cleaning_sentinels,
+    "date_roundtrip": q_date_roundtrip,
+    "money_parse": q_money_parse,
+    "normalize_names": q_normalize_names,
+    "dim_broadcast_enrich": q_dim_broadcast_enrich,
+    "range_join_period": q_range_join_period,
+    "asof_join_rules": q_asof_join_rules,
+    "anti_join_fill": q_anti_join_fill,
+    "pricing_summary": q_pricing_summary,
+    "quality_gate": q_quality_gate,
+    "salted_agg": q_salted_agg,
+    "melt_metrics": q_melt_metrics,
+    "group_nest": q_group_nest,
+    "param_fanout": q_param_fanout,
+    "union_evolution": q_union_evolution,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "minhash_lsh_buckets": q_minhash_lsh_buckets,
+    "simhash_groups": q_simhash_groups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_stats": q_token_stats,
+    "multimodal_metadata": q_multimodal_metadata,
+    "ann_bruteforce": q_ann_bruteforce,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh": q_ann_lsh,
+}
+
+ORACLES = {
+    "cdc_lww_latest_state": SQL_CDC_LWW,
+    "cdc_replay_final_state": SQL_CDC_REPLAY,
+    "depara_projection": SQL_DEPARA,
+    "cleaning_sentinels": SQL_CLEANING,
+    "date_roundtrip": SQL_DATES,
+    "money_parse": SQL_MONEY,
+    "normalize_names": SQL_NORMALIZE,
+    "dim_broadcast_enrich": SQL_DIM_ENRICH,
+    "range_join_period": SQL_RANGE_JOIN,
+    "asof_join_rules": SQL_ASOF,
+    "anti_join_fill": SQL_ANTI_FILL,
+    "pricing_summary": SQL_PRICING,
+    "quality_gate": SQL_QUALITY,
+    "salted_agg": SQL_SALTED,
+    "melt_metrics": SQL_MELT,
+    "group_nest": SQL_GROUP_NEST,
+    "param_fanout": SQL_FANOUT,
+    "union_evolution": SQL_UNION_EVO,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "minhash_lsh_buckets": SQL_MINHASH_LSH,
+    "simhash_groups": SQL_SIMHASH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "token_stats": SQL_TOKEN_STATS,
+    "multimodal_metadata": SQL_MULTIMODAL,
+    "ann_bruteforce": SQL_ANN_BRUTE,
+    "embedding_neardup": SQL_EMBED_NEARDUP,
+    "ann_lsh": SQL_ANN_LSH,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's ``entry`` smoke query: full CDC replay at sf0.001."""
+    return q_cdc_replay_final_state(spark, sf_dir)
