@@ -1,0 +1,118 @@
+"""Benchmark harness (driver-run, one JSON line on stdout).
+
+Headline: change-events/sec applied through the full CDC replay path
+(synth WAL → epoch MERGE into LakeTable) — the BASELINE.json primary metric
+— plus wall-times for representative operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR     parquet table dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       local[N] parallelism (default 32)
+  BENCH_EVENTS           WAL size for the replay benchmark (default 2_000_000)
+  BENCH_SKIP_QUERIES     "1" => replay benchmark only (used by the scaling
+                         harness, tools/bench_scaling.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def run_replay_bench(spark, n_events: int, n_buckets: int, parallelism: int):
+    """Generate a deterministic WAL and replay it; return metrics."""
+    from etl_spark.cdc import replay_events, synth_events, write_event_epochs
+
+    root = tempfile.mkdtemp(prefix="etl_spark_bench_")
+    wal = os.path.join(root, "wal")
+    tbl = os.path.join(root, "tbl")
+    try:
+        t0 = time.monotonic()
+        ev = synth_events(
+            spark, n_events,
+            n_repos=2000, paths_per_repo=2000, n_epochs=4,
+            seed=42, hot_pct=30, partitions=2 * parallelism,
+        )
+        write_event_epochs(ev, wal)
+        t_gen = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        table, stats = replay_events(spark, wal, tbl, n_buckets=n_buckets)
+        t_replay = time.monotonic() - t0
+        rows_final = table.read().count()
+        # ~5% duplicate re-deliveries are part of the stream (see synth_events)
+        total_events = int(n_events * 1.05)
+        return {
+            "wal_gen_sec": round(t_gen, 2),
+            "replay_sec": round(t_replay, 2),
+            "events_per_sec": round(total_events / t_replay, 1),
+            "epochs": len(stats),
+            "final_rows": rows_final,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+BENCH_QUERIES = [
+    "cdc_lww_latest_state",
+    "cdc_replay_final_state",
+    "depara_projection",
+    "dim_broadcast_enrich",
+    "pricing_summary",
+    "melt_metrics",
+    "dedup_exact",
+    "minhash_lsh_buckets",
+    "simhash_groups",
+    "text_quality",
+    "ann_bruteforce",
+    "ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    skip_queries = os.environ.get("BENCH_SKIP_QUERIES") == "1"
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from etl_spark.queries import QUERIES
+    from etl_spark.session import get_spark
+
+    spark = get_spark(app_name="etl_spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    replay = run_replay_bench(spark, n_events, n_buckets=2 * cpus, parallelism=cpus)
+
+    queries: dict[str, float] = {}
+    if not skip_queries:
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.monotonic()
+            # count() is the driver-independent "run it" action; queries
+            # whose payload matters were validated in the correctness gate.
+            fn(spark, sf_dir).count()
+            queries[name] = round(time.monotonic() - t0, 2)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "cdc_replay_events_per_sec",
+        "value": replay["events_per_sec"],
+        "unit": "events/sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "replay": replay,
+        "cpus": cpus,
+        "bench_events": n_events,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,8 +50,43 @@ __all__ = ["LakeTable", "Snapshot", "MergeStats", "CommitConflict"]
 # Internal metadata columns stored in data files.
 META_DELETED = "_deleted"
 BUCKET_COL = "__bucket"
+DEL_FLAG = "__is_del"       # transient tombstone flag inside merge plans
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
+
+
+def _bucket_of(key_cols: list[str], n_buckets: int):
+    """Bucket id of a row: pmod(xxhash64(key cols), n_buckets)."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _lww_rows(df, key_cols, ver_cols, user_cols, types):
+    """Per-key LWW winner via a combinable ``max_by`` hash aggregate.
+
+    Input: ``user_cols`` + boolean ``DEL_FLAG`` marking tombstones.
+    Output: ``user_cols`` + ``META_DELETED``; a winning tombstone's payload
+    is nulled. One shuffle, partial (map-side) aggregation — a hot key costs
+    one combine per upstream partition instead of one giant sorted window
+    partition (the skew story for 10^10-event streams)."""
+    payload_cols = [c for c in user_cols if c not in key_cols + ver_cols]
+    pay = F.struct(*[F.col(c) for c in payload_cols], F.col(DEL_FLAG))
+    ver = F.struct(*[F.col(c) for c in ver_cols])
+    won = df.groupBy(*key_cols).agg(
+        F.max_by(pay, ver).alias("__w"), F.max(ver).alias("__v")
+    )
+    is_del = F.col(f"__w.{DEL_FLAG}")
+    return won.select(
+        *key_cols,
+        *[F.col(f"__v.{c}").alias(c) for c in ver_cols],
+        *[
+            F.when(is_del, F.lit(None).cast(types[c]))
+            .otherwise(F.col(f"__w.{c}")).alias(c)
+            for c in payload_cols
+        ],
+        is_del.alias(META_DELETED),
+    ).select(*user_cols, META_DELETED)
 
 
 class CommitConflict(RuntimeError):
@@ -232,8 +267,14 @@ class LakeTable:
             list(snap.schema.fields) + [StructField(META_DELETED, _bool(), False)]
         )
 
-    def _read_files(self, snap: Snapshot, files: list[str]) -> DataFrame:
-        full = self._full_schema(snap)
+    def _read_files(
+        self, snap: Snapshot, files: list[str], user_schema: StructType | None = None
+    ) -> DataFrame:
+        full = (
+            StructType(list(user_schema.fields) + [StructField(META_DELETED, _bool(), False)])
+            if user_schema is not None
+            else self._full_schema(snap)
+        )
         if not files:
             return self.spark.createDataFrame([], full)
         paths = [os.path.join(self.path, f) for f in files]
@@ -247,16 +288,32 @@ class LakeTable:
         with_meta: bool = False,
         buckets: list[int] | None = None,
     ) -> DataFrame:
-        """Read live rows (tombstones filtered) at a snapshot version."""
+        """Read live rows (tombstones filtered) at a snapshot version.
+
+        Merge-on-read: when any selected bucket holds more than one file
+        (un-compacted deltas), the per-key LWW winner is resolved at read
+        time with the same combinable ``max_by`` aggregate MERGE uses. A
+        bucket with a single file was itself produced by an LWW aggregate
+        (merge or compaction), so its keys are unique and the aggregate is
+        skipped — the common case after compaction."""
         snap = self.snapshot(version)
-        if buckets is None:
-            files = [f for fl in snap.buckets.values() for f in fl]
-        else:
-            files = [f for b in buckets for f in snap.buckets.get(b, [])]
+        sel = snap.buckets if buckets is None else {
+            b: snap.buckets.get(b, []) for b in buckets
+        }
+        files = [f for fl in sel.values() for f in fl]
         df = self._read_files(snap, files)
+        if any(len(fl) > 1 for fl in sel.values()):
+            user_cols = [f.name for f in snap.schema.fields]
+            types = {f.name: f.dataType for f in snap.schema.fields}
+            df = _lww_rows(
+                df.withColumnRenamed(META_DELETED, DEL_FLAG),
+                snap.key_cols, snap.version_cols, user_cols, types,
+            )
         df = df.filter(~F.col(META_DELETED))
         if not with_meta:
             df = df.select(*[f.name for f in snap.schema.fields])
+        else:
+            df = df.select(*[f.name for f in snap.schema.fields], META_DELETED)
         return df
 
     def bucket_expr(self, snap: Snapshot):
@@ -299,8 +356,6 @@ class LakeTable:
         op_col: str,
         delete_op: str,
     ) -> MergeStats:
-        from etl_spark.cdc.lww import lww_dedup  # local import, no cycle at module load
-
         key_cols, ver_cols = snap.key_cols, snap.version_cols
         for c in key_cols + ver_cols + [op_col]:
             if c not in batch.columns:
@@ -308,7 +363,6 @@ class LakeTable:
 
         # ---- additive schema evolution -------------------------------
         table_fields = {f.name: f for f in snap.schema.fields}
-        batch_user_cols = [c for c in batch.columns if c != op_col]
         new_fields = [
             StructField(f.name, f.dataType, True)
             for f in batch.schema.fields
@@ -316,115 +370,133 @@ class LakeTable:
         ]
         evolved_schema = StructType(list(snap.schema.fields) + new_fields)
         user_cols = [f.name for f in evolved_schema.fields]
-        payload_cols = [c for c in user_cols if c not in key_cols + ver_cols]
+        types = {f.name: f.dataType for f in evolved_schema.fields}
 
-        # ---- batch-local LWW dedup (map-side combinable max_by) ------
-        deduped = lww_dedup(batch, key_cols, ver_cols, extra_cols=[op_col])
-        # NULL-backfill table columns the batch doesn't carry, align types.
-        aligned = deduped.select(
+        # ---- align batch to evolved schema + bucket + tombstone flag --
+        aligned = batch.select(
             *[
-                (F.col(c) if c in deduped.columns else F.lit(None)).cast(
-                    dict((f.name, f.dataType) for f in evolved_schema.fields)[c]
-                ).alias(c)
+                (F.col(c) if c in batch.columns else F.lit(None)).cast(types[c]).alias(c)
                 for c in user_cols
             ],
-            F.col(op_col),
-        )
-        aligned = aligned.withColumn(
-            BUCKET_COL,
-            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(snap.n_buckets)).cast("int"),
-        )
+            (F.col(op_col) == F.lit(delete_op)).alias(DEL_FLAG),
+        ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
 
-        # Keep the deduped batch small in memory for the two passes below.
-        aligned = aligned.persist()
-        try:
-            counts = aligned.groupBy(BUCKET_COL).count().collect()
-            affected = sorted(r[BUCKET_COL] for r in counts)
-            distinct_keys = sum(r["count"] for r in counts)
-            if not affected:
-                new_snap = self._child(snap, evolved_schema, snap.buckets, manifest_key)
-                self._publish(new_snap)
-                return MergeStats(manifest_key, True, new_snap.version, 0, 0, 0,
-                                  snap.n_buckets, 0, 0)
+        # Cheap control-plane job: which buckets does this batch touch?
+        # (map-side-combinable distinct over <= n_buckets values)
+        affected = sorted(
+            r[BUCKET_COL] for r in aligned.select(BUCKET_COL).distinct().collect()
+        )
+        if not affected:
+            new_snap = self._child(snap, evolved_schema, snap.buckets, manifest_key)
+            self._publish(new_snap)
+            return MergeStats(manifest_key, True, new_snap.version, 0, 0, 0,
+                              snap.n_buckets, 0, 0)
 
-            # ---- read only affected buckets of current state ---------
+        mode = snap.props.get("merge_mode", "mor")
+        buckets = dict(snap.buckets)  # untouched buckets carried by reference
+        compacted_n = 0
+
+        if mode == "cow":
+            # Copy-on-write: rewrite every affected bucket. Existing rows
+            # re-enter the LWW aggregate as change events (a tombstone is a
+            # delete at its stored version) — ONE combinable hash aggregate
+            # over (existing ∪ batch), no join, no windows; a hot key costs
+            # one combine per upstream partition.
             existing_files = [f for b in affected for f in snap.buckets.get(b, [])]
-            existing = self._read_files(snap, existing_files)  # evolved-read: missing→NULL
-            # Re-project through evolved schema (adds brand-new columns as NULL).
+            existing = self._read_files(snap, existing_files, user_schema=evolved_schema)
             existing = existing.select(
-                *[
-                    (F.col(c) if c in existing.columns else F.lit(None)).cast(
-                        dict((f.name, f.dataType) for f in evolved_schema.fields)[c]
-                    ).alias(c)
-                    for c in user_cols
-                ],
-                F.col(META_DELETED),
-            )
-
-            # ---- LWW combine: batch row wins iff version strictly newer
-            b = aligned.alias("b")
-            e = existing.alias("e")
-            on = [F.col(f"b.{c}").eqNullSafe(F.col(f"e.{c}")) for c in key_cols]
-            cond = on[0]
-            for c in on[1:]:
-                cond = cond & c
-            joined = b.join(e, cond, "full_outer")
-
-            b_ver = F.struct(*[F.col(f"b.{c}") for c in ver_cols])
-            e_ver = F.struct(*[F.col(f"e.{c}") for c in ver_cols])
-            b_present = F.col(f"b.{ver_cols[0]}").isNotNull()
-            e_present = F.col(f"e.{ver_cols[0]}").isNotNull()
-            batch_wins = b_present & (~e_present | (b_ver > e_ver))
-
-            is_delete = F.col(f"b.{op_col}") == F.lit(delete_op)
-            out_cols = []
-            for c in user_cols:
-                src = F.when(batch_wins, F.col(f"b.{c}")).otherwise(F.col(f"e.{c}"))
-                if c in payload_cols:
-                    # Tombstones carry no payload.
-                    src = F.when(batch_wins & is_delete, F.lit(None).cast(
-                        dict((f.name, f.dataType) for f in evolved_schema.fields)[c]
-                    )).otherwise(src)
-                out_cols.append(src.alias(c))
-            deleted = F.when(batch_wins, is_delete).otherwise(F.col(f"e.{META_DELETED}"))
-            merged = joined.select(
-                *out_cols,
-                deleted.alias(META_DELETED),
-                F.when(batch_wins, F.col(f"b.{BUCKET_COL}"))
-                .otherwise(
-                    F.pmod(
-                        F.xxhash64(*[F.col(f"e.{c}") for c in key_cols]),
-                        F.lit(snap.n_buckets),
-                    ).cast("int")
-                )
-                .alias(BUCKET_COL),
-            )
-
-            # ---- write rewritten buckets ------------------------------
+                *user_cols, F.col(META_DELETED).alias(DEL_FLAG)
+            ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
+            merged = _lww_rows(
+                aligned.unionByName(existing), key_cols, ver_cols, user_cols, types
+            ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
             new_files, rows_written, deletes_written = self._write_buckets(
                 merged, snap.version + 1
             )
-            buckets = dict(snap.buckets)  # carry untouched buckets by reference
             for bkt in affected:
                 buckets[bkt] = new_files.get(bkt, [])
-            new_snap = self._child(snap, evolved_schema, buckets, manifest_key)
-            self._publish(new_snap)
-            return MergeStats(
-                manifest_key=manifest_key,
-                applied=True,
-                version=new_snap.version,
-                batch_rows=-1,  # not counted (avoid an extra job over raw batch)
-                distinct_keys=distinct_keys,
-                buckets_rewritten=len(affected),
-                buckets_total=snap.n_buckets,
-                rows_written=rows_written,
-                deletes_written=deletes_written,
+        else:
+            # Merge-on-read: write only the batch's LWW winners as delta
+            # files — O(batch) per merge, not O(table). Readers resolve
+            # per-key winners across base+delta files; buckets whose file
+            # count crosses the threshold are compacted below (inside the
+            # same atomic snapshot).
+            merged = _lww_rows(
+                aligned, key_cols, ver_cols, user_cols, types
+            ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
+            new_files, rows_written, deletes_written = self._write_buckets(
+                merged, snap.version + 1
             )
-        finally:
-            aligned.unpersist()
+            for bkt in affected:
+                buckets[bkt] = buckets.get(bkt, []) + new_files.get(bkt, [])
+
+            threshold = int(snap.props.get("compact_threshold", "6"))
+            to_compact = [b for b in affected if len(buckets[b]) > threshold]
+            if to_compact:
+                cfiles = self._compact_files(
+                    snap, {b: buckets[b] for b in to_compact}, evolved_schema,
+                    snap.version + 1,
+                )
+                for b in to_compact:
+                    buckets[b] = cfiles.get(b, [])
+                compacted_n = len(to_compact)
+
+        new_snap = self._child(snap, evolved_schema, buckets, manifest_key)
+        self._publish(new_snap)
+        return MergeStats(
+            manifest_key=manifest_key,
+            applied=True,
+            version=new_snap.version,
+            batch_rows=-1,      # not counted: extra job over the raw batch
+            distinct_keys=-1,   # not counted: extra job over the dedup output
+            buckets_rewritten=len(affected) if mode == "cow" else compacted_n,
+            buckets_total=snap.n_buckets,
+            rows_written=rows_written,
+            deletes_written=deletes_written,
+        )
+
+    def _compact_files(
+        self,
+        snap: Snapshot,
+        bucket_files: dict[int, list[str]],
+        user_schema: StructType,
+        version: int,
+    ) -> dict[int, list[str]]:
+        """Fold a bucket's base+delta files into one LWW-resolved file each.
+        Tombstones are retained (no event-time watermark yet), so late
+        events older than an applied delete still lose after compaction."""
+        user_cols = [f.name for f in user_schema.fields]
+        types = {f.name: f.dataType for f in user_schema.fields}
+        files = [f for fl in bucket_files.values() for f in fl]
+        storage = self._read_files(snap, files, user_schema=user_schema)
+        storage = storage.select(*user_cols, F.col(META_DELETED).alias(DEL_FLAG))
+        compacted = _lww_rows(
+            storage, snap.key_cols, snap.version_cols, user_cols, types
+        ).withColumn(BUCKET_COL, _bucket_of(snap.key_cols, snap.n_buckets))
+        new_files, _, _ = self._write_buckets(compacted, version, tag="c")
+        return new_files
+
+    def compact(self, buckets: list[int] | None = None) -> int:
+        """Explicitly compact buckets (all multi-file buckets by default).
+        Returns the number of buckets compacted. Runs as its own snapshot
+        commit with a deterministic manifest key."""
+        snap = self.current_snapshot()
+        target = {
+            b: fl for b, fl in snap.buckets.items()
+            if len(fl) > 1 and (buckets is None or b in buckets)
+        }
+        if not target:
+            return 0
+        cfiles = self._compact_files(snap, target, snap.schema, snap.version + 1)
+        merged = dict(snap.buckets)
+        for b in target:
+            merged[b] = cfiles.get(b, [])
+        self._publish(self._child(snap, snap.schema, merged,
+                                  f"compact:v{snap.version + 1}"))
+        return len(target)
 
     def _write_buckets(
-        self, merged: DataFrame, version: int
+        self, merged: DataFrame, version: int, tag: str = ""
     ) -> tuple[dict[int, list[str]], int, int]:
         """Write per-bucket parquet files; return bucket→relative paths."""
         staging = os.path.join(self.path, _DATA_DIR, f".stage-v{version}-{uuid.uuid4().hex}")
@@ -445,7 +517,7 @@ class LakeTable:
             for i, name in enumerate(sorted(os.listdir(src_dir))):
                 if not name.endswith(".parquet"):
                     continue
-                rel = f"{_DATA_DIR}/v{version:010d}-b{bkt:05d}-{i:04d}.parquet"
+                rel = f"{_DATA_DIR}/v{version:010d}{tag}-b{bkt:05d}-{i:04d}.parquet"
                 shutil.move(os.path.join(src_dir, name), os.path.join(self.path, rel))
                 files.append(rel)
             new_files[bkt] = files
