@@ -27,7 +27,12 @@ def run_replay_bench(spark, n_events: int, n_buckets: int, parallelism: int):
     """Generate a deterministic WAL and replay it; return metrics."""
     from etl_spark.cdc import replay_events, synth_events, write_event_epochs
 
-    root = tempfile.mkdtemp(prefix="etl_spark_bench_")
+    # RAM-backed workdir when available: on a real N-executor cluster,
+    # shuffle/scratch I/O bandwidth scales with N (per-executor local disks);
+    # a single box funnels it through one device, which would understate
+    # scaling. tmpfs is the honest single-node stand-in.
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="etl_spark_bench_", dir=base)
     wal = os.path.join(root, "wal")
     tbl = os.path.join(root, "tbl")
     try:
@@ -83,11 +88,18 @@ def main() -> None:
     from etl_spark.queries import QUERIES
     from etl_spark.session import get_spark
 
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        shuffle_dir = tempfile.mkdtemp(prefix="etl_spark_shuffle_", dir="/dev/shm")
+        extra["spark.local.dir"] = shuffle_dir
     spark = get_spark(app_name="etl_spark-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=2 * cpus)
+                      shuffle_partitions=2 * cpus, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
-    replay = run_replay_bench(spark, n_events, n_buckets=2 * cpus, parallelism=cpus)
+    # n_buckets is a *layout* property — fixed across parallelism levels so
+    # the scaling comparison (local[8] vs local[32]) runs the same workload.
+    n_buckets = int(os.environ.get("BENCH_BUCKETS", "64"))
+    replay = run_replay_bench(spark, n_events, n_buckets=n_buckets, parallelism=cpus)
 
     queries: dict[str, float] = {}
     if not skip_queries:

@@ -381,18 +381,25 @@ class LakeTable:
             (F.col(op_col) == F.lit(delete_op)).alias(DEL_FLAG),
         ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
 
-        # Cheap control-plane job: which buckets does this batch touch?
-        # (map-side-combinable distinct over <= n_buckets values)
-        affected = sorted(
-            r[BUCKET_COL] for r in aligned.select(BUCKET_COL).distinct().collect()
-        )
+        mode = snap.props.get("merge_mode", "mor")
+        if mode == "cow":
+            # Control-plane job: which buckets does this batch touch?
+            # (map-side-combinable distinct over <= n_buckets values). Only
+            # CoW needs this up front — it decides which buckets to rewrite.
+            affected = sorted(
+                r[BUCKET_COL] for r in aligned.select(BUCKET_COL).distinct().collect()
+            )
+        else:
+            # MoR appends only the files actually written; claiming every
+            # bucket as "affected" costs nothing (empty appends are dropped)
+            # and saves a full scan of the batch per merge.
+            affected = list(range(snap.n_buckets))
         if not affected:
             new_snap = self._child(snap, evolved_schema, snap.buckets, manifest_key)
             self._publish(new_snap)
             return MergeStats(manifest_key, True, new_snap.version, 0, 0, 0,
                               snap.n_buckets, 0, 0)
 
-        mode = snap.props.get("merge_mode", "mor")
         buckets = dict(snap.buckets)  # untouched buckets carried by reference
         compacted_n = 0
 
@@ -427,11 +434,11 @@ class LakeTable:
             new_files, rows_written, deletes_written = self._write_buckets(
                 merged, snap.version + 1
             )
-            for bkt in affected:
-                buckets[bkt] = buckets.get(bkt, []) + new_files.get(bkt, [])
+            for bkt, files in new_files.items():
+                buckets[bkt] = buckets.get(bkt, []) + files
 
             threshold = int(snap.props.get("compact_threshold", "6"))
-            to_compact = [b for b in affected if len(buckets[b]) > threshold]
+            to_compact = [b for b in buckets if len(buckets[b]) > threshold]
             if to_compact:
                 cfiles = self._compact_files(
                     snap, {b: buckets[b] for b in to_compact}, evolved_schema,

@@ -1,0 +1,142 @@
+"""Capture orchestration: validation gates, dry-run mode, error ledger.
+
+Reference parity (SURVEY.md §2.2, §3.1):
+
+- **validation gates** that abort a batch before load — ``validar_pa``'s
+  assertion task (/root/reference/src/impulsoetl/siasus/procedimentos.py:
+  436-449, abort at :522-529) and the raw-vs-transformed QA comparisons
+  (sisab/relatorio_validacao_producao/verificacao.py:15-98);
+- **test mode** (``teste=True``) that runs the full pipeline but rolls the
+  load back (procedimentos.py:549-552, utilitarios/bd.py:185-188) — here a
+  dry run validates + counts without committing a snapshot;
+- **error ledger** rows on failure (sisab/excecoes.py:14-40) — here the
+  MetricsSink JSONL ledger;
+- **pending-work discovery** from a schedule minus the applied-manifest
+  history (scripts/geral.py:61-65 + capturas_historico) — see also
+  etl_spark.cdc.replay.pending_epochs.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark.lake import LakeTable, MergeStats
+
+__all__ = [
+    "ValidationError", "expect", "expect_nonempty", "expect_no_nulls",
+    "expect_unique_keys", "run_capture", "pending_from_schedule",
+]
+
+
+class ValidationError(RuntimeError):
+    """A validation gate rejected the batch (reference: AssertionError in
+    the validar_* tasks, aborting the capture)."""
+
+
+GateFn = Callable[[DataFrame], None]
+
+
+def expect(predicate_sql: str, description: str | None = None) -> GateFn:
+    """Gate: no row may violate ``predicate_sql`` (evaluated as a filter on
+    the negation — one combinable count job)."""
+
+    def gate(df: DataFrame) -> None:
+        bad = df.filter(~F.expr(predicate_sql)).limit(1).count()
+        if bad:
+            raise ValidationError(description or f"rows violate: {predicate_sql}")
+
+    return gate
+
+
+def expect_nonempty(df: DataFrame) -> None:
+    if df.limit(1).count() == 0:
+        raise ValidationError("batch is empty")
+
+
+def expect_no_nulls(*cols: str) -> GateFn:
+    def gate(df: DataFrame) -> None:
+        cond = None
+        for c in cols:
+            e = F.col(c).isNull()
+            cond = e if cond is None else cond | e
+        n = df.filter(cond).limit(1).count()
+        if n:
+            raise ValidationError(f"NULLs in required columns {list(cols)}")
+
+    return gate
+
+
+def expect_unique_keys(*cols: str) -> GateFn:
+    """Post-dedup batches must be key-unique (pre-dedup batches are not)."""
+
+    def gate(df: DataFrame) -> None:
+        dup = (
+            df.groupBy(*cols).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValidationError(f"duplicate keys on {list(cols)}")
+
+    return gate
+
+
+@dataclass
+class CaptureResult:
+    manifest_key: str
+    status: str                 # "applied" | "noop" | "rejected" | "dry_run"
+    stats: MergeStats | None = None
+    error: str | None = None
+
+
+def run_capture(
+    table: LakeTable,
+    batch: DataFrame,
+    manifest_key: str,
+    gates: list[GateFn] | None = None,
+    dry_run: bool = False,
+    metrics_sink=None,
+) -> CaptureResult:
+    """One capture = gates → (merge | dry-run). Gate failure aborts before
+    any write and is recorded in the ledger; dry-run validates and counts
+    but commits nothing (the reference's ``teste=True`` rollback)."""
+    t0 = time.monotonic()
+    try:
+        for gate in gates or []:
+            gate(batch)
+    except ValidationError as exc:
+        if metrics_sink is not None:
+            metrics_sink.record(
+                {"manifest_key": manifest_key, "applied": False,
+                 "status": "rejected"},
+                wall_sec=time.monotonic() - t0, error=str(exc),
+            )
+        return CaptureResult(manifest_key, "rejected", error=str(exc))
+
+    if dry_run:
+        n = batch.count()
+        if metrics_sink is not None:
+            metrics_sink.record(
+                {"manifest_key": manifest_key, "applied": False,
+                 "status": "dry_run", "batch_rows": n},
+                wall_sec=time.monotonic() - t0,
+            )
+        return CaptureResult(manifest_key, "dry_run")
+
+    stats = table.merge(batch, manifest_key=manifest_key)
+    if metrics_sink is not None:
+        metrics_sink.record(stats, wall_sec=time.monotonic() - t0)
+    return CaptureResult(
+        manifest_key, "applied" if stats.applied else "noop", stats=stats
+    )
+
+
+def pending_from_schedule(schedule: list[str], table: LakeTable) -> list[str]:
+    """Schedule entries (manifest keys) not yet in the applied history —
+    the reference's ``capturas_agendamentos`` minus ``capturas_historico``
+    (scripts/geral.py:61-65, 92-109)."""
+    applied = table.applied_manifests()
+    return [k for k in schedule if k not in applied]
