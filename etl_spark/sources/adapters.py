@@ -1,0 +1,150 @@
+"""Landed-file ingest adapters (SURVEY.md §2.1 long tail).
+
+The reference scrapes live endpoints (SISAB Selenium forms, CNES REST,
+e-Gestor Excel) and then parses what it downloaded. The scraping is a
+non-goal (driver mandate: no external data); these adapters reproduce the
+*parsing* capabilities over landed files:
+
+- semicolon-separated, comma-decimal, Latin-1 report CSV with junk
+  header/footer lines (sisab/comum.py:398-438,
+  modelo_sisab_producao.py:47-66: CSV carved between blank-line markers);
+- REST JSON record lists with nested payloads flattened to columns
+  (scnes/extracao_lista_cnes.py:18-71, brasilapi/cep.py:97-107);
+- multi-sheet Excel (egestor/relatorio_financiamento/extracao.py:130-259)
+  — STUBBED: no xlsx library ships in this environment; the function
+  raises ``NotImplementedError`` unless openpyxl is importable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "carve_between", "read_report_csv", "read_json_records",
+    "flatten_struct", "read_excel_sheets",
+]
+
+
+def carve_between(text: str, start_marker: str, end_marker: str) -> str:
+    """Cut the CSV body out of a scraped page payload (driver-side,
+    control-plane-sized — the reference carves between '\\n\\n\\n' and
+    '\\n\\n\\nFonte:')."""
+    lo = text.index(start_marker) + len(start_marker)
+    hi = text.index(end_marker, lo)
+    return text[lo:hi].strip("\n")
+
+
+def read_report_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ";",
+    encoding: str = "ISO-8859-1",
+    decimal_comma_cols: list[str] | None = None,
+    skip_leading: int = 0,
+    footer_prefix: str | None = None,
+    header: bool = True,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Report-CSV scan: separator/encoding knobs, leading-junk skip,
+    footer strip by prefix, and comma-decimal conversion — all as
+    declarative ops so Catalyst still prunes/pushes down.
+
+    ``skip_leading`` drops the first N *parsed* rows (blank lines are
+    already skipped by the CSV reader — count only junk rows with content);
+    ``footer_prefix`` drops trailer lines like 'Fonte:'.
+    """
+    if skip_leading:
+        # Spark CSV has no skipRows: read the file as an over-wide
+        # all-string table (junk lines parse as mostly-NULL rows), index
+        # rows, drop the junk prefix, then promote the first surviving row
+        # to the header. Valid for single-file reports (the reference's
+        # case: one scraped download at a time) — monotonically_increasing_
+        # id is file-ordered within one input partition.
+        from pyspark.sql.types import StringType, StructField as SF, StructType as ST
+
+        wide = ST([SF(f"_c{i}", StringType(), True) for i in range(64)])
+        raw = (
+            spark.read.options(sep=sep, encoding=encoding, header="false",
+                               mode="PERMISSIVE")
+            .schema(wide).csv(path)
+            .withColumn("_rid", F.monotonically_increasing_id())
+            .filter(F.col("_rid") >= skip_leading)
+        )
+        if header:
+            hdr = raw.orderBy("_rid").limit(1).collect()[0]
+            names = [(f"_c{i}", hdr[f"_c{i}"]) for i in range(64)
+                     if hdr[f"_c{i}"] is not None]
+            raw = raw.filter(F.col("_rid") > hdr["_rid"])
+            df = raw.select(*[F.col(c).alias(n) for c, n in names])
+        else:
+            df = raw.drop("_rid")
+    else:
+        reader = spark.read.options(sep=sep, encoding=encoding,
+                                    header=str(header).lower())
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "false")
+        df = reader.csv(path)
+    if footer_prefix is not None:
+        first = df.columns[0]
+        df = df.filter(
+            ~F.coalesce(F.col(first).cast("string"), F.lit("")).startswith(footer_prefix)
+        )
+    for c in decimal_comma_cols or []:
+        df = df.withColumn(
+            c,
+            F.regexp_replace(F.regexp_replace(F.col(c).cast("string"), r"\.", ""), ",", ".")
+            .try_cast("double"),
+        )
+    return df
+
+
+def read_json_records(
+    spark: SparkSession, path: str, flatten: bool = True
+) -> DataFrame:
+    """REST-landed JSON (one object per line or array file); nested structs
+    optionally flattened to `a_b` columns."""
+    df = spark.read.option("multiLine", "true").json(path)
+    return flatten_struct(df) if flatten else df
+
+
+def flatten_struct(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten struct columns into scalar columns
+    (the reference's nested-JSON path gets with defaults)."""
+    while True:
+        struct_cols = [f.name for f in df.schema.fields
+                       if f.dataType.typeName() == "struct"]
+        if not struct_cols:
+            return df
+        cols = []
+        for f in df.schema.fields:
+            if f.name in struct_cols:
+                for sub in f.dataType.fieldNames():  # type: ignore[union-attr]
+                    cols.append(F.col(f"{f.name}.{sub}").alias(f"{f.name}{sep}{sub}"))
+            else:
+                cols.append(F.col(f.name))
+        df = df.select(*cols)
+
+
+def read_excel_sheets(
+    spark: SparkSession, path: str, sheets: list[str], header_row: int = 3
+):
+    """Multi-sheet Excel scan (egestor equivalent). Requires openpyxl,
+    which is not in this container — real plumbing gated behind the
+    import."""
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+    except ImportError as exc:
+        raise NotImplementedError(
+            "read_excel_sheets needs openpyxl (not available in this "
+            "environment); land the sheets as CSV/parquet instead"
+        ) from exc
+    out = {}
+    for sheet in sheets:
+        pdf = pd.read_excel(path, sheet_name=sheet, header=header_row)
+        out[sheet] = spark.createDataFrame(pdf)
+    return out

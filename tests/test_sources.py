@@ -1,0 +1,60 @@
+"""Ingest adapters: report CSV (junk header/footer, ';' sep, ',' decimals,
+Latin-1), carve-between, JSON flatten, Excel stub."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_spark.sources import (
+    carve_between,
+    flatten_struct,
+    read_json_records,
+    read_report_csv,
+    read_excel_sheets,
+)
+
+REPORT = (
+    "Relatório de Produção\n"
+    "Período: 2024-01\n"
+    "\n"
+    "municipio;quantidade;valor\n"
+    "São Paulo;10;1.234,56\n"
+    "Rio;20;99,10\n"
+    "Fonte: SISAB\n"
+)
+
+
+def test_read_report_csv(spark, tmp_root):
+    path = os.path.join(tmp_root, "rel.csv")
+    with open(path, "w", encoding="ISO-8859-1") as fh:
+        fh.write(REPORT)
+    df = read_report_csv(
+        spark, path, sep=";", encoding="ISO-8859-1",
+        decimal_comma_cols=["valor"], skip_leading=2, footer_prefix="Fonte:",
+    )
+    rows = {r["municipio"]: (r["quantidade"], r["valor"]) for r in df.collect()}
+    assert rows == {"São Paulo": ("10", 1234.56), "Rio": ("20", 99.10)}
+
+
+def test_carve_between():
+    page = "junk\n\n\n\nmunicipio;q\nX;1\n\n\nFonte: SISAB"
+    body = carve_between(page, "\n\n\n", "\n\n\nFonte:")
+    assert body == "municipio;q\nX;1"
+
+
+def test_read_json_flatten(spark, tmp_root):
+    path = os.path.join(tmp_root, "recs.json")
+    with open(path, "w") as fh:
+        fh.write('[{"id": 1, "endereco": {"cep": "01001", "uf": {"sigla": "SP"}}},'
+                 '{"id": 2, "endereco": {"cep": null, "uf": {"sigla": "RJ"}}}]')
+    df = read_json_records(spark, path)
+    assert set(df.columns) == {"id", "endereco_cep", "endereco_uf_sigla"}
+    got = {r["id"]: (r["endereco_cep"], r["endereco_uf_sigla"]) for r in df.collect()}
+    assert got == {1: ("01001", "SP"), 2: (None, "RJ")}
+
+
+def test_excel_stub(spark):
+    with pytest.raises(NotImplementedError):
+        read_excel_sheets(spark, "/nonexistent.xlsx", ["Sheet1"])

@@ -1,22 +1,30 @@
 """Scaling-efficiency evidence (BASELINE.md sandbox protocol).
 
 Runs the identical CDC replay job on the identical deterministic WAL at two
-local parallelism levels (local[8] / local[32], shuffle partitions scaled
-2x cores), measures events/sec, and writes BENCH/BASELINE.md with
-efficiency = (throughput_32 / throughput_8) / (32 / 8).
+local parallelism levels (N and 4N cores, shuffle partitions scaled 2x
+cores), measures events/sec, and writes BENCH/BASELINE.md with
+efficiency = (throughput_4N / throughput_N) / 4.
 
-Methodology notes baked in:
-- one JIT/codegen warmup merge per session before timing (the first merge
-  compiles every codegen path and would otherwise bill warmup to the
-  smaller level asymmetrically);
-- best-of-R repetitions per level (the sandbox VM has noisy neighbors —
-  load average >4 at idle was observed; min is the standard noise filter);
-- tmpfs scratch for shuffle + table (per-executor disk bandwidth scales
-  with executor count on a real cluster; a single shared disk would
-  understate scaling);
-- fixed n_buckets (table layout must not change with the cluster size).
+Methodology (each point mattered empirically):
+- **Level choice.** The sandbox VM's *hardware* scaling was measured with a
+  pure-CPU multiprocessing benchmark (sha256 loops, no Spark): 2->8 procs
+  scales at 0.96 efficiency, but 8->32 only 0.62 — the hypervisor does not
+  deliver 32 concurrent cores (idle load 4-7 from noisy neighbors). The
+  engine cannot out-scale its host, so the N->4N evidence pair is
+  local[2] -> local[8], where 4x hardware actually exists. The raw-CPU
+  ceiling for both pairs is recorded in the report.
+- **Shared WAL.** The input is generated ONCE (fixed 64 files/epoch) and
+  replayed by both levels — generation is not part of the measured job and
+  input layout must not vary with the level.
+- **Warmup + best-of-R.** One JIT/codegen warmup merge per session; best
+  of R full replays filters noisy-neighbor interference.
+- **tmpfs scratch** for shuffle + table: per-executor disk bandwidth
+  scales with executor count on a real cluster; a single shared disk
+  would understate scaling.
+- **Fixed n_buckets=64**: table layout is a property of the table, not of
+  the cluster size.
 
-Usage: python tools/bench_scaling.py [events] [reps]
+Usage: python tools/bench_scaling.py [events] [reps] [epochs] [lo] [hi]
 """
 
 from __future__ import annotations
@@ -30,20 +38,30 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+GEN = r"""
+import os, sys, tempfile
+sys.path.insert(0, {repo!r})
+from etl_spark.session import get_spark
+from etl_spark.cdc import synth_events, write_event_epochs
+spark = get_spark(app_name="scale-gen", master="local[32]", shuffle_partitions=64,
+                  extra_conf={{"spark.local.dir": {wal_root!r} + "/shgen"}})
+spark.sparkContext.setLogLevel("ERROR")
+ev = synth_events(spark, {events}, n_repos=2000, paths_per_repo=2000,
+                  n_epochs={epochs}, seed=42, hot_pct=30, partitions=64)
+write_event_epochs(ev, {wal_root!r} + "/wal")
+spark.stop()
+print("gen done")
+"""
+
 WORKER = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from etl_spark.session import get_spark
-from etl_spark.cdc import synth_events, write_event_epochs
 from etl_spark.lake import LakeTable
 from pyspark.sql.types import StructType
 
 cpus = {cpus}
-n_events = {events}
-reps = {reps}
-n_epochs = {epochs}
-n_buckets = 64
-
+wal = {wal_root!r} + "/wal"
 scratch = tempfile.mkdtemp(prefix=f"scale{{cpus}}_", dir="/dev/shm")
 spark = get_spark(
     app_name=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
@@ -54,11 +72,6 @@ spark = get_spark(
     }},
 )
 spark.sparkContext.setLogLevel("ERROR")
-
-wal = os.path.join(scratch, "wal")
-ev = synth_events(spark, n_events, n_repos=2000, paths_per_repo=2000,
-                  n_epochs=n_epochs, seed=42, hot_pct=30, partitions=2 * cpus)
-write_event_epochs(ev, wal)
 sample = spark.read.parquet(wal)
 user = StructType([f for f in sample.schema.fields if f.name not in ("op", "epoch")])
 
@@ -68,19 +81,19 @@ wtbl = LakeTable.create(spark, os.path.join(scratch, "warm"), user,
 wtbl.merge(spark.read.parquet(os.path.join(wal, "epoch=0")).limit(20000), "warm")
 
 best = None
-for r in range(reps):
+for r in range({reps}):
     tpath = os.path.join(scratch, f"tbl{{r}}")
     tbl = LakeTable.create(spark, tpath, user, ["repo", "path"],
-                           ["op_ts", "event_id"], n_buckets=n_buckets)
+                           ["op_ts", "event_id"], n_buckets=64)
     t0 = time.monotonic()
-    for e in range(n_epochs):
+    for e in range({epochs}):
         tbl.merge(spark.read.parquet(os.path.join(wal, f"epoch={{e}}")), f"epoch:{{e}}")
     dt = time.monotonic() - t0
     if best is None or dt < best:
         best = dt
     shutil.rmtree(tpath, ignore_errors=True)
 
-total_events = int(n_events * 1.05)
+total_events = int({events} * 1.05)
 print(json.dumps({{"cpus": cpus, "replay_sec": round(best, 2),
                   "events_per_sec": round(total_events / best, 1)}}))
 spark.stop()
@@ -88,60 +101,108 @@ shutil.rmtree(scratch, ignore_errors=True)
 """
 
 
-def run_level(cpus: int, events: int, reps: int, epochs: int) -> dict:
-    code = WORKER.format(repo=REPO, cpus=cpus, events=events, reps=reps, epochs=epochs)
+def _run(code: str) -> str:
     env = dict(os.environ, SPARK_DRIVER_MEMORY="16g")
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
-        timeout=3000,
-    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, timeout=3000)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
-        raise RuntimeError(f"level {cpus} failed")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+        raise RuntimeError("subprocess failed")
+    return out.stdout.strip().splitlines()[-1]
+
+
+def raw_cpu_scaling(lo: int, hi: int) -> float:
+    """Hardware ceiling: pure-CPU multiprocessing scaling lo->hi procs."""
+    import hashlib
+    import multiprocessing as mp
+    import time
+
+    def burn(n: int) -> int:
+        h = b"x" * 64
+        for _ in range(n):
+            h = hashlib.sha256(h).digest()
+        return 1
+
+    def measure(procs: int, iters: int = 2_000_000) -> float:
+        best = 0.0
+        for _ in range(2):
+            t0 = time.monotonic()
+            with mp.Pool(procs) as p:
+                p.map(burn, [iters] * procs)
+            best = max(best, procs * iters / (time.monotonic() - t0))
+        return best
+
+    return (measure(hi) / measure(lo)) / (hi / lo)
 
 
 def main() -> None:
     events = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    lo = run_level(8, events, reps, epochs)
-    print("local[8]:", lo)
-    hi = run_level(32, events, reps, epochs)
-    print("local[32]:", hi)
-    eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (32 / 8)
+    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    lo_cpus = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    hi_cpus = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+
+    hw_eff = raw_cpu_scaling(lo_cpus, hi_cpus)
+    hw_eff_8_32 = raw_cpu_scaling(8, 32)
+    print(f"hardware ceiling {lo_cpus}->{hi_cpus}: {hw_eff:.2f}; 8->32: {hw_eff_8_32:.2f}")
+
+    wal_root = tempfile.mkdtemp(prefix="scale_wal_", dir="/dev/shm")
+    try:
+        _run(GEN.format(repo=REPO, events=events, epochs=epochs, wal_root=wal_root))
+        lo = json.loads(_run(WORKER.format(
+            repo=REPO, cpus=lo_cpus, reps=reps, epochs=epochs,
+            events=events, wal_root=wal_root)))
+        print(f"local[{lo_cpus}]:", lo)
+        hi = json.loads(_run(WORKER.format(
+            repo=REPO, cpus=hi_cpus, reps=reps, epochs=epochs,
+            events=events, wal_root=wal_root)))
+        print(f"local[{hi_cpus}]:", hi)
+    finally:
+        shutil.rmtree(wal_root, ignore_errors=True)
+
+    eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (hi_cpus / lo_cpus)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence
 
 **Protocol** (BASELINE.md "sandbox evidence protocol"): the identical CDC
-replay job (deterministic synthetic WAL, seed=42, {events:,} events + 5%
-duplicate re-deliveries, {epochs} epochs, 2 000 repos x 2 000 paths, 30% hot-repo
-skew, n_buckets=64 fixed) executed at two parallelism levels on the same
-machine. Shuffle partitions scale with cores (2x); table layout does not.
-Per level: 1 JIT warmup merge, then best of {reps} full replays (the
-sandbox VM shows idle load >4 from noisy neighbors; min filters that).
-Scratch (shuffle + table) on tmpfs, standing in for per-executor disks
-whose aggregate bandwidth scales with executor count on a real cluster.
+replay job — deterministic synthetic WAL (seed=42, {events:,} events + 5%
+duplicate re-deliveries, {epochs} epochs, 2,000 repos x 2,000 paths, 30%
+hot-repo skew), generated ONCE with a fixed 64-file layout — executed at
+two parallelism levels (N={lo_cpus} and 4N={hi_cpus} cores; shuffle
+partitions 2x cores). Per level: 1 JIT warmup merge, then best of {reps}
+full replays. Scratch (shuffle + table) on tmpfs, standing in for
+per-executor disks whose aggregate bandwidth scales with executor count on
+a real cluster. Table layout (n_buckets=64) fixed across levels.
+
+**Why N={lo_cpus}:** the sandbox VM cannot physically scale 8->32 — a
+pure-CPU multiprocessing control (sha256 loops, no Spark) measures the
+*hardware* parallel efficiency at {hw_eff_8_32:.2f} for 8->32 procs
+(noisy-neighbor hypervisor; idle load 4-7), versus {hw_eff:.2f} for
+{lo_cpus}->{hi_cpus}. The engine cannot out-scale its host, so the
+criterion is evidenced on the pair where 4x hardware actually exists,
+as BASELINE.md allows ("N and 4N cores").
 
 | level | shuffle partitions | replay wall (s) | events/sec |
 |---|---|---|---|
-| local[8]  | 16 | {lo['replay_sec']} | {lo['events_per_sec']:,} |
-| local[32] | 64 | {hi['replay_sec']} | {hi['events_per_sec']:,} |
+| local[{lo_cpus}] | {2 * lo_cpus} | {lo['replay_sec']} | {lo['events_per_sec']:,} |
+| local[{hi_cpus}] | {2 * hi_cpus} | {hi['replay_sec']} | {hi['events_per_sec']:,} |
 
-**Scaling efficiency** = (throughput_32 / throughput_8) / (32 / 8)
+**Scaling efficiency** = (throughput_{hi_cpus} / throughput_{lo_cpus}) / 4
 = ({hi['events_per_sec']:,} / {lo['events_per_sec']:,}) / 4
-= **{eff:.3f}** (criterion: >= 0.8)
+= **{eff:.3f}** (criterion: >= 0.8; hardware ceiling on this pair:
+{hw_eff:.2f})
 
-Workload under test: `etl_spark.cdc.replay.replay_events` — per-epoch
-LWW dedup (combinable `max_by` hash aggregate), merge-on-read delta write
-bucketed by `pmod(xxhash64(repo, path), 64)`, exactly-once commit manifest
-per epoch, auto-compaction threshold 6. See `bench.py` for the per-round
-headline numbers recorded by the driver.
+Workload under test: `etl_spark.cdc.replay.replay_events` — per-epoch LWW
+dedup (combinable `max_by` hash aggregate, no windows/joins), merge-on-read
+delta write bucketed by `pmod(xxhash64(repo, path), 64)`, exactly-once
+commit manifest per epoch, auto-compaction threshold 6. See `bench.py`
+(driver-run each round) for headline absolute throughput at local[32]
+(~0.5-1.1M events/sec applied at 2M-16M-event scale).
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as fh:
         fh.write(md)
-    print(f"efficiency={eff:.3f} -> {path}")
+    print(f"efficiency={eff:.3f} (hw ceiling {hw_eff:.2f}) -> {path}")
 
 
 if __name__ == "__main__":
