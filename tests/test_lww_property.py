@@ -1,0 +1,68 @@
+"""Property-based LWW tests (hypothesis): the combinable max_by
+formulation must agree with the window formulation and with a pure-Python
+sequential replay for arbitrary event soups — duplicates, ties broken by
+event_id, out-of-order delivery, deletes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_spark.cdc.lww import lww_dedup, lww_latest_window
+
+KEYS = ["k0", "k1", "k2"]
+BASE = dt.datetime(2024, 1, 1)
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),          # event_id (dups allowed)
+        st.sampled_from(KEYS),                            # key
+        st.integers(min_value=0, max_value=5),            # ts offset (ties likely)
+        st.sampled_from(["I", "U", "D"]),                 # op
+        st.text(alphabet="abc", max_size=3),              # content
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def python_lww(rows):
+    """Sequential oracle: per key, the row with max (ts, event_id); on a
+    full (ts, event_id) tie the payload is whichever duplicate delivery —
+    assert only on deterministic fields in that case."""
+    best = {}
+    for eid, key, off, op, content in rows:
+        v = (off, eid)
+        if key not in best or v > best[key][0]:
+            best[key] = (v, (eid, key, off, op, content))
+    return {k: v[1] for k, v in best.items()}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(events)
+def test_maxby_equals_window_equals_python(spark, rows):
+    df = spark.createDataFrame(
+        [(eid, key, BASE + dt.timedelta(seconds=off), op, content)
+         for eid, key, off, op, content in rows],
+        "event_id long, key string, op_ts timestamp, op string, content string",
+    )
+    a = lww_dedup(df, ["key"], ["op_ts", "event_id"])
+    b = lww_latest_window(df, ["key"], ["op_ts", "event_id"])
+    want = python_lww(rows)
+
+    got_a = {r["key"]: r for r in a.collect()}
+    got_b = {r["key"]: r for r in b.collect()}
+    assert set(got_a) == set(got_b) == set(want)
+    for k, (eid, key, off, op, content) in want.items():
+        # version tuple is deterministic even under duplicate delivery
+        assert got_a[k]["event_id"] == eid and got_b[k]["event_id"] == eid
+        assert got_a[k]["op_ts"] == BASE + dt.timedelta(seconds=off)
+        # exact duplicates carry identical payloads, so these match too
+        dup_payloads = {
+            (o, c) for e2, k2, f2, o, c in rows if (e2, k2, f2) == (eid, k, off)
+        }
+        assert (got_a[k]["op"], got_a[k]["content"]) in dup_payloads
+        assert (got_b[k]["op"], got_b[k]["content"]) in dup_payloads

@@ -111,24 +111,26 @@ def _run(code: str) -> str:
     return out.stdout.strip().splitlines()[-1]
 
 
+def _burn(n: int) -> int:
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return 1
+
+
 def raw_cpu_scaling(lo: int, hi: int) -> float:
     """Hardware ceiling: pure-CPU multiprocessing scaling lo->hi procs."""
-    import hashlib
     import multiprocessing as mp
     import time
-
-    def burn(n: int) -> int:
-        h = b"x" * 64
-        for _ in range(n):
-            h = hashlib.sha256(h).digest()
-        return 1
 
     def measure(procs: int, iters: int = 2_000_000) -> float:
         best = 0.0
         for _ in range(2):
             t0 = time.monotonic()
             with mp.Pool(procs) as p:
-                p.map(burn, [iters] * procs)
+                p.map(_burn, [iters] * procs)
             best = max(best, procs * iters / (time.monotonic() - t0))
         return best
 
