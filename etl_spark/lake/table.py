@@ -558,6 +558,40 @@ class LakeTable:
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
 
+    # ------------------------------------------------- retention / vacuum
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Drop snapshot metadata older than the newest ``keep_last``
+        versions (time travel window). The applied-manifest ledger is
+        cumulative in every snapshot, so exactly-once is unaffected.
+        Returns the expired version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.versions()
+        expired = versions[:-keep_last]
+        for v in expired:
+            os.unlink(self._snap_path(v))
+        return expired
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by no remaining snapshot (run after
+        ``expire_snapshots``; compaction and CoW merges leave such
+        orphans). Returns deleted table-relative paths."""
+        referenced: set[str] = set()
+        for v in self.versions():
+            snap = self.snapshot(v)
+            for files in snap.buckets.values():
+                referenced.update(files)
+        data_dir = os.path.join(self.path, _DATA_DIR)
+        removed = []
+        for name in sorted(os.listdir(data_dir)):
+            rel = f"{_DATA_DIR}/{name}"
+            full = os.path.join(data_dir, name)
+            if os.path.isfile(full) and rel not in referenced:
+                os.unlink(full)
+                removed.append(rel)
+        return removed
+
 
 def _bool():
     from pyspark.sql.types import BooleanType

@@ -1,0 +1,69 @@
+"""Time travel, snapshot expiry, vacuum, and skew utilities."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from etl_spark.lake import LakeTable
+from etl_spark.operators.skew import salted_agg, salted_repartition
+
+SCHEMA = "event_id bigint, op_ts timestamp, repo string, path string, content string"
+TS = dt.datetime(2024, 1, 1)
+
+
+def _batch(spark, *rows):
+    return spark.createDataFrame(list(rows), SCHEMA + ", op string")
+
+
+def test_time_travel_expire_vacuum(spark, tmp_root):
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "t"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=2, props={"compact_threshold": "2"},
+    )
+    for i in range(5):
+        t.merge(_batch(spark, (i, TS + dt.timedelta(seconds=i), "r", f"p{i % 2}",
+                               f"v{i}", "I")), f"e{i}")
+    assert t.current_version() == 5
+
+    # time travel: version 2 saw only events 0-1
+    assert t.read(version=2).count() == 2
+    live_now = t.read().count()
+
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == [0, 1, 2, 3]
+    removed = t.vacuum()
+    assert removed  # compaction left orphaned pre-compaction files
+    # current state unaffected; exactly-once ledger intact
+    assert t.read().count() == live_now
+    assert t.applied_manifests() >= {f"e{i}" for i in range(5)}
+    st = t.merge(_batch(spark, (9, TS, "r", "p0", "dup", "I")), "e4")
+    assert not st.applied  # manifest survived expiry
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 7).cast("double").alias("v"),
+        F.col("id"),
+    )
+    got = {r["k"]: (r["s"], r["n"], r["mx"]) for r in salted_agg(
+        df, ["k"], {"s": ("sum", "v"), "n": ("count", "v"), "mx": ("max", "v")},
+        n_salts=8, deterministic_by="id",
+    ).collect()}
+    want = {r["k"]: (r["s"], r["n"], r["mx"]) for r in df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"), F.max("v").alias("mx")
+    ).collect()}
+    assert got == want
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    df = spark.range(8_000).select(F.lit("hot").alias("k"), F.col("id"))
+    out = salted_repartition(df, 8, ["k"], n_salts=8, deterministic_by="id")
+    sizes = [len(p) for p in out.rdd.glom().collect() if p]
+    # one hot key lands in >1 partition (unsalted it would be exactly 1)
+    assert len(sizes) > 1
+    assert out.count() == 8_000
