@@ -149,18 +149,26 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhas
     ts = tokens(text_col)
     hs = F.transform(ts, lambda t: portable_hash60(t))
 
-    def _vote(b: int):
-        # closure factory: pyspark's higher-order functions introspect the
-        # lambda arity, so a `b=b` default arg would be miscounted as a
-        # third lambda variable.
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+    # ONE aggregate pass with a struct-of-counters accumulator: the token
+    # hash `h` is a bound lambda variable, so md5 runs once per token (a
+    # per-bit aggregate formulation re-hashes every token `bits` times).
+    def _merge(acc, h):
+        return F.struct(
+            *[
+                (acc[f"v{b}"] + F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))).alias(f"v{b}")
+                for b in range(bits)
+            ]
+        )
 
-    bit_votes = [F.aggregate(hs, F.lit(0).cast("long"), _vote(b)) for b in range(bits)]
+    zero = F.struct(*[F.lit(0).cast("long").alias(f"v{b}") for b in range(bits)])
+    votes = F.aggregate(hs, zero, _merge)
     fp = None
-    for b, vote in enumerate(bit_votes):
-        term = F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(bits):
+        term = F.when(votes[f"v{b}"] > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         fp = term if fp is None else fp + term
     return df.withColumn(out_col, fp)
 
