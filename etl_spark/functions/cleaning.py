@@ -87,6 +87,61 @@ def money_brl_to_double(col: Column | str) -> Column:
     return F.regexp_replace(cleaned, ",", ".").try_cast("double")
 
 
+_ROMAN_VALUES = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
+
+
+def _int_to_roman(n: int) -> str:
+    out = []
+    for v, sym in [(1000, "M"), (900, "CM"), (500, "D"), (400, "CD"),
+                   (100, "C"), (90, "XC"), (50, "L"), (40, "XL"),
+                   (10, "X"), (9, "IX"), (5, "V"), (4, "IV"), (1, "I")]:
+        while n >= v:
+            out.append(sym)
+            n -= v
+    return "".join(out)
+
+
+def roman_to_int(col: Column | str, max_value: int = 50) -> Column:
+    """Roman-numeral health-region codes → int over a bounded domain
+    (scnes/habilitacoes.py:17,135,246-250 uses the `roman` lib; the domain
+    is small, so a literal when-chain stays JVM-side). Unknown → NULL."""
+    c = F.upper(F.trim(_c(col)))
+    expr = F.lit(None).cast("int")
+    for n in range(max_value, 0, -1):
+        expr = F.when(c == _int_to_roman(n), F.lit(n)).otherwise(expr)
+    return expr
+
+
+MESES_PT = {
+    "janeiro": 1, "fevereiro": 2, "marco": 3, "março": 3, "abril": 4,
+    "maio": 5, "junho": 6, "julho": 7, "agosto": 8, "setembro": 9,
+    "outubro": 10, "novembro": 11, "dezembro": 12,
+}
+
+
+def month_pt_to_num(col: Column | str) -> Column:
+    """PT-BR month name → month number (utilitarios_sisab_relatorio_
+    producao.py:314-321, modelo_sisab_producao.py:31-44)."""
+    c = F.lower(F.trim(_c(col)))
+    expr = F.lit(None).cast("int")
+    for name, num in MESES_PT.items():
+        expr = F.when(c == name, F.lit(num)).otherwise(expr)
+    return expr
+
+
+def valid_code_array(col: Column | str, pattern: str = r"^[A-Z][0-9]{2,3}$") -> Column:
+    """Tokenize a free-text code field on non-alphanumerics, drop dots,
+    upper-case, keep tokens matching ``pattern``, and serialize as the
+    reference's Postgres array literal '{A123,B45}'
+    (comum/condicoes_saude.py:13-26, sim/do.py:486-507)."""
+    c = F.upper(F.regexp_replace(_c(col).cast("string"), r"\.", ""))
+    toks = F.filter(
+        F.split(c, r"[^0-9A-Z]+"),
+        lambda t: (t != F.lit("")) & t.rlike(pattern),
+    )
+    return F.concat(F.lit("{"), F.array_join(F.array_distinct(toks), ","), F.lit("}"))
+
+
 def normalize_text(col: Column | str) -> Column:
     """Lower-case, non-alnum runs → '_', trim leading/trailing '_'
     (utilitarios/textos.py:15-28; full unidecode is out of scope for

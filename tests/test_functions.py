@@ -120,3 +120,14 @@ def test_additive_backfill_and_contract(spark):
                    dst, ignore_dest=("id",))
     with pytest.raises(SchemaContractError):
         check_contract(src, {"PA_CODUNI": "estabelecimento_id"}, dst, ignore_dest=("id",))
+
+
+def test_roman_month_codes(spark):
+    from etl_spark.functions import month_pt_to_num, roman_to_int, valid_code_array
+
+    assert one(spark, roman_to_int("x"), x=" xiv ") == 14
+    assert one(spark, roman_to_int("x"), x="IIII") is None
+    assert one(spark, month_pt_to_num("x"), x="Março") == 3
+    assert one(spark, month_pt_to_num("x"), x="febuary") is None
+    assert one(spark, valid_code_array("x"), x="causa: X65.2 / b24; X652!") == "{X652,B24}"
+    assert one(spark, valid_code_array("x"), x="nada") == "{}"
