@@ -103,7 +103,7 @@ class MergeStats:
     buckets_rewritten: int = 0
     buckets_total: int = 0
     rows_written: int = 0
-    deletes_written: int = 0
+    partitions: dict = field(default_factory=dict)  # bucket -> files/bytes/rows
 
 
 @dataclass
@@ -398,7 +398,7 @@ class LakeTable:
             new_snap = self._child(snap, evolved_schema, snap.buckets, manifest_key)
             self._publish(new_snap)
             return MergeStats(manifest_key, True, new_snap.version, 0, 0, 0,
-                              snap.n_buckets, 0, 0)
+                              snap.n_buckets, 0)
 
         buckets = dict(snap.buckets)  # untouched buckets carried by reference
         compacted_n = 0
@@ -417,7 +417,7 @@ class LakeTable:
             merged = _lww_rows(
                 aligned.unionByName(existing), key_cols, ver_cols, user_cols, types
             ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
-            new_files, rows_written, deletes_written = self._write_buckets(
+            new_files, rows_written, lineage = self._write_buckets(
                 merged, snap.version + 1
             )
             for bkt in affected:
@@ -431,7 +431,7 @@ class LakeTable:
             merged = _lww_rows(
                 aligned, key_cols, ver_cols, user_cols, types
             ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
-            new_files, rows_written, deletes_written = self._write_buckets(
+            new_files, rows_written, lineage = self._write_buckets(
                 merged, snap.version + 1
             )
             for bkt, files in new_files.items():
@@ -459,7 +459,7 @@ class LakeTable:
             buckets_rewritten=len(affected) if mode == "cow" else compacted_n,
             buckets_total=snap.n_buckets,
             rows_written=rows_written,
-            deletes_written=deletes_written,
+            partitions=lineage,
         )
 
     def _compact_files(
@@ -514,22 +514,29 @@ class LakeTable:
             .parquet(staging)
         )
         new_files: dict[int, list[str]] = {}
-        rows_written = deletes_written = 0
+        lineage: dict[int, dict] = {}
+        rows_written = 0
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
             bkt = int(entry.split("=", 1)[1])
             src_dir = os.path.join(staging, entry)
             files = []
+            b_bytes = b_rows = 0
             for i, name in enumerate(sorted(os.listdir(src_dir))):
                 if not name.endswith(".parquet"):
                     continue
                 rel = f"{_DATA_DIR}/v{version:010d}{tag}-b{bkt:05d}-{i:04d}.parquet"
-                shutil.move(os.path.join(src_dir, name), os.path.join(self.path, rel))
+                dst = os.path.join(self.path, rel)
+                shutil.move(os.path.join(src_dir, name), dst)
                 files.append(rel)
+                b_bytes += os.stat(dst).st_size
+                b_rows += _parquet_rows(dst)
             new_files[bkt] = files
+            lineage[bkt] = {"files": len(files), "bytes": b_bytes, "rows": b_rows}
+            rows_written += b_rows
         shutil.rmtree(staging, ignore_errors=True)
-        return new_files, rows_written, deletes_written
+        return new_files, rows_written, lineage
 
     def _child(
         self,
@@ -591,6 +598,17 @@ class LakeTable:
                 os.unlink(full)
                 removed.append(rel)
         return removed
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from the parquet footer (driver-local file, ~1ms). On a
+    real cluster this would come from task-side write metrics instead."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return 0
 
 
 def _bool():
