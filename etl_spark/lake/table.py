@@ -287,6 +287,7 @@ class LakeTable:
         version: int | None = None,
         with_meta: bool = False,
         buckets: list[int] | None = None,
+        include_deleted: bool = False,
     ) -> DataFrame:
         """Read live rows (tombstones filtered) at a snapshot version.
 
@@ -309,7 +310,8 @@ class LakeTable:
                 df.withColumnRenamed(META_DELETED, DEL_FLAG),
                 snap.key_cols, snap.version_cols, user_cols, types,
             )
-        df = df.filter(~F.col(META_DELETED))
+        if not include_deleted:
+            df = df.filter(~F.col(META_DELETED))
         if not with_meta:
             df = df.select(*[f.name for f in snap.schema.fields])
         else:
@@ -468,10 +470,17 @@ class LakeTable:
         bucket_files: dict[int, list[str]],
         user_schema: StructType,
         version: int,
+        expire_tombstones_before=None,
     ) -> dict[int, list[str]]:
         """Fold a bucket's base+delta files into one LWW-resolved file each.
-        Tombstones are retained (no event-time watermark yet), so late
-        events older than an applied delete still lose after compaction."""
+
+        Tombstones are retained by default so late events older than an
+        applied delete still lose after compaction. With
+        ``expire_tombstones_before`` (an event-time watermark on
+        ``version_cols[0]``), tombstones older than the watermark are
+        dropped — valid under the bounded-lateness contract that no event
+        older than the watermark can still arrive (the streaming-watermark
+        analogue; reference: monthly re-capture horizon)."""
         user_cols = [f.name for f in user_schema.fields]
         types = {f.name: f.dataType for f in user_schema.fields}
         files = [f for fl in bucket_files.values() for f in fl]
@@ -479,11 +488,20 @@ class LakeTable:
         storage = storage.select(*user_cols, F.col(META_DELETED).alias(DEL_FLAG))
         compacted = _lww_rows(
             storage, snap.key_cols, snap.version_cols, user_cols, types
-        ).withColumn(BUCKET_COL, _bucket_of(snap.key_cols, snap.n_buckets))
+        )
+        if expire_tombstones_before is not None:
+            ts_col = snap.version_cols[0]
+            compacted = compacted.filter(
+                ~(F.col(META_DELETED) & (F.col(ts_col) < F.lit(expire_tombstones_before)))
+            )
+        compacted = compacted.withColumn(
+            BUCKET_COL, _bucket_of(snap.key_cols, snap.n_buckets)
+        )
         new_files, _, _ = self._write_buckets(compacted, version, tag="c")
         return new_files
 
-    def compact(self, buckets: list[int] | None = None) -> int:
+    def compact(self, buckets: list[int] | None = None,
+                expire_tombstones_before=None) -> int:
         """Explicitly compact buckets (all multi-file buckets by default).
         Returns the number of buckets compacted. Runs as its own snapshot
         commit with a deterministic manifest key."""
@@ -494,7 +512,8 @@ class LakeTable:
         }
         if not target:
             return 0
-        cfiles = self._compact_files(snap, target, snap.schema, snap.version + 1)
+        cfiles = self._compact_files(snap, target, snap.schema, snap.version + 1,
+                                     expire_tombstones_before)
         merged = dict(snap.buckets)
         for b in target:
             merged[b] = cfiles.get(b, [])

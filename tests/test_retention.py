@@ -67,3 +67,26 @@ def test_salted_repartition_spreads_hot_key(spark):
     # one hot key lands in >1 partition (unsalted it would be exactly 1)
     assert len(sizes) > 1
     assert out.count() == 8_000
+
+def test_tombstone_watermark_expiry(spark, tmp_root):
+    """Compaction with an event-time watermark drops old tombstones; the
+    bounded-lateness contract means events older than the watermark are
+    out-of-contract (a late insert then resurrects — documented behavior)."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "wm"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=2, props={"compact_threshold": "999"},
+    )
+    t.merge(_batch(spark, (1, TS, "r", "p", "v1", "I")), "e0")
+    t.merge(_batch(spark, (2, TS + dt.timedelta(seconds=10), "r", "p", None, "D")), "e1")
+    assert t.read().count() == 0
+    with_tomb = t.read(with_meta=True, include_deleted=True).count()
+    assert with_tomb == 1  # tombstone retained pre-watermark
+
+    # compact with watermark past the delete: tombstone expires entirely
+    t.compact(expire_tombstones_before=TS + dt.timedelta(seconds=60))
+    assert t.read(with_meta=True, include_deleted=True).count() == 0
+
+    # in-contract late event (newer than watermark) applies normally
+    t.merge(_batch(spark, (3, TS + dt.timedelta(seconds=90), "r", "p", "v3", "I")), "e2")
+    assert [r["content"] for r in t.read().collect()] == ["v3"]
