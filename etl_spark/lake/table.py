@@ -1,5 +1,16 @@
 """LakeTable — snapshot-isolated, bucket-partitioned upsert table on parquet.
 
+**Why not Iceberg itself:** the target design is `MERGE INTO` an Iceberg
+table, but this environment ships no Iceberg/Delta/Hudi runtime jar and no
+network to fetch one (`ls $SPARK_HOME/jars | grep -i iceberg` → empty).
+LakeTable therefore implements the same capability contract Iceberg would
+provide — atomic snapshot commits with optimistic concurrency, commit
+manifests, additive schema evolution, time travel, merge-on-read deltas +
+compaction, retention/vacuum — as a self-contained parquet layout. The
+engine-side logic (LWW dedup, manifest keys, bucketed layout, watermark)
+is exactly what a real-Iceberg deployment keeps; swapping the physical
+sink for `MERGE INTO iceberg.tbl` is mechanical.
+
 Design (Spark-first, built for a 1000-executor cluster even though tests run
 on local[32]):
 

@@ -235,6 +235,38 @@ FROM c
 """
 
 
+def q_code_array_clean(spark, sf_dir):
+    """CID-10-style code tokenize/validate/serialize (sim/do.py:486-507):
+    free-text cause field → '{A123,B45}' array literal."""
+    from etl_spark.functions import valid_code_array
+
+    o = _t(spark, sf_dir, "orders")
+    raw = F.concat(
+        F.lit("causa: X"), (F.col("o_orderkey") % 900 + 100).cast("string"),
+        F.lit(".1 / "), F.col("o_orderpriority"),
+        F.lit(" B"), (F.col("o_custkey") % 90 + 10).cast("string"), F.lit(";"),
+    )
+    return o.select(
+        "o_orderkey", raw.alias("raw"), valid_code_array(raw).alias("codes")
+    )
+
+
+SQL_CODE_ARRAY = """
+WITH r AS (
+  SELECT o_orderkey,
+         concat('causa: X', CAST(o_orderkey % 900 + 100 AS VARCHAR), '.1 / ',
+                o_orderpriority, ' B', CAST(o_custkey % 90 + 10 AS VARCHAR),
+                ';') AS raw
+  FROM orders
+)
+SELECT o_orderkey, raw,
+       concat('{', array_to_string(list_distinct(list_filter(
+         string_split_regex(upper(replace(raw, '.', '')), '[^0-9A-Z]+'),
+         x -> regexp_matches(x, '^[A-Z][0-9]{2,3}$'))), ','), '}') AS codes
+FROM r
+"""
+
+
 def q_normalize_names(spark, sf_dir):
     """Text normalization (utilitarios/textos.py equivalent)."""
     p = _t(spark, sf_dir, "part")
@@ -862,6 +894,7 @@ QUERIES = {
     "cleaning_sentinels": q_cleaning_sentinels,
     "date_roundtrip": q_date_roundtrip,
     "money_parse": q_money_parse,
+    "code_array_clean": q_code_array_clean,
     "normalize_names": q_normalize_names,
     "dim_broadcast_enrich": q_dim_broadcast_enrich,
     "range_join_period": q_range_join_period,
@@ -895,6 +928,7 @@ ORACLES = {
     "cleaning_sentinels": SQL_CLEANING,
     "date_roundtrip": SQL_DATES,
     "money_parse": SQL_MONEY,
+    "code_array_clean": SQL_CODE_ARRAY,
     "normalize_names": SQL_NORMALIZE,
     "dim_broadcast_enrich": SQL_DIM_ENRICH,
     "range_join_period": SQL_RANGE_JOIN,
