@@ -1,3 +1,4 @@
 from etl_spark.metrics.lineage import MetricsSink
+from etl_spark.metrics.listener import LedgerQueryListener
 
-__all__ = ["MetricsSink"]
+__all__ = ["MetricsSink", "LedgerQueryListener"]

@@ -32,6 +32,8 @@ class MetricsSink:
             row["wall_sec"] = round(wall_sec, 4)
         if error is not None:
             row["error"] = error
+        # listener-bus events may arrive after a caller cleaned the dir
+        os.makedirs(self.ledger_dir, exist_ok=True)
         with open(self.path, "a") as fh:
             fh.write(json.dumps(row, sort_keys=True) + "\n")
 
