@@ -27,7 +27,6 @@ def lww_dedup(
     df: DataFrame,
     key_cols: list[str],
     version_cols: list[str],
-    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """One row per key: the one with the greatest ``version_cols`` tuple.
 
