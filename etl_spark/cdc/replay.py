@@ -56,6 +56,7 @@ def replay_events(
     metrics_sink=None,
     key_cols: list[str] | None = None,
     version_cols: list[str] | None = None,
+    table_props: dict[str, str] | None = None,
 ) -> tuple[LakeTable, list[MergeStats]]:
     """End-to-end batch replay of a landed WAL directory (``epoch=N``
     subdirs) into a LakeTable at ``table_path`` (created if absent)."""
@@ -73,6 +74,7 @@ def replay_events(
             key_cols=key_cols or ["repo", "path"],
             version_cols=version_cols or ["op_ts", "event_id"],
             n_buckets=n_buckets,
+            props=table_props,
         )
     epochs = sorted(
         int(d.split("=")[1]) for d in os.listdir(events_dir) if d.startswith("epoch=")

@@ -128,6 +128,9 @@ class Snapshot:
     buckets: dict[int, list[str]]   # bucket -> data file paths (table-relative)
     applied: list[str] = field(default_factory=list)
     props: dict[str, str] = field(default_factory=dict)
+    nonunique: list[str] = field(default_factory=list)  # files that may hold
+    #   duplicate keys (written by batch_dedup=false merges); read()'s
+    #   single-file fast path must not skip the LWW aggregate for them
 
     def to_json(self) -> str:
         return json.dumps(
@@ -142,6 +145,7 @@ class Snapshot:
                 "buckets": {str(k): v for k, v in self.buckets.items()},
                 "applied": self.applied,
                 "props": self.props,
+                "nonunique": self.nonunique,
             },
             indent=1,
             sort_keys=True,
@@ -160,6 +164,7 @@ class Snapshot:
             buckets={int(k): v for k, v in d["buckets"].items()},
             applied=d["applied"],
             props=d.get("props", {}),
+            nonunique=d.get("nonunique", []),
         )
 
 
@@ -314,7 +319,8 @@ class LakeTable:
         }
         files = [f for fl in sel.values() for f in fl]
         df = self._read_files(snap, files)
-        if any(len(fl) > 1 for fl in sel.values()):
+        nonuniq = set(snap.nonunique)
+        if any(len(fl) > 1 for fl in sel.values()) or any(f in nonuniq for f in files):
             user_cols = [f.name for f in snap.schema.fields]
             types = {f.name: f.dataType for f in snap.schema.fields}
             df = _lww_rows(
@@ -415,6 +421,7 @@ class LakeTable:
 
         buckets = dict(snap.buckets)  # untouched buckets carried by reference
         compacted_n = 0
+        add_nonunique: list[str] = []
 
         if mode == "cow":
             # Copy-on-write: rewrite every affected bucket. Existing rows
@@ -436,17 +443,39 @@ class LakeTable:
             for bkt in affected:
                 buckets[bkt] = new_files.get(bkt, [])
         else:
-            # Merge-on-read: write only the batch's LWW winners as delta
-            # files — O(batch) per merge, not O(table). Readers resolve
-            # per-key winners across base+delta files; buckets whose file
-            # count crosses the threshold are compacted below (inside the
-            # same atomic snapshot).
-            merged = _lww_rows(
-                aligned, key_cols, ver_cols, user_cols, types
-            ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
+            # Merge-on-read: write only the batch as delta files — O(batch)
+            # per merge, not O(table). Readers resolve per-key winners
+            # across base+delta files; buckets whose file count crosses the
+            # threshold are compacted below (inside the same atomic
+            # snapshot).
+            #
+            # props["batch_dedup"]="false" (write-optimized) skips the
+            # batch-local LWW aggregate: read-time LWW is authoritative
+            # anyway, so dropping the agg removes one shuffle per merge.
+            # Worth it when batches are mostly key-unique (typical CDC
+            # tail); keep the default dedup when batches churn few hot
+            # keys (the agg then shrinks the delta files dramatically).
+            if snap.props.get("batch_dedup", "true") == "false":
+                is_del = F.col(DEL_FLAG)
+                merged = aligned.select(
+                    *[
+                        (F.when(is_del, F.lit(None).cast(types[c]))
+                         .otherwise(F.col(c)).alias(c)
+                         if c not in key_cols + ver_cols else F.col(c))
+                        for c in user_cols
+                    ],
+                    is_del.alias(META_DELETED),
+                    F.col(BUCKET_COL),
+                )
+            else:
+                merged = _lww_rows(
+                    aligned, key_cols, ver_cols, user_cols, types
+                ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
             new_files, rows_written, lineage = self._write_buckets(
                 merged, snap.version + 1
             )
+            if snap.props.get("batch_dedup", "true") == "false":
+                add_nonunique = [f for fl in new_files.values() for f in fl]
             for bkt, files in new_files.items():
                 buckets[bkt] = buckets.get(bkt, []) + files
 
@@ -461,7 +490,8 @@ class LakeTable:
                     buckets[b] = cfiles.get(b, [])
                 compacted_n = len(to_compact)
 
-        new_snap = self._child(snap, evolved_schema, buckets, manifest_key)
+        new_snap = self._child(snap, evolved_schema, buckets, manifest_key,
+                               add_nonunique=add_nonunique)
         self._publish(new_snap)
         return MergeStats(
             manifest_key=manifest_key,
@@ -517,9 +547,11 @@ class LakeTable:
         Returns the number of buckets compacted. Runs as its own snapshot
         commit with a deterministic manifest key."""
         snap = self.current_snapshot()
+        nonuniq = set(snap.nonunique)
         target = {
             b: fl for b, fl in snap.buckets.items()
-            if len(fl) > 1 and (buckets is None or b in buckets)
+            if (len(fl) > 1 or any(f in nonuniq for f in fl))
+            and (buckets is None or b in buckets)
         }
         if not target:
             return 0
@@ -574,7 +606,12 @@ class LakeTable:
         schema: StructType,
         buckets: dict[int, list[str]],
         manifest_key: str,
+        add_nonunique: list[str] = (),
     ) -> Snapshot:
+        referenced = {f for fl in buckets.values() for f in fl}
+        nonunique = sorted(
+            (set(snap.nonunique) | set(add_nonunique)) & referenced
+        )
         return Snapshot(
             version=snap.version + 1,
             parent=snap.version,
@@ -585,6 +622,7 @@ class LakeTable:
             buckets=buckets,
             applied=snap.applied + [manifest_key],
             props=snap.props,
+            nonunique=nonunique,
         )
 
     # --------------------------------------------------------------- utils

@@ -107,3 +107,36 @@ def test_replay_events_uses_mor_and_matches(spark, tmp_root):
     assert all(s.applied for s in stats)
     want = oracle_final_state(events_dir).reset_index(drop=True)
     pd.testing.assert_frame_equal(_state(table), want, check_dtype=False)
+
+
+def test_write_optimized_mode_matches_oracle(spark, tmp_root):
+    """batch_dedup=false skips the per-merge aggregate; read-time LWW is
+    authoritative. Includes the single-delta-file case where a file holds
+    duplicate keys (the nonunique guard must force the read aggregate)."""
+    events_dir = os.path.join(tmp_root, "wal")
+    # few keys => heavy intra-batch key duplication
+    ev = synth_events(spark, 2000, n_repos=5, paths_per_repo=5, n_epochs=1)
+    write_event_epochs(ev, events_dir)
+    from pyspark.sql.types import StructType
+
+    sample = spark.read.parquet(events_dir)
+    user = StructType([f for f in sample.schema.fields if f.name not in ("op", "epoch")])
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "fast"), user,
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=4,
+        props={"merge_mode": "mor", "batch_dedup": "false",
+               "compact_threshold": "999"},
+    )
+    t.merge(spark.read.parquet(os.path.join(events_dir, "epoch=0")), "epoch:0")
+    snap = t.current_snapshot()
+    assert snap.nonunique  # delta files flagged as possibly-duplicate-keyed
+    assert all(len(fl) == 1 for fl in snap.buckets.values())  # 1 file/bucket!
+
+    want = oracle_final_state(events_dir).reset_index(drop=True)
+    pd.testing.assert_frame_equal(_state(t), want, check_dtype=False)
+
+    # compaction restores uniqueness and clears the flags
+    assert t.compact() > 0
+    assert t.current_snapshot().nonunique == []
+    pd.testing.assert_frame_equal(_state(t), want, check_dtype=False)
