@@ -648,6 +648,42 @@ class LakeTable:
             os.unlink(self._snap_path(v))
         return expired
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change feed between two snapshots (CDC *out*): the rows landed by
+        merges in ``(from_version, to_version]``, with an ``_op`` column
+        ('D' for tombstones, 'U' otherwise).
+
+        Works off file-level provenance — delta files added between the two
+        snapshots ARE the applied changes under merge-on-read. Files written
+        by compaction (``...c-b*``) are rewrites, not changes, and are
+        excluded. (Under copy-on-write every merge rewrites whole buckets,
+        so file provenance over-approximates; use MoR for change feeds.)"""
+        if to_version is None:
+            to_version = self.current_version()
+        snap_to = self.snapshot(to_version)
+        # Walk the snapshot chain so changes survive later compaction
+        # (which de-references the original delta files in newer
+        # snapshots). Requires the intermediate snapshots to still exist
+        # (i.e. not expired past the requested range) — expire_snapshots
+        # bounds how far back a change feed can start.
+        added: list[str] = []
+        seen: set[str] = set()
+        prev = {
+            f for fl in self.snapshot(from_version).buckets.values() for f in fl
+        }
+        for v in [x for x in self.versions() if from_version < x <= to_version]:
+            cur = {f for fl in self.snapshot(v).buckets.values() for f in fl}
+            for f in sorted(cur - prev):
+                if "c-b" not in os.path.basename(f) and f not in seen:
+                    seen.add(f)
+                    added.append(f)
+            prev = cur
+        df = self._read_files(snap_to, added, user_schema=snap_to.schema)
+        return df.select(
+            *[f.name for f in snap_to.schema.fields],
+            F.when(F.col(META_DELETED), F.lit("D")).otherwise(F.lit("U")).alias("_op"),
+        )
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by no remaining snapshot (run after
         ``expire_snapshots``; compaction and CoW merges leave such

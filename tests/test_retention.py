@@ -90,3 +90,27 @@ def test_tombstone_watermark_expiry(spark, tmp_root):
     # in-contract late event (newer than watermark) applies normally
     t.merge(_batch(spark, (3, TS + dt.timedelta(seconds=90), "r", "p", "v3", "I")), "e2")
     assert [r["content"] for r in t.read().collect()] == ["v3"]
+
+
+def test_change_feed(spark, tmp_root):
+    """CDC-out: changes(v1, v2) returns exactly the rows landed in between,
+    tombstones marked _op='D'; compaction rewrites are excluded."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "cf"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=2, props={"compact_threshold": "999"},
+    )
+    t.merge(_batch(spark, (1, TS, "r", "a", "v1", "I")), "e0")
+    v1 = t.current_version()
+    t.merge(_batch(spark, (2, TS + dt.timedelta(seconds=1), "r", "b", "v2", "I"),
+                   (3, TS + dt.timedelta(seconds=2), "r", "a", None, "D")), "e1")
+    v2 = t.current_version()
+    ch = {(r["path"], r["_op"]) for r in t.changes(v1, v2).collect()}
+    assert ch == {("b", "U"), ("a", "D")}
+
+    # compaction adds no spurious changes
+    t.compact()
+    v3 = t.current_version()
+    assert t.changes(v2, v3).count() == 0
+    # full-range feed covers both merges
+    assert t.changes(0, v3).count() == 3
