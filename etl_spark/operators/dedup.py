@@ -140,6 +140,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20
+) -> DataFrame:
+    """Near-dup clusters: connected components over candidate pairs.
+
+    Iterative min-label propagation (the standard large-graph approach —
+    each round every node adopts the smallest label among itself and its
+    neighbours; converges in O(diameter) rounds). Each round is one
+    broadcast-or-shuffle join + a combinable min aggregate; the driver only
+    checks the converged-bit, so the data plane stays distributed.
+
+    Returns (node, component) where component = min node id reachable.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
+                .alias("__changed"),
+            )
+        )
+        # one small action per round: did any label improve?
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        # truncate lineage each round or the plan grows exponentially
+        labels = updated.drop("__changed").localCheckpoint(eager=True)
+        if not changed:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhash") -> DataFrame:
     """Append a ``bits``-bit SimHash of the whitespace tokens.
 

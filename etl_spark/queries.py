@@ -663,6 +663,42 @@ WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the Jaccard candidate
+    pairs (iterative min-label propagation — the one genuinely iterative
+    algorithm in the engine; verified against a recursive-CTE closure)."""
+    from etl_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("a"), F.col("lang"))
+    b = d.select(F.col("doc_id").alias("b"), F.col("lang"))
+    pairs = a.join(b, "lang").filter(F.col("a") < F.col("b")).select("a", "b")
+    edges = ngram_jaccard_pairs(d, pairs, "doc_id", "text", shingle_k=3,
+                                threshold=0.15).select("a", "b")
+    return connected_components(edges)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sets AS (
+  SELECT doc_id, lang, list_distinct(list(s)) AS sh
+  FROM ({_SQL_SHINGLE3}) g JOIN documents USING (doc_id)
+  GROUP BY doc_id, lang
+), edges AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM sets x JOIN sets y ON x.lang = y.lang AND x.doc_id < y.doc_id
+  WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.15
+), und AS (
+  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+), reach(node, r) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON reach.r = und.a
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
 # ------------------------------------------------------- text analysis
 
 def q_text_quality(spark, sf_dir):
@@ -912,6 +948,7 @@ QUERIES = {
     "minhash_lsh_buckets": q_minhash_lsh_buckets,
     "simhash_groups": q_simhash_groups,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
@@ -946,6 +983,7 @@ ORACLES = {
     "minhash_lsh_buckets": SQL_MINHASH_LSH,
     "simhash_groups": SQL_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "token_stats": SQL_TOKEN_STATS,

@@ -153,3 +153,15 @@ def test_lsh_ann_matches_brute_force_mostly(spark):
     # sanity: every result is a valid corpus id, ranked 1..k, not self
     rows = ann.collect()
     assert rows and all(1 <= r["rank"] <= 3 and r["q_id"] != r["c_id"] for r in rows)
+
+
+def test_connected_components(spark):
+    from etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], ["a", "b"]
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    # {1,2,3,8,9} all collapse to 1; {5,6} to 5
+    assert got == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5}
