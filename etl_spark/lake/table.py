@@ -578,6 +578,11 @@ class LakeTable:
         new_files: dict[int, list[str]] = {}
         lineage: dict[int, dict] = {}
         rows_written = 0
+        # Unique per write attempt: a crashed or racing writer's files must
+        # never collide with (and silently overwrite) a committed writer's
+        # files of the same target version — orphans stay orphans and are
+        # reclaimed by vacuum().
+        tok = uuid.uuid4().hex[:8]
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
@@ -588,7 +593,7 @@ class LakeTable:
             for i, name in enumerate(sorted(os.listdir(src_dir))):
                 if not name.endswith(".parquet"):
                     continue
-                rel = f"{_DATA_DIR}/v{version:010d}{tag}-b{bkt:05d}-{i:04d}.parquet"
+                rel = f"{_DATA_DIR}/v{version:010d}{tag}-b{bkt:05d}-{i:04d}-{tok}.parquet"
                 dst = os.path.join(self.path, rel)
                 shutil.move(os.path.join(src_dir, name), dst)
                 files.append(rel)

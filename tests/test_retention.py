@@ -114,3 +114,33 @@ def test_change_feed(spark, tmp_root):
     assert t.changes(v2, v3).count() == 0
     # full-range feed covers both merges
     assert t.changes(0, v3).count() == 3
+
+
+def test_crash_before_publish_leaves_consistent_table(spark, tmp_root):
+    """A writer that dies after writing data files but before publishing
+    its snapshot leaves orphans, never corruption: the manifest is absent,
+    re-merge applies cleanly, vacuum removes the orphaned files."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "cr"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"], n_buckets=2,
+    )
+    batch = _batch(spark, (1, TS, "r", "p", "v1", "I"))
+
+    # simulate the crash: write the bucket files, skip the publish
+    snap = t.current_snapshot()
+    from etl_spark.lake.table import BUCKET_COL, DEL_FLAG, META_DELETED, _bucket_of
+    from pyspark.sql import functions as F
+
+    merged = batch.select(
+        "event_id", "op_ts", "repo", "path", "content",
+        F.lit(False).alias(META_DELETED),
+    ).withColumn(BUCKET_COL, _bucket_of(["repo", "path"], 2))
+    t._write_buckets(merged, snap.version + 1)
+
+    assert "e0" not in t.applied_manifests()      # nothing committed
+    st = t.merge(batch, "e0")                      # clean re-apply
+    assert st.applied and t.read().count() == 1
+
+    orphans = t.vacuum()                           # crash leftovers removed
+    assert orphans
+    assert t.read().count() == 1
