@@ -340,6 +340,25 @@ class LakeTable:
         return F.pmod(F.xxhash64(*[F.col(c) for c in snap.key_cols]),
                       F.lit(snap.n_buckets)).cast("int")
 
+    def lookup(self, keys: list[tuple], version: int | None = None) -> DataFrame:
+        """Point lookups with bucket pruning: hash the requested keys
+        driver-side, read ONLY their buckets (≈ |distinct buckets| /
+        n_buckets of the table), then filter exactly. The reference's
+        memoized per-value point SELECTs (geografias.py lru_cache) at lake
+        scale: a k-key lookup touches ≤ k buckets regardless of table size.
+        """
+        snap = self.snapshot(version)
+        by_name = {f.name: f for f in snap.schema.fields}
+        key_rows = self.spark.createDataFrame(
+            keys, StructType([by_name[c] for c in snap.key_cols])
+        )
+        want_buckets = sorted({
+            r["__b"] for r in key_rows.select(
+                self.bucket_expr(snap).alias("__b")).collect()
+        })
+        df = self.read(version=version, buckets=want_buckets)
+        return df.join(F.broadcast(key_rows), snap.key_cols, "left_semi")
+
     # ---------------------------------------------------------------- MERGE
 
     def merge(

@@ -921,6 +921,72 @@ SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (
 SQL_ANN_LSH = _ann_lsh_sql(4, 7, 5)
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Embedding maintenance: L2 norm + max-abs int8 quantization (the
+    storage-shrink pass an ANN index build runs); emitted as scalar
+    checksums so the comparison is engine-portable."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(v, lambda x: F.round(x / scale * 127, 0).cast("int"))
+    return e.select(
+        "vec_id",
+        F.round(norm, 4).alias("l2_norm"),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+
+
+SQL_EMBED_QUANT = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+         list_max(list_transform(e, x -> abs(x))) AS scl
+  FROM v
+)
+SELECT vec_id, round(nrm, 4) AS l2_norm, round(scl, 6) AS scale,
+       CAST(list_sum(list_transform(e, x -> CAST(round(x / scl * 127) AS INTEGER))) AS BIGINT) AS q_sum,
+       CAST(list_min(list_transform(e, x -> CAST(round(x / scl * 127) AS INTEGER))) AS INTEGER) AS q_min,
+       CAST(list_max(list_transform(e, x -> CAST(round(x / scl * 127) AS INTEGER))) AS INTEGER) AS q_max
+FROM s
+"""
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation: quality-filter documents, then
+    broadcast-join their embeddings — the composed filter→enrich pipeline
+    a data-curation job runs per shard."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    n_tok = token_count("text")
+    stop_r = stopword_ratio("text")
+    kept = d.select("doc_id", n_tok.alias("n_tokens"), stop_r.alias("sr")).filter(
+        (F.col("n_tokens") >= 20) & (F.col("sr") < 0.4)
+    )
+    vecs = e.select(F.col("vec_id").alias("doc_id"), "label")
+    out = kept.join(F.broadcast(vecs), "doc_id", "inner")
+    return out.select("doc_id", "n_tokens", F.round("sr", 4).alias("stopword_r"), "label")
+
+
+SQL_CURATION = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+q AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> lower(x) IN ({_SQL_STOPS})))
+                   AS DOUBLE) / len(toks) END AS sr
+  FROM t
+)
+SELECT q.doc_id, n_tokens, round(sr, 4) AS stopword_r, e.label
+FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+WHERE n_tokens >= 20 AND sr < 0.4
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -956,6 +1022,8 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
+    "embedding_quantize": q_embedding_quantize,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES = {
@@ -991,6 +1059,8 @@ ORACLES = {
     "ann_bruteforce": SQL_ANN_BRUTE,
     "embedding_neardup": SQL_EMBED_NEARDUP,
     "ann_lsh": SQL_ANN_LSH,
+    "embedding_quantize": SQL_EMBED_QUANT,
+    "curation_pipeline": SQL_CURATION,
 }
 
 

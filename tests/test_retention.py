@@ -144,3 +144,17 @@ def test_crash_before_publish_leaves_consistent_table(spark, tmp_root):
     orphans = t.vacuum()                           # crash leftovers removed
     assert orphans
     assert t.read().count() == 1
+
+
+def test_point_lookup_prunes_buckets(spark, tmp_root):
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "pl"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=16,
+    )
+    rows = [(i, TS + dt.timedelta(seconds=i), f"r{i % 7}", f"p{i}", f"v{i}", "I")
+            for i in range(200)]
+    t.merge(_batch(spark, *rows), "e0")
+    got = {(r["repo"], r["path"]): r["content"]
+           for r in t.lookup([("r1", "p1"), ("r3", "p3"), ("r0", "nope")]).collect()}
+    assert got == {("r1", "p1"): "v1", ("r3", "p3"): "v3"}
