@@ -921,6 +921,29 @@ SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (
 SQL_ANN_LSH = _ann_lsh_sql(4, 7, 5)
 
 
+def q_tumbling_window_agg(spark, sf_dir):
+    """Tumbling event-time windows (the Structured Streaming windowed-agg
+    shape, run batch here): per hour x event_type counts and sums."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+SQL_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Embedding maintenance: L2 norm + max-abs int8 quantization (the
     storage-shrink pass an ANN index build runs); emitted as scalar
@@ -1022,6 +1045,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
+    "tumbling_window_agg": q_tumbling_window_agg,
     "embedding_quantize": q_embedding_quantize,
     "curation_pipeline": q_curation_pipeline,
 }
@@ -1059,6 +1083,7 @@ ORACLES = {
     "ann_bruteforce": SQL_ANN_BRUTE,
     "embedding_neardup": SQL_EMBED_NEARDUP,
     "ann_lsh": SQL_ANN_LSH,
+    "tumbling_window_agg": SQL_TUMBLING,
     "embedding_quantize": SQL_EMBED_QUANT,
     "curation_pipeline": SQL_CURATION,
 }
