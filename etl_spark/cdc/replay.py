@@ -23,8 +23,8 @@ __all__ = ["replay_events", "replay_batches", "pending_epochs"]
 def pending_epochs(table: LakeTable, epochs: list[int]) -> list[int]:
     """Epochs not yet in the commit manifest (the reference's pending-work
     scan over ``capturas_agendamentos``, scripts/geral.py:61-65)."""
-    applied = table.applied_manifests()
-    return [e for e in epochs if f"epoch:{e}" not in applied]
+    snap = table.current_snapshot()
+    return [e for e in epochs if not snap.has_applied(f"epoch:{e}")]
 
 
 def replay_batches(

@@ -131,11 +131,31 @@ class Snapshot:
     nonunique: list[str] = field(default_factory=list)  # files that may hold
     #   duplicate keys (written by batch_dedup=false merges); read()'s
     #   single-file fast path must not skip the LWW aggregate for them
+    added: list[str] | None = None  # data files ADDED by this commit (change
+    #   provenance for changes(); [] for compaction/maintenance commits;
+    #   None only for pre-provenance snapshots => fall back to file diffing)
+    applied_watermarks: dict[str, int] = field(default_factory=dict)
+    #   prefix -> highest seq evicted from the bounded `applied` window; a
+    #   key "prefix:seq" with seq <= watermark counts as applied (valid
+    #   because sequence-keyed manifests commit in non-decreasing order:
+    #   replay sorts epochs, streaming batch ids are monotonic)
+    applied_count: int = 0          # total manifest keys ever applied
+
+    def has_applied(self, manifest_key: str) -> bool:
+        """Exactly-once membership: the bounded recent window, then the
+        per-prefix high-watermark for sequence-shaped keys ('name:123')."""
+        if manifest_key in self.applied:
+            return True
+        prefix, _, seq = manifest_key.rpartition(":")
+        if prefix and seq.isdigit():
+            wm = self.applied_watermarks.get(prefix)
+            return wm is not None and int(seq) <= wm
+        return False
 
     def to_json(self) -> str:
         return json.dumps(
             {
-                "format_version": 1,
+                "format_version": 2,
                 "version": self.version,
                 "parent": self.parent,
                 "schema": self.schema.jsonValue(),
@@ -146,6 +166,9 @@ class Snapshot:
                 "applied": self.applied,
                 "props": self.props,
                 "nonunique": self.nonunique,
+                "added": self.added,
+                "applied_watermarks": self.applied_watermarks,
+                "applied_count": self.applied_count,
             },
             indent=1,
             sort_keys=True,
@@ -165,6 +188,9 @@ class Snapshot:
             applied=d["applied"],
             props=d.get("props", {}),
             nonunique=d.get("nonunique", []),
+            added=d.get("added"),
+            applied_watermarks=d.get("applied_watermarks", {}),
+            applied_count=d.get("applied_count", len(d["applied"])),
         )
 
 
@@ -307,26 +333,40 @@ class LakeTable:
     ) -> DataFrame:
         """Read live rows (tombstones filtered) at a snapshot version.
 
-        Merge-on-read: when any selected bucket holds more than one file
-        (un-compacted deltas), the per-key LWW winner is resolved at read
-        time with the same combinable ``max_by`` aggregate MERGE uses. A
-        bucket with a single file was itself produced by an LWW aggregate
-        (merge or compaction), so its keys are unique and the aggregate is
-        skipped — the common case after compaction."""
+        Merge-on-read: a bucket holding more than one file (un-compacted
+        deltas) — or any file flagged ``nonunique`` — resolves its per-key
+        LWW winner at read time with the same combinable ``max_by``
+        aggregate MERGE uses. The aggregate is applied ONLY to those
+        buckets; compacted single-file buckets (whose keys are unique by
+        construction — they were produced by an LWW aggregate) are unioned
+        around it untouched, so one straggler delta file never drags the
+        whole table through the SortAggregate. Buckets are disjoint key
+        spaces, so the union is exact."""
         snap = self.snapshot(version)
         sel = snap.buckets if buckets is None else {
             b: snap.buckets.get(b, []) for b in buckets
         }
-        files = [f for fl in sel.values() for f in fl]
-        df = self._read_files(snap, files)
         nonuniq = set(snap.nonunique)
-        if any(len(fl) > 1 for fl in sel.values()) or any(f in nonuniq for f in files):
+        agg_files = [
+            f for fl in sel.values()
+            if len(fl) > 1 or any(f in nonuniq for f in fl)
+            for f in fl
+        ]
+        clean_files = [
+            f for fl in sel.values()
+            if not (len(fl) > 1 or any(f in nonuniq for f in fl))
+            for f in fl
+        ]
+        df = self._read_files(snap, clean_files)
+        if agg_files:
             user_cols = [f.name for f in snap.schema.fields]
             types = {f.name: f.dataType for f in snap.schema.fields}
-            df = _lww_rows(
-                df.withColumnRenamed(META_DELETED, DEL_FLAG),
+            resolved = _lww_rows(
+                self._read_files(snap, agg_files)
+                .withColumnRenamed(META_DELETED, DEL_FLAG),
                 snap.key_cols, snap.version_cols, user_cols, types,
             )
+            df = resolved if not clean_files else df.unionByName(resolved)
         if not include_deleted:
             df = df.filter(~F.col(META_DELETED))
         if not with_meta:
@@ -377,7 +417,7 @@ class LakeTable:
         """
         for attempt in range(max_retries + 1):
             snap = self.current_snapshot()
-            if manifest_key in snap.applied:
+            if snap.has_applied(manifest_key):
                 return MergeStats(manifest_key, False, snap.version)
             try:
                 return self._merge_once(snap, batch, manifest_key, op_col, delete_op)
@@ -433,7 +473,8 @@ class LakeTable:
             # and saves a full scan of the batch per merge.
             affected = list(range(snap.n_buckets))
         if not affected:
-            new_snap = self._child(snap, evolved_schema, snap.buckets, manifest_key)
+            new_snap = self._child(snap, evolved_schema, snap.buckets, manifest_key,
+                                   added=[])
             self._publish(new_snap)
             return MergeStats(manifest_key, True, new_snap.version, 0, 0, 0,
                               snap.n_buckets, 0)
@@ -498,20 +539,27 @@ class LakeTable:
             for bkt, files in new_files.items():
                 buckets[bkt] = buckets.get(bkt, []) + files
 
+        # The merge commit publishes FIRST; threshold compaction runs as a
+        # separate follow-up commit below. Folding compaction into the same
+        # snapshot would de-reference this merge's delta files before any
+        # snapshot ever pointed at them, silently dropping the merge from
+        # every change feed (changes() provenance = the `added` list).
+        added_files = [f for fl in new_files.values() for f in fl]
+        new_snap = self._child(snap, evolved_schema, buckets, manifest_key,
+                               add_nonunique=add_nonunique, added=added_files)
+        self._publish(new_snap)
+
+        if mode != "cow":
             threshold = int(snap.props.get("compact_threshold", "6"))
             to_compact = [b for b in buckets if len(buckets[b]) > threshold]
             if to_compact:
-                cfiles = self._compact_files(
-                    snap, {b: buckets[b] for b in to_compact}, evolved_schema,
-                    snap.version + 1,
-                )
-                for b in to_compact:
-                    buckets[b] = cfiles.get(b, [])
-                compacted_n = len(to_compact)
+                try:
+                    # Best-effort maintenance: a concurrent writer winning
+                    # the race just means they (or the next merge) compact.
+                    compacted_n = self.compact(buckets=to_compact)
+                except CommitConflict:
+                    compacted_n = 0
 
-        new_snap = self._child(snap, evolved_schema, buckets, manifest_key,
-                               add_nonunique=add_nonunique)
-        self._publish(new_snap)
         return MergeStats(
             manifest_key=manifest_key,
             applied=True,
@@ -579,8 +627,11 @@ class LakeTable:
         merged = dict(snap.buckets)
         for b in target:
             merged[b] = cfiles.get(b, [])
+        # added=[]: compaction rewrites rows, it does not change them — the
+        # change feed must not re-emit its output. Numeric manifest suffix so
+        # old compaction keys fold into the applied-watermark when evicted.
         self._publish(self._child(snap, snap.schema, merged,
-                                  f"compact:v{snap.version + 1}"))
+                                  f"compact:{snap.version + 1}", added=[]))
         return len(target)
 
     def _write_buckets(
@@ -594,13 +645,27 @@ class LakeTable:
             .mode("overwrite")
             .parquet(staging)
         )
+        # Per-bucket row counts come from ONE distributed job over the
+        # staged output (a parquet count() is footer-metadata-only), not
+        # from driver-side per-file footer reads — at thousands of files
+        # per commit a driver loop serializes the write path.
+        has_output = any(
+            e.startswith(f"{BUCKET_COL}=") for e in os.listdir(staging)
+        )
+        bucket_rows = {
+            r[BUCKET_COL]: r["__rows"]
+            for r in self.spark.read.parquet(staging)
+            .groupBy(BUCKET_COL).agg(F.count(F.lit(1)).alias("__rows")).collect()
+        } if has_output else {}
         new_files: dict[int, list[str]] = {}
         lineage: dict[int, dict] = {}
         rows_written = 0
         # Unique per write attempt: a crashed or racing writer's files must
         # never collide with (and silently overwrite) a committed writer's
         # files of the same target version — orphans stay orphans and are
-        # reclaimed by vacuum().
+        # reclaimed by vacuum(). The per-file publish is a driver-side
+        # rename loop (metadata ops only, no data reads); on an object
+        # store this whole step is the manifest/catalog commit instead.
         tok = uuid.uuid4().hex[:8]
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith(f"{BUCKET_COL}="):
@@ -608,7 +673,7 @@ class LakeTable:
             bkt = int(entry.split("=", 1)[1])
             src_dir = os.path.join(staging, entry)
             files = []
-            b_bytes = b_rows = 0
+            b_bytes = 0
             for i, name in enumerate(sorted(os.listdir(src_dir))):
                 if not name.endswith(".parquet"):
                     continue
@@ -617,7 +682,7 @@ class LakeTable:
                 shutil.move(os.path.join(src_dir, name), dst)
                 files.append(rel)
                 b_bytes += os.stat(dst).st_size
-                b_rows += _parquet_rows(dst)
+            b_rows = int(bucket_rows.get(bkt, 0))
             new_files[bkt] = files
             lineage[bkt] = {"files": len(files), "bytes": b_bytes, "rows": b_rows}
             rows_written += b_rows
@@ -631,11 +696,32 @@ class LakeTable:
         buckets: dict[int, list[str]],
         manifest_key: str,
         add_nonunique: list[str] = (),
+        added: list[str] | None = None,
     ) -> Snapshot:
         referenced = {f for fl in buckets.values() for f in fl}
         nonunique = sorted(
             (set(snap.nonunique) | set(add_nonunique)) & referenced
         )
+        # Bounded exactly-once metadata: the applied ledger keeps only the
+        # most recent `manifest_window` keys verbatim; older sequence-shaped
+        # keys ("prefix:123") fold into a per-prefix high-watermark on
+        # eviction, so a long-running stream commits O(window) metadata per
+        # snapshot instead of O(history) (and total O(n) instead of O(n²)).
+        # Non-sequence keys are never evicted — callers wanting bounded
+        # metadata should use 'name:seq' keys (the engine always does).
+        window = int(snap.props.get("manifest_window", "512"))
+        applied = snap.applied + [manifest_key]
+        watermarks = dict(snap.applied_watermarks)
+        if len(applied) > window:
+            kept: list[str] = []
+            overflow = len(applied) - window
+            for i, key in enumerate(applied):
+                prefix, _, seq = key.rpartition(":")
+                if i < overflow and prefix and seq.isdigit():
+                    watermarks[prefix] = max(watermarks.get(prefix, -1), int(seq))
+                else:
+                    kept.append(key)
+            applied = kept
         return Snapshot(
             version=snap.version + 1,
             parent=snap.version,
@@ -644,9 +730,12 @@ class LakeTable:
             version_cols=snap.version_cols,
             n_buckets=snap.n_buckets,
             buckets=buckets,
-            applied=snap.applied + [manifest_key],
+            applied=applied,
             props=snap.props,
             nonunique=nonunique,
+            added=sorted(added) if added is not None else None,
+            applied_watermarks=watermarks,
+            applied_count=snap.applied_count + 1,
         )
 
     # --------------------------------------------------------------- utils
@@ -677,66 +766,78 @@ class LakeTable:
         merges in ``(from_version, to_version]``, with an ``_op`` column
         ('D' for tombstones, 'U' otherwise).
 
-        Works off file-level provenance — delta files added between the two
-        snapshots ARE the applied changes under merge-on-read. Files written
-        by compaction (``...c-b*``) are rewrites, not changes, and are
-        excluded. (Under copy-on-write every merge rewrites whole buckets,
-        so file provenance over-approximates; use MoR for change feeds.)"""
+        Works off commit-level provenance: every snapshot records the data
+        files its commit ADDED (``Snapshot.added``); the feed is the union
+        of those lists over the requested range. Compaction commits record
+        ``added=[]`` (they rewrite rows, they don't change them), so a
+        merge whose deltas are compacted away by a LATER commit still
+        appears in the feed — the files stay referenced by the merge's own
+        snapshot until ``expire_snapshots`` drops it, which is the bound on
+        how far back a change feed can start. (Under copy-on-write the
+        added files are whole rewritten buckets, so the feed
+        over-approximates; use MoR for change feeds.)"""
         if to_version is None:
             to_version = self.current_version()
         snap_to = self.snapshot(to_version)
-        # Walk the snapshot chain so changes survive later compaction
-        # (which de-references the original delta files in newer
-        # snapshots). Requires the intermediate snapshots to still exist
-        # (i.e. not expired past the requested range) — expire_snapshots
-        # bounds how far back a change feed can start.
         added: list[str] = []
         seen: set[str] = set()
         prev = {
             f for fl in self.snapshot(from_version).buckets.values() for f in fl
         }
         for v in [x for x in self.versions() if from_version < x <= to_version]:
-            cur = {f for fl in self.snapshot(v).buckets.values() for f in fl}
-            for f in sorted(cur - prev):
-                if "c-b" not in os.path.basename(f) and f not in seen:
+            snap_v = self.snapshot(v)
+            if snap_v.added is not None:
+                batch = snap_v.added
+            else:
+                # pre-provenance snapshot (format v1): fall back to diffing
+                # file sets, excluding compaction output by name tag
+                cur = {f for fl in snap_v.buckets.values() for f in fl}
+                batch = [f for f in sorted(cur - prev)
+                         if "c-b" not in os.path.basename(f)]
+            prev = {f for fl in snap_v.buckets.values() for f in fl}
+            for f in batch:
+                if f not in seen:
                     seen.add(f)
                     added.append(f)
-            prev = cur
         df = self._read_files(snap_to, added, user_schema=snap_to.schema)
         return df.select(
             *[f.name for f in snap_to.schema.fields],
             F.when(F.col(META_DELETED), F.lit("D")).otherwise(F.lit("U")).alias("_op"),
         )
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, older_than_sec: float = 600.0) -> list[str]:
         """Delete data files referenced by no remaining snapshot (run after
         ``expire_snapshots``; compaction and CoW merges leave such
-        orphans). Returns deleted table-relative paths."""
+        orphans). Returns deleted table-relative paths.
+
+        ``older_than_sec`` is the concurrency grace window (Iceberg's
+        ``remove_orphan_files`` retention): a file a concurrent writer just
+        staged is unreferenced only until that writer publishes, so only
+        files whose mtime is older than the window are reclaimed. Pass 0
+        only when no writer can be in flight."""
+        import time
+
         referenced: set[str] = set()
         for v in self.versions():
             snap = self.snapshot(v)
             for files in snap.buckets.values():
                 referenced.update(files)
+            if snap.added:
+                # a merge's delta files stay reclaim-exempt while its
+                # snapshot exists, even if a later compaction de-referenced
+                # them from the bucket map (changes() still reads them)
+                referenced.update(snap.added)
+        cutoff = time.time() - older_than_sec
         data_dir = os.path.join(self.path, _DATA_DIR)
         removed = []
         for name in sorted(os.listdir(data_dir)):
             rel = f"{_DATA_DIR}/{name}"
             full = os.path.join(data_dir, name)
-            if os.path.isfile(full) and rel not in referenced:
+            if (os.path.isfile(full) and rel not in referenced
+                    and os.stat(full).st_mtime <= cutoff):
                 os.unlink(full)
                 removed.append(rel)
         return removed
-
-
-def _parquet_rows(path: str) -> int:
-    """Row count from the parquet footer (driver-local file, ~1ms). On a
-    real cluster this would come from task-side write metrics instead."""
-    try:
-        import pyarrow.parquet as pq
-
-        return pq.read_metadata(path).num_rows
-    except Exception:
-        return 0
 
 
 def _bool():

@@ -19,6 +19,7 @@ from etl_spark.operators.reshape import (
     param_fanout,
 )
 from etl_spark.operators.similarity import (
+    bounded_topk,
     brute_force_topk,
     cosine,
     hyperplane_bucket,
@@ -30,5 +31,5 @@ __all__ = [
     "group_nest_sorted", "melt", "param_fanout",
     "exact_dedup_groups", "lsh_buckets", "lsh_candidate_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "simhash", "simhash_groups",
-    "brute_force_topk", "cosine", "hyperplane_bucket", "lsh_ann_topk",
+    "bounded_topk", "brute_force_topk", "cosine", "hyperplane_bucket", "lsh_ann_topk",
 ]

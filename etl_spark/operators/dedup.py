@@ -141,7 +141,7 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 50
 ) -> DataFrame:
     """Near-dup clusters: connected components over candidate pairs.
 
@@ -150,6 +150,11 @@ def connected_components(
     neighbours; converges in O(diameter) rounds). Each round is one
     broadcast-or-shuffle join + a combinable min aggregate; the driver only
     checks the converged-bit, so the data plane stays distributed.
+
+    Raises ``RuntimeError`` if labels have not converged after ``max_iter``
+    rounds (a silently-unconverged result would split one component into
+    several clusters); near-dup graphs have tiny diameters, so hitting the
+    cap means the input is not the candidate-pair graph this is for.
 
     Returns (node, component) where component = min node id reachable.
     """
@@ -163,6 +168,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -186,6 +192,11 @@ def connected_components(
         labels = updated.drop("__changed").localCheckpoint(eager=True)
         if not changed:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 

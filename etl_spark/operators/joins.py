@@ -57,30 +57,51 @@ def asof_join(
     ``dim_time <= fact_time`` per key (reference: indicator-rule versioning,
     sisab/indicadores_municipios/tratamento.py:61-85).
 
-    Implementation: broadcast the (small, versioned) dim, equi+range join,
-    then keep the per-fact-row winner with ``max_by`` — a map-side-combinable
-    hash aggregate, NOT a row_number window, so a hot key never serializes
-    into one task.
+    Scale shape: the (small, versioned) dim is pre-collapsed to ONE row per
+    key holding its versions as a time-sorted array, broadcast, and the
+    as-of winner resolved per fact row with a pure array expression — the
+    fact side is never shuffled, aggregated or windowed, so the plan is a
+    single BroadcastHashJoin + projection regardless of fact skew or fact
+    width. (The earlier formulation grouped on every fact column to argmax
+    the joined candidates — correct, but a wide-row shuffle of the whole
+    fact table at 100 TB.) Per-row cost is a linear scan of the key's
+    version array; versioned dims are small by nature (the reference's rule
+    table is dozens of rows per indicator).
     """
     if direction != "backward":
         raise ValueError("only direction='backward' is implemented")
     fact_cols = fact.columns
     dim_payload = [c for c in dim.columns if c not in dim_keys]
-    f_ = fact.alias("f")
-    d_ = dim.alias("d")
-    cond = F.lit(True)
-    for fk, dk in zip(fact_keys, dim_keys):
-        cond = cond & (F.col(f"f.{fk}") == F.col(f"d.{dk}"))
-    cond = cond & (F.col(f"d.{dim_time}") <= F.col(f"f.{fact_time}"))
-    joined = f_.join(F.broadcast(d_), cond, "left")
-    # One winner per fact row: argmax over dim_time. Group on a deterministic
-    # fact-row identity (all fact columns) — callers pass key-complete facts.
-    winner = F.max_by(
-        F.struct(*[F.col(f"d.{c}").alias(c) for c in dim_payload]),
-        F.col(f"d.{dim_time}"),
-    ).alias("__d")
-    out = joined.groupBy(*[F.col(f"f.{c}").alias(c) for c in fact_cols]).agg(winner)
-    return out.select(*fact_cols, *[F.col(f"__d.{c}").alias(c) for c in dim_payload])
+    # dim_time leads the struct so array_sort orders versions by time
+    # (remaining payload fields only break exact-time ties, deterministically).
+    ver_struct = F.struct(
+        F.col(dim_time).alias(dim_time),
+        *[F.col(c).alias(c) for c in dim_payload if c != dim_time],
+    )
+    # dim keys renamed so a dim derived from the fact itself (or sharing
+    # key names, the common case) never creates ambiguous references
+    packed = (
+        dim.groupBy(*[F.col(c) for c in dim_keys])
+        .agg(F.array_sort(F.collect_list(ver_struct)).alias("__vers"))
+        .select(
+            *[F.col(dk).alias(f"__dk{i}") for i, dk in enumerate(dim_keys)],
+            "__vers",
+        )
+    )
+    on = [F.col(fk) == F.col(f"__dk{i}") for i, fk in enumerate(fact_keys)]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    joined = fact.join(F.broadcast(packed), cond, "left")
+    eligible = F.filter(
+        F.col("__vers"), lambda v: v[dim_time] <= F.col(fact_time)
+    )
+    # last eligible version = the as-of winner; NULL when none (or no key)
+    winner = F.try_element_at(eligible, F.lit(-1))
+    return joined.select(
+        *[F.col(c) for c in fact_cols],
+        *[winner[c].alias(c) for c in dim_payload],
+    )
 
 
 def anti_join_fill(

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from etl_spark.functions.hashing import portable_hash60
 
-__all__ = ["cosine", "brute_force_topk", "hyperplane_bucket", "lsh_ann_topk"]
+__all__ = ["cosine", "bounded_topk", "brute_force_topk", "hyperplane_bucket",
+           "lsh_ann_topk"]
 
 
 def cosine(a, b):
@@ -39,6 +40,56 @@ def cosine(a, b):
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
+def bounded_topk(
+    cand: DataFrame,
+    q_id: str,
+    c_id: str,
+    k: int,
+    fanout: int = 32,
+) -> DataFrame:
+    """Per-query top-k of (q_id, c_id, sim) candidates with BOUNDED memory
+    at every stage — the piece that must survive a corpus-scale candidate
+    set (an unbounded per-query ``collect_list`` buffers the whole corpus
+    for a hot query and OOMs; a single per-query sort window serializes it
+    into one task).
+
+    Two phases:
+
+    1. partial top-k per ``(q_id, salt)`` — candidates salted into
+       ``fanout`` deterministic shards, ranked with ``row_number`` over a
+       *spillable* external sort (SortExec spills to disk; a collect_list
+       buffer cannot), keeping ≤ k rows per shard;
+    2. final combine per ``q_id`` over ≤ k·fanout survivors — small enough
+       to collect, sort and slice exactly.
+
+    Ranking key = (sim desc, c_id asc); with sims pre-rounded the result is
+    deterministic and engine-portable."""
+    from pyspark.sql.window import Window
+
+    salt = F.pmod(F.xxhash64(F.col(c_id)), F.lit(fanout))
+    w = Window.partitionBy(q_id, "__salt").orderBy(
+        F.col("sim").desc(), F.col(c_id).asc()
+    )
+    partial = (
+        cand.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+    )
+    return (
+        partial.groupBy(q_id)
+        .agg(F.slice(F.array_sort(F.collect_list(
+            F.struct((-F.col("sim")).alias("neg"), F.col(c_id).alias("cid")))),
+            1, k).alias("top"))
+        .select(F.col(q_id), F.posexplode("top").alias("pos", "t"))
+        .select(
+            F.col(q_id),
+            F.col("t.cid").alias(c_id),
+            (-F.col("t.neg")).alias("sim"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -48,32 +99,21 @@ def brute_force_topk(
     c_id: str = "c_id",
     c_vec: str = "c_vec",
     exclude_self: bool = True,
+    fanout: int = 32,
 ) -> DataFrame:
     """Exact top-k neighbours per query: (q_id, c_id, sim, rank).
 
     Ranking key = (sim desc, c_id asc) with sim rounded to 4 dp →
-    deterministic across engines. Aggregation is top-k via sorted slice of
-    collected candidate structs per query — combinable, no global window."""
+    deterministic across engines. The per-query reduction is the two-phase
+    :func:`bounded_topk` — no stage ever buffers more than k·fanout rows
+    per query in memory, so the plan holds when the corpus (and therefore
+    the candidate set per query) is 100×."""
     joined = queries.crossJoin(F.broadcast(corpus))
     if exclude_self:
         joined = joined.filter(F.col(q_id) != F.col(c_id))
     sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4)
     cand = joined.select(F.col(q_id), F.col(c_id), sim.alias("sim"))
-    # order by (-sim, c_id): array_sort on a struct sorts lexicographically.
-    ranked = (
-        cand.groupBy(q_id)
-        .agg(F.slice(F.array_sort(F.collect_list(F.struct((-F.col("sim")).alias("neg"),
-                                                          F.col(c_id).alias("cid")))),
-                     1, k).alias("top"))
-        .select(F.col(q_id), F.posexplode("top").alias("pos", "t"))
-        .select(
-            F.col(q_id),
-            F.col("t.cid").alias(c_id),
-            (-F.col("t.neg")).alias("sim"),
-            (F.col("pos") + 1).cast("int").alias("rank"),
-        )
-    )
-    return ranked
+    return bounded_topk(cand, q_id, c_id, k, fanout)
 
 
 def hyperplane_bucket(vec, n_bits: int = 8, seed: int = 7):
@@ -115,26 +155,29 @@ def lsh_ann_topk(
     c_vec: str = "c_vec",
     n_bits: int = 8,
     seed: int = 7,
+    max_bucket: int | None = None,
+    fanout: int = 32,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's hyperplane
     bucket (equi-join on the sketch — prunes ~2^n_bits× of the pair space),
-    then exact cosine rank within candidates. Recall trades off with
-    n_bits; multi-probe = union over several seeds."""
+    then exact cosine rank within candidates via the bounded two-phase
+    :func:`bounded_topk`. Recall trades off with n_bits; multi-probe =
+    union over several seeds.
+
+    ``max_bucket`` is the skew guard (mirrors dedup.lsh_candidate_pairs):
+    a degenerate bucket capturing a constant-ish region of the embedding
+    space would otherwise re-create the quadratic blowup the sketch exists
+    to avoid; corpus rows in over-full buckets are dropped from the
+    candidate side (callers should log the drop)."""
     qb = queries.withColumn("__bkt", hyperplane_bucket(F.col(q_vec), n_bits, seed))
     cb = corpus.withColumn("__bkt", hyperplane_bucket(F.col(c_vec), n_bits, seed))
+    if max_bucket is not None:
+        sizes = cb.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+        cb = cb.join(
+            F.broadcast(sizes.filter(F.col("__n") <= max_bucket).drop("__n")),
+            "__bkt",
+        )
     joined = qb.join(cb, "__bkt").filter(F.col(q_id) != F.col(c_id))
     sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4)
     cand = joined.select(F.col(q_id), F.col(c_id), sim.alias("sim"))
-    return (
-        cand.groupBy(q_id)
-        .agg(F.slice(F.array_sort(F.collect_list(F.struct((-F.col("sim")).alias("neg"),
-                                                          F.col(c_id).alias("cid")))),
-                     1, k).alias("top"))
-        .select(F.col(q_id), F.posexplode("top").alias("pos", "t"))
-        .select(
-            F.col(q_id),
-            F.col("t.cid").alias(c_id),
-            (-F.col("t.neg")).alias("sim"),
-            (F.col("pos") + 1).cast("int").alias("rank"),
-        )
-    )
+    return bounded_topk(cand, q_id, c_id, k, fanout)

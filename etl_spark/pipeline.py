@@ -138,5 +138,5 @@ def pending_from_schedule(schedule: list[str], table: LakeTable) -> list[str]:
     """Schedule entries (manifest keys) not yet in the applied history —
     the reference's ``capturas_agendamentos`` minus ``capturas_historico``
     (scripts/geral.py:61-65, 92-109)."""
-    applied = table.applied_manifests()
-    return [k for k in schedule if k not in applied]
+    snap = table.current_snapshot()
+    return [k for k in schedule if not snap.has_applied(k)]

@@ -591,8 +591,7 @@ def q_minhash_lsh_buckets(spark, sf_dir):
     return lsh_buckets(sig, "doc_id", bands=4, rows_per_band=4)
 
 
-def _lsh_sql(bands: int = 4, rows: int = 4) -> str:
-    mh = _minhash_sql(bands * rows)
+def _lsh_union_sql(bands: int = 4, rows: int = 4) -> str:
     parts = []
     for b in range(bands):
         cols = ", ".join(
@@ -602,7 +601,12 @@ def _lsh_sql(bands: int = 4, rows: int = 4) -> str:
             f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket\n"
             f"FROM mh"
         )
-    return f"WITH mh AS ({mh})\n" + "\nUNION ALL\n".join(parts)
+    return "\nUNION ALL\n".join(parts)
+
+
+def _lsh_sql(bands: int = 4, rows: int = 4) -> str:
+    return (f"WITH mh AS ({_minhash_sql(bands * rows)})\n"
+            + _lsh_union_sql(bands, rows))
 
 
 SQL_MINHASH_LSH = _lsh_sql(4, 4)
@@ -638,54 +642,81 @@ FROM fp GROUP BY simhash
 SQL_SIMHASH = _simhash_sql(12)
 
 
+def _lsh_pairs(d, max_bucket: int = 1000):
+    """Shared scale-safe candidate generator for the near-dup gates:
+    MinHash → LSH band buckets → within-bucket pairs with the
+    ``max_bucket`` skew guard. No blocking-key self-join anywhere — the
+    pair space is O(Σ bucket²) with buckets bounded, not O(n²/blocks)."""
+    from etl_spark.operators.dedup import lsh_candidate_pairs
+
+    sig = minhash_signature(d, "text", num_hashes=16, shingle_k=3)
+    buckets = lsh_buckets(sig, "doc_id", bands=4, rows_per_band=4)
+    return lsh_candidate_pairs(buckets, "doc_id", max_bucket=max_bucket)
+
+
+# DuckDB replica of _lsh_pairs: same 16 minhashes, 4 bands, bucket-size
+# guard, distinct (a < b) pairs.
+def _lsh_pairs_sql(max_bucket: int = 1000) -> str:
+    return f"""
+mh AS ({_minhash_sql(16)}),
+lsh AS ({_lsh_union_sql(4, 4)}),
+sized AS (
+  SELECT band, bucket FROM lsh
+  GROUP BY band, bucket HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+),
+cand_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM lsh x JOIN lsh y USING (band, bucket) JOIN sized USING (band, bucket)
+  WHERE x.doc_id < y.doc_id
+)"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup scores for blocked candidate pairs
-    (blocking key: lang — stands in for the LSH bucket at small scale)."""
+    """Exact n-gram Jaccard scores for LSH candidate pairs — the scale
+    pipeline: per-row MinHash, bucketed banding with a skew guard, exact
+    verification only within candidates (never a blocked self-join)."""
     d = _t(spark, sf_dir, "documents")
-    a = d.select(F.col("doc_id").alias("a"), F.col("lang"))
-    b = d.select(F.col("doc_id").alias("b"), F.col("lang"))
-    pairs = a.join(b, "lang").filter(F.col("a") < F.col("b")).select("a", "b")
+    pairs = _lsh_pairs(d)
     return ngram_jaccard_pairs(d, pairs, "doc_id", "text", shingle_k=3, threshold=0.15)
 
 
 SQL_NGRAM_JACCARD = f"""
-WITH sets AS (
-  SELECT doc_id, lang, list_distinct(list(s)) AS sh
-  FROM ({_SQL_SHINGLE3}) g JOIN documents USING (doc_id)
-  GROUP BY doc_id, lang
+WITH {_lsh_pairs_sql(1000)},
+sets AS (
+  SELECT doc_id, list_distinct(list(s)) AS sh
+  FROM ({_SQL_SHINGLE3}) g GROUP BY doc_id
 )
-SELECT x.doc_id AS a, y.doc_id AS b,
+SELECT a, b,
        round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
-FROM sets x JOIN sets y ON x.lang = y.lang AND x.doc_id < y.doc_id
+FROM cand_pairs JOIN sets x ON x.doc_id = a JOIN sets y ON y.doc_id = b
 WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.15
 """
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup clustering: connected components over the Jaccard candidate
-    pairs (iterative min-label propagation — the one genuinely iterative
-    algorithm in the engine; verified against a recursive-CTE closure)."""
+    """Near-dup clustering: connected components over the Jaccard-verified
+    LSH candidate pairs (iterative min-label propagation — the one
+    genuinely iterative algorithm in the engine; verified against a
+    recursive-CTE closure)."""
     from etl_spark.operators.dedup import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    a = d.select(F.col("doc_id").alias("a"), F.col("lang"))
-    b = d.select(F.col("doc_id").alias("b"), F.col("lang"))
-    pairs = a.join(b, "lang").filter(F.col("a") < F.col("b")).select("a", "b")
+    pairs = _lsh_pairs(d)
     edges = ngram_jaccard_pairs(d, pairs, "doc_id", "text", shingle_k=3,
                                 threshold=0.15).select("a", "b")
     return connected_components(edges)
 
 
 SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE sets AS (
-  SELECT doc_id, lang, list_distinct(list(s)) AS sh
-  FROM ({_SQL_SHINGLE3}) g JOIN documents USING (doc_id)
-  GROUP BY doc_id, lang
+WITH RECURSIVE {_lsh_pairs_sql(1000)},
+sets AS (
+  SELECT doc_id, list_distinct(list(s)) AS sh
+  FROM ({_SQL_SHINGLE3}) g GROUP BY doc_id
 ), edges AS (
-  SELECT x.doc_id AS a, y.doc_id AS b
-  FROM sets x JOIN sets y ON x.lang = y.lang AND x.doc_id < y.doc_id
+  SELECT a, b
+  FROM cand_pairs JOIN sets x ON x.doc_id = a JOIN sets y ON y.doc_id = b
   WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
               / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.15
 ), und AS (
@@ -846,47 +877,114 @@ SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+_NEARDUP_TABLES = 4      # hyperplane-LSH tables (multi-probe recall)
+_NEARDUP_BITS = 4        # bits per table
+_NEARDUP_SEED = 7
+
+
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by label (IVF-style coarse
-    partition: candidates only within a block)."""
-    from etl_spark.operators.similarity import cosine
+    """Embedding-cosine near-dup pairs over hyperplane-LSH candidates:
+    ``_NEARDUP_TABLES`` independent sign-bit sketches (multi-table =
+    recall; the reference of one table misses even high-cosine pairs),
+    within-bucket candidate pairs guarded by ``max_bucket``, exact cosine
+    only on candidates. The bucket count scales with corpus size via
+    n_bits, so the pair space stays near-linear — no label/block
+    self-join (which is quadratic within a block at 100×)."""
+    from etl_spark.operators.dedup import lsh_candidate_pairs
+    from etl_spark.operators.similarity import cosine, hyperplane_bucket
 
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("a"), F.col("label"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("label"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, "label").filter(F.col("a") < F.col("b"))
+    per_table = [
+        e.select(
+            F.col("vec_id"),
+            F.lit(t).alias("band"),
+            hyperplane_bucket(F.col("embedding"), _NEARDUP_BITS,
+                              seed=_NEARDUP_SEED + t).cast("string").alias("bucket"),
+        )
+        for t in range(_NEARDUP_TABLES)
+    ]
+    buckets = per_table[0]
+    for df in per_table[1:]:
+        buckets = buckets.unionByName(df)
+    pairs = lsh_candidate_pairs(buckets, "vec_id", max_bucket=1000)
+    va = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    vb = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
     return (
-        pairs.select("a", "b", "label", sim.alias("sim"))
+        pairs.join(va, "a").join(vb, "b")
+        .select("a", "b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.25)
+        .select("a", "b", "sim")
     )
 
 
-SQL_EMBED_NEARDUP = """
-SELECT x.vec_id AS a, y.vec_id AS b, x.label,
-       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-                                    CAST(y.embedding AS DOUBLE[])), 4) AS sim
-FROM embeddings x JOIN embeddings y
-  ON x.label = y.label AND x.vec_id < y.vec_id
-WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-                                   CAST(y.embedding AS DOUBLE[])), 4) >= 0.25
+def _hyperplane_sql(n_bits: int, seed: int) -> tuple[str, str]:
+    """(projection select-list, bucket expression) replicating
+    operators.similarity.hyperplane_bucket for the DuckDB oracle."""
+    projs = []
+    for b in range(n_bits):
+        w = portable_hash60_sql("CAST(d - 1 AS VARCHAR)", salt=seed * 1000 + b)
+        projs.append(
+            f"SUM(e[d] * (CASE WHEN ({w}) & 1 = 1 THEN 1.0 ELSE -1.0 END)) AS p{b}"
+        )
+    bucket = " + ".join(
+        f"(CASE WHEN p{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits)
+    )
+    return ", ".join(projs), bucket
+
+
+def _embed_neardup_sql(tables: int, n_bits: int, seed: int,
+                       max_bucket: int = 1000, threshold: float = 0.25) -> str:
+    table_sqls = []
+    for t in range(tables):
+        projs, bucket = _hyperplane_sql(n_bits, seed + t)
+        table_sqls.append(f"""
+  SELECT vec_id, {t} AS band, CAST(CAST({bucket} AS INTEGER) AS VARCHAR) AS bucket
+  FROM (
+    SELECT vec_id, {projs}
+    FROM v, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS d) dims
+    GROUP BY vec_id
+  ) p{t}""")
+    union = "\n  UNION ALL\n".join(table_sqls)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), bkt AS ({union}
+), sized AS (
+  SELECT band, bucket FROM bkt
+  GROUP BY band, bucket HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+), cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bkt x JOIN bkt y USING (band, bucket) JOIN sized USING (band, bucket)
+  WHERE x.vec_id < y.vec_id
+)
+SELECT a, b, round(list_cosine_similarity(xa.e, yb.e), 4) AS sim
+FROM cand JOIN v xa ON xa.vec_id = a JOIN v yb ON yb.vec_id = b
+WHERE round(list_cosine_similarity(xa.e, yb.e), 4) >= {threshold}
 """
+
+
+SQL_EMBED_NEARDUP = _embed_neardup_sql(_NEARDUP_TABLES, _NEARDUP_BITS,
+                                       _NEARDUP_SEED)
 
 
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-k (scale path: hyperplane sketch
-    prunes the candidate space; verified exactly by a SQL oracle that
-    replays the same deterministic hyperplanes)."""
+    prunes the candidate space, over-full buckets dropped by the
+    ``max_bucket`` skew guard, bounded two-phase top-k; verified exactly
+    by a SQL oracle that replays the same deterministic hyperplanes and
+    guard)."""
     e = _t(spark, sf_dir, "embeddings")
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     queries = (
         e.filter(F.col("vec_id") < 20)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
-    return lsh_ann_topk(queries, corpus, k=5, n_bits=4, seed=7)
+    return lsh_ann_topk(queries, corpus, k=5, n_bits=4, seed=7, max_bucket=10000)
 
 
-def _ann_lsh_sql(n_bits: int = 4, seed: int = 7, k: int = 5) -> str:
+def _ann_lsh_sql(n_bits: int = 4, seed: int = 7, k: int = 5,
+                 max_bucket: int = 10000) -> str:
     projs = []
     for b in range(n_bits):
         w = portable_hash60_sql("CAST(d - 1 AS VARCHAR)", salt=seed * 1000 + b)
@@ -903,10 +1001,13 @@ WITH v AS (
   GROUP BY vec_id
 ), bkt AS (
   SELECT vec_id, CAST({bucket} AS INTEGER) AS bucket FROM proj
+), sz AS (
+  SELECT bucket, COUNT(*) AS n FROM bkt GROUP BY bucket
 ), joined AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          round(list_cosine_similarity(qv.e, cv.e), 4) AS sim
   FROM bkt q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  JOIN sz ON sz.bucket = c.bucket AND sz.n <= {max_bucket}
   JOIN v qv ON qv.vec_id = q.vec_id
   JOIN v cv ON cv.vec_id = c.vec_id
   WHERE q.vec_id < 20
@@ -918,7 +1019,7 @@ SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
-SQL_ANN_LSH = _ann_lsh_sql(4, 7, 5)
+SQL_ANN_LSH = _ann_lsh_sql(4, 7, 5, 10000)
 
 
 def q_tumbling_window_agg(spark, sf_dir):

@@ -37,14 +37,30 @@ def stream_replay(
     available_now: bool = True,
     metrics_sink=None,
     drop_cols: tuple[str, ...] = ("epoch",),
+    stream_id: str | None = None,
 ):
     """Stream the landed WAL into ``table``; returns the StreamingQuery.
 
     With ``available_now`` the query drains everything already landed and
     stops (bounded replay / catch-up); without it, it tails the directory
     forever. Restart with the same ``checkpoint_dir`` to resume.
+
+    ``stream_id`` namespaces the exactly-once manifest keys. Batch ids are
+    only unique *per checkpoint*: a second stream feeding the same table —
+    or a restart with a wiped checkpoint dir, whose batch ids restart at 0
+    with different file groupings — would otherwise collide with the old
+    ``stream:<n>`` entries and silently drop its rows. Default: a hash of
+    the checkpoint location, so same-checkpoint restarts stay idempotent
+    and distinct checkpoints never collide.
     """
+    import hashlib
+    import os
     import time
+
+    if stream_id is None:
+        stream_id = hashlib.sha256(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:12]
 
     schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema)
@@ -55,7 +71,7 @@ def stream_replay(
     def apply_batch(batch_df, batch_id: int) -> None:
         t0 = time.monotonic()
         df = batch_df.drop(*[c for c in drop_cols if c in batch_df.columns])
-        stats = table.merge(df, manifest_key=f"stream:{batch_id}")
+        stats = table.merge(df, manifest_key=f"stream:{stream_id}:{batch_id}")
         if metrics_sink is not None:
             metrics_sink.record(stats, wall_sec=time.monotonic() - t0)
 

@@ -28,15 +28,16 @@ def test_time_travel_expire_vacuum(spark, tmp_root):
     for i in range(5):
         t.merge(_batch(spark, (i, TS + dt.timedelta(seconds=i), "r", f"p{i % 2}",
                                f"v{i}", "I")), f"e{i}")
-    assert t.current_version() == 5
+    # 5 merge commits + at least one follow-up auto-compaction commit
+    assert t.current_version() > 5
 
     # time travel: version 2 saw only events 0-1
     assert t.read(version=2).count() == 2
     live_now = t.read().count()
 
-    expired = t.expire_snapshots(keep_last=2)
-    assert expired == [0, 1, 2, 3]
-    removed = t.vacuum()
+    expired = t.expire_snapshots(keep_last=1)
+    assert len(expired) == t.current_version()  # all but the newest
+    removed = t.vacuum(older_than_sec=0)
     assert removed  # compaction left orphaned pre-compaction files
     # current state unaffected; exactly-once ledger intact
     assert t.read().count() == live_now
@@ -116,6 +117,73 @@ def test_change_feed(spark, tmp_root):
     assert t.changes(0, v3).count() == 3
 
 
+def test_change_feed_survives_autocompaction(spark, tmp_root):
+    """Regression: a merge whose delta files are auto-compacted must still
+    appear in the change feed. Compaction now runs as a follow-up commit,
+    so the merge snapshot references its deltas and records them in
+    ``added`` — changes() reads that provenance, not bucket-file diffs."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "acf"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=1, props={"compact_threshold": "2"},
+    )
+    versions = [t.current_version()]
+    for i in range(4):  # bucket exceeds threshold repeatedly => compactions
+        t.merge(_batch(spark, (i, TS + dt.timedelta(seconds=i), "r", f"p{i}",
+                               f"v{i}", "I")), f"e:{i}")
+        versions.append(t.current_version())
+    assert t.current_version() > 4  # compaction commits interleaved
+
+    # every merged row appears exactly once in the full-range feed
+    full = {(r["path"], r["_op"]) for r in t.changes(0).collect()}
+    assert full == {(f"p{i}", "U") for i in range(4)}
+    assert t.changes(0).count() == 4
+
+    # a sub-range that ends right after a compaction still sees the merge
+    ch = {r["path"] for r in t.changes(versions[2], versions[3]).collect()}
+    assert ch == {"p2"}
+
+
+def test_manifest_window_and_watermark_bound_metadata(spark, tmp_root):
+    """The applied ledger stays O(window): sequence-shaped keys evicted
+    from the recent window fold into a per-prefix high-watermark, and
+    has_applied() still answers for all of history."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "mw"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=1, props={"manifest_window": "16"},
+    )
+    for i in range(200):  # metadata-only commits (no data): cheap
+        snap = t.current_snapshot()
+        t._publish(t._child(snap, snap.schema, snap.buckets, f"m:{i}", added=[]))
+    snap = t.current_snapshot()
+    assert len(snap.applied) <= 16
+    assert snap.applied_count == 200
+    assert snap.applied_watermarks["m"] == 199 - 16
+    for key, want in [("m:0", True), ("m:100", True), ("m:199", True),
+                      ("m:200", False), ("other:5", False), ("m", False)]:
+        assert snap.has_applied(key) is want, key
+    # merge() respects the watermark: an ancient key is a no-op
+    st = t.merge(_batch(spark, (1, TS, "r", "p", "v", "I")), "m:3")
+    assert not st.applied
+
+
+def test_vacuum_grace_window_protects_inflight_files(spark, tmp_root):
+    """vacuum() must not reclaim files a concurrent writer just staged:
+    only unreferenced files older than the grace window are deleted."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "vg"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"], n_buckets=1,
+    )
+    orphan = os.path.join(t.path, "data", "v0000000099-b00000-0000-dead.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not-yet-published")
+    assert t.vacuum() == []                      # fresh file: protected
+    assert os.path.exists(orphan)
+    assert t.vacuum(older_than_sec=0)            # explicit 0: reclaimed
+    assert not os.path.exists(orphan)
+
+
 def test_crash_before_publish_leaves_consistent_table(spark, tmp_root):
     """A writer that dies after writing data files but before publishing
     its snapshot leaves orphans, never corruption: the manifest is absent,
@@ -141,7 +209,7 @@ def test_crash_before_publish_leaves_consistent_table(spark, tmp_root):
     st = t.merge(batch, "e0")                      # clean re-apply
     assert st.applied and t.read().count() == 1
 
-    orphans = t.vacuum()                           # crash leftovers removed
+    orphans = t.vacuum(older_than_sec=0)           # crash leftovers removed
     assert orphans
     assert t.read().count() == 1
 
