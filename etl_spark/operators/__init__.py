@@ -11,6 +11,7 @@ from etl_spark.operators.joins import (
     anti_join_fill,
     asof_join,
     broadcast_lookup,
+    period_lead,
     range_join,
 )
 from etl_spark.operators.reshape import (
@@ -27,7 +28,7 @@ from etl_spark.operators.similarity import (
 )
 
 __all__ = [
-    "anti_join_fill", "asof_join", "broadcast_lookup", "range_join",
+    "anti_join_fill", "asof_join", "broadcast_lookup", "period_lead", "range_join",
     "group_nest_sorted", "melt", "param_fanout",
     "exact_dedup_groups", "lsh_buckets", "lsh_candidate_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "simhash", "simhash_groups",

@@ -14,7 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["broadcast_lookup", "range_join", "asof_join", "anti_join_fill"]
+__all__ = ["broadcast_lookup", "range_join", "asof_join", "anti_join_fill",
+           "period_lead"]
 
 
 def broadcast_lookup(
@@ -102,6 +103,29 @@ def asof_join(
         *[F.col(c) for c in fact_cols],
         *[winner[c].alias(c) for c in dim_payload],
     )
+
+
+def period_lead(
+    dim: DataFrame,
+    period_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Next-period lookup over a period calendar dim: appends
+    ``out_col`` = the following period per calendar order (NULL for the
+    last one). Reference: ``obter_proximo_periodo`` resolves the period
+    whose start follows the current period's end
+    (comum/datas.py:94-128) — over a gapless calendar that is exactly the
+    ordered successor, a ``lead`` window.
+
+    The window is unpartitioned BY DESIGN: a period calendar is a
+    control-plane dim (hundreds of rows — the reference caches 60 in an
+    lru_cache), so the single-task sort is trivial; the enriched dim is
+    then broadcast against facts. Never point this at a fact table."""
+    from pyspark.sql.window import Window
+
+    out_col = out_col or f"next_{period_col}"
+    w = Window.orderBy(F.col(period_col))
+    return dim.withColumn(out_col, F.lead(period_col).over(w))
 
 
 def anti_join_fill(

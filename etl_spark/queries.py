@@ -25,10 +25,13 @@ from etl_spark.functions import (
     decode_bool,
     doc_fingerprint,
     money_brl_to_double,
+    month_pt_to_num,
     normalize_text,
     null_if_all_nines,
+    parse_aaaamm,
     parse_aaaammdd,
     parse_dmy,
+    roman_to_int,
     strip_non_digits,
     stopword_ratio,
     token_count,
@@ -1111,6 +1114,312 @@ WHERE n_tokens >= 20 AND sr < 0.4
 """
 
 
+# ------------------------------------ ingest adapters / long-tail scalars
+
+def q_csv_report_ingest(spark, sf_dir):
+    """Scraped-report CSV ingest (sisab/comum.py:398-438 semantics): junk
+    banner rows, ';' separator, ISO-8859-1, comma decimals, 'Fonte:'
+    footer. The report payload is rendered deterministically from the
+    ``nation`` dim (control-plane-sized) so the DuckDB oracle can verify
+    the full parse round-trip."""
+    from etl_spark.sources.adapters import read_report_csv
+
+    rows = _t(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    lines = ["Relatório consolidado de saúde", "gerado pelo sistema;;"]
+    lines.append("Cod;Nome;Regiao;Indice")
+    for r in rows:
+        cents = r["n_nationkey"] * 100 + r["n_regionkey"]
+        lines.append(
+            f"{r['n_nationkey']};{r['n_name']};{r['n_regionkey']};"
+            f"{cents // 100},{cents % 100:02d}"
+        )
+    lines.append("Fonte: Ministério da Saúde")
+    d = tempfile.mkdtemp(prefix="etl_spark_csv_")
+    path = os.path.join(d, "report.csv")
+    with open(path, "w", encoding="ISO-8859-1") as fh:
+        fh.write("\n".join(lines) + "\n")
+    df = read_report_csv(
+        spark, path, sep=";", encoding="ISO-8859-1",
+        decimal_comma_cols=["Indice"], skip_leading=2, footer_prefix="Fonte:",
+    )
+    return df.select(
+        F.col("Cod").cast("bigint").alias("n_nationkey"),
+        F.col("Nome").alias("n_name"),
+        F.col("Regiao").cast("bigint").alias("n_regionkey"),
+        F.col("Indice").alias("indice"),
+    )
+
+
+SQL_CSV_REPORT = """
+SELECT n_nationkey, n_name, n_regionkey,
+       (n_nationkey * 100 + n_regionkey) / 100.0 AS indice
+FROM nation
+"""
+
+
+def q_json_flatten_ingest(spark, sf_dir):
+    """REST-landed JSON ingest with nested-struct flattening
+    (scnes/extracao_lista_cnes.py:18-71, brasilapi/cep.py:97-107): records
+    rendered deterministically from the ``region`` dim, read back through
+    the adapter, nested ``meta`` struct flattened to columns."""
+    import json as _json
+
+    from etl_spark.sources.adapters import read_json_records
+
+    rows = _t(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    records = [
+        {
+            "id": r["r_regionkey"],
+            "name": r["r_name"],
+            "meta": {"name_len": len(r["r_name"]), "upper": r["r_name"].upper()},
+        }
+        for r in rows
+    ]
+    d = tempfile.mkdtemp(prefix="etl_spark_json_")
+    path = os.path.join(d, "records.json")
+    with open(path, "w") as fh:
+        fh.write(_json.dumps(records))
+    df = read_json_records(spark, path, flatten=True)
+    return df.select(
+        F.col("id").alias("r_regionkey"),
+        F.col("name").alias("r_name"),
+        F.col("meta_name_len").alias("name_len"),
+        F.col("meta_upper").alias("name_upper"),
+    )
+
+
+SQL_JSON_FLATTEN = """
+SELECT r_regionkey, r_name,
+       CAST(strlen(r_name) AS BIGINT) AS name_len,
+       upper(r_name) AS name_upper
+FROM region
+"""
+
+
+def q_competencia_parse(spark, sf_dir):
+    """AAAAMM competência parsing with coerce semantics
+    (procedimentos.py:293-300): '202401' → first of month, garbage → NULL."""
+    o = _t(spark, sf_dir, "orders")
+    s6 = F.date_format("o_orderdate", "yyyyMM")
+    return o.select(
+        "o_orderkey",
+        s6.alias("s6"),
+        parse_aaaamm(s6).cast("string").alias("month_start"),
+        parse_aaaamm(F.lit("2024xx")).cast("string").alias("bad"),
+    )
+
+
+SQL_COMPETENCIA = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS s6,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(NULL AS VARCHAR) AS bad
+FROM orders
+"""
+
+
+def q_roman_codes(spark, sf_dir):
+    """Roman-numeral health-region codes → int (habilitacoes.py:246-250):
+    codes synthesized from the nation dim, decoded by the when-chain
+    parser; the oracle carries the ground-truth integer independently."""
+    from etl_spark.functions.cleaning import _int_to_roman
+
+    n = _t(spark, sf_dir, "nation")
+    num = (F.col("n_nationkey") % 25 + 1).cast("int")
+    roman = F.lit(None).cast("string")
+    for i in range(25, 0, -1):
+        roman = F.when(num == i, F.lit(_int_to_roman(i))).otherwise(roman)
+    return n.select(
+        "n_nationkey", roman.alias("roman"), roman_to_int(roman).alias("decoded")
+    )
+
+
+def _roman_sql() -> str:
+    from etl_spark.functions.cleaning import _int_to_roman
+
+    cases = " ".join(
+        f"WHEN {i} THEN '{_int_to_roman(i)}'" for i in range(1, 26)
+    )
+    return f"""
+SELECT n_nationkey,
+       CASE n_nationkey % 25 + 1 {cases} END AS roman,
+       CAST(n_nationkey % 25 + 1 AS INTEGER) AS decoded
+FROM nation
+"""
+
+
+SQL_ROMAN = _roman_sql()
+
+
+def q_month_pt(spark, sf_dir):
+    """PT-BR month name → number (modelo_sisab_producao.py:31-44 MESES):
+    names synthesized from order dates, decoded by month_pt_to_num; the
+    oracle carries the ground-truth month independently."""
+    from etl_spark.functions.cleaning import MESES_PT
+
+    by_num = {v: k for k, v in sorted(MESES_PT.items(), key=lambda kv: kv[1])
+              if k != "março"}  # canonical unaccented spellings
+    o = _t(spark, sf_dir, "orders")
+    m = F.month("o_orderdate")
+    name = F.lit(None).cast("string")
+    for i in range(12, 0, -1):
+        name = F.when(m == i, F.lit(by_num[i])).otherwise(name)
+    return o.select(
+        "o_orderkey", name.alias("mes"), month_pt_to_num(name).alias("mes_num")
+    )
+
+
+def _month_pt_sql() -> str:
+    from etl_spark.functions.cleaning import MESES_PT
+
+    by_num = {v: k for k, v in sorted(MESES_PT.items(), key=lambda kv: kv[1])
+              if k != "março"}
+    cases = " ".join(f"WHEN {i} THEN '{by_num[i]}'" for i in range(1, 13))
+    return f"""
+SELECT o_orderkey,
+       CASE month(o_orderdate) {cases} END AS mes,
+       CAST(month(o_orderdate) AS INTEGER) AS mes_num
+FROM orders
+"""
+
+
+SQL_MONTH_PT = _month_pt_sql()
+
+
+def q_sentinel_blank_zeros(spark, sf_dir):
+    """Blank / all-zeros sentinel nulling (procedimentos.py:302-327) —
+    complements the all-nines case in ``cleaning_sentinels``."""
+    from etl_spark.functions import null_if_blank, null_if_all_zeros
+
+    o = _t(spark, sf_dir, "orders")
+    code = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(""))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit("0000"))
+        .when(F.col("o_orderkey") % 4 == 2, F.lit("   "))
+        .otherwise(F.lpad((F.col("o_custkey") % 997).cast("string"), 4, "0"))
+    )
+    return o.select(
+        "o_orderkey",
+        code.alias("code"),
+        null_if_blank(code).alias("nb"),
+        null_if_all_zeros(code).alias("nz"),
+    )
+
+
+SQL_SENTINEL_BZ = """
+WITH c AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN ''
+              WHEN o_orderkey % 4 = 1 THEN '0000'
+              WHEN o_orderkey % 4 = 2 THEN '   '
+              ELSE lpad(CAST(o_custkey % 997 AS VARCHAR), 4, '0') END AS code
+  FROM orders
+)
+SELECT o_orderkey, code,
+       CASE WHEN trim(code) = '' THEN NULL ELSE code END AS nb,
+       CASE WHEN regexp_matches(code, '^0+$') THEN NULL ELSE code END AS nz
+FROM c
+"""
+
+
+def q_content_key(spark, sf_dir):
+    """Deterministic surrogate keys replacing the reference's uuid7 row ids
+    (procedimentos.py:387-389): sha256 over '|'-joined content columns, so
+    replay mints byte-identical keys."""
+    from etl_spark.functions import content_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        content_key("user_id", "event_type", "props").alias("row_key"),
+    )
+
+
+SQL_CONTENT_KEY = """
+SELECT event_id,
+       sha256(concat_ws('|', CAST(user_id AS VARCHAR), event_type, props))
+         AS row_key
+FROM events
+"""
+
+
+def q_period_lead(spark, sf_dir):
+    """Period → next-period lookup (obter_proximo_periodo,
+    datas.py:94-128): quarter calendar derived from orders, successor via
+    ``lead`` on the broadcast-sized dim, facts enriched by broadcast join."""
+    from etl_spark.operators import period_lead
+
+    o = _t(spark, sf_dir, "orders")
+    dim = (
+        o.select(F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("q_start"))
+        .distinct()
+    )
+    led = period_lead(dim, "q_start", "next_q_start")
+    out = broadcast_lookup(
+        o.withColumn("q_start", F.to_date(F.date_trunc("quarter", "o_orderdate"))),
+        led, "q_start",
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("q_start").cast("string").alias("q_start"),
+        F.col("next_q_start").cast("string").alias("next_q_start"),
+    )
+
+
+SQL_PERIOD_LEAD = """
+WITH dim AS (
+  SELECT DISTINCT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q
+  FROM orders
+), led AS (
+  SELECT q, lead(q) OVER (ORDER BY q) AS nq FROM dim
+)
+SELECT o_orderkey, strftime(q, '%Y-%m-%d') AS q_start,
+       strftime(nq, '%Y-%m-%d') AS next_q_start
+FROM orders JOIN led ON CAST(date_trunc('quarter', o_orderdate) AS DATE) = q
+"""
+
+
+def q_lww_compact_parity(spark, sf_dir):
+    """Batch-verifiable gate for the stateful streaming compactor
+    (applyInPandasWithState, streaming/stateful.py): stream the events
+    table through in-flight LWW compaction, then LWW-dedup the survivors —
+    which must equal the plain LWW latest state (the compactor only drops
+    events that can never win; which stale events it drops in-flight
+    depends on arrival order, the surviving winners do not)."""
+    import uuid as _uuid
+
+    from etl_spark.cdc.lww import lww_dedup
+    from etl_spark.streaming.stateful import lww_compact_stream
+
+    # the file streaming source wants a directory: expose the events file
+    # through a temp dir (symlink = zero copy)
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="etl_spark_lwwc_src_")
+    try:
+        os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    except OSError:
+        import shutil as _shutil
+
+        _shutil.copy(src, stream_dir)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    compacted = lww_compact_stream(stream, ["user_id"], ts_col="ts",
+                                   id_col="event_id")
+    name = "lwwc_" + _uuid.uuid4().hex[:8]
+    q = (
+        compacted.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation",
+                tempfile.mkdtemp(prefix="etl_spark_lwwc_"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    out = lww_dedup(spark.table(name), ["user_id"], ["ts", "event_id"])
+    return out.select("user_id", "event_id", "ts", "event_type", "value", "props")
+
+
+# survivors of in-flight compaction reduce to exactly the LWW latest state
+SQL_LWW_COMPACT_PARITY = SQL_CDC_LWW
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1149,6 +1458,15 @@ QUERIES = {
     "tumbling_window_agg": q_tumbling_window_agg,
     "embedding_quantize": q_embedding_quantize,
     "curation_pipeline": q_curation_pipeline,
+    "csv_report_ingest": q_csv_report_ingest,
+    "json_flatten_ingest": q_json_flatten_ingest,
+    "competencia_parse": q_competencia_parse,
+    "roman_codes": q_roman_codes,
+    "month_pt": q_month_pt,
+    "sentinel_blank_zeros": q_sentinel_blank_zeros,
+    "content_key": q_content_key,
+    "period_lead": q_period_lead,
+    "lww_compact_parity": q_lww_compact_parity,
 }
 
 ORACLES = {
@@ -1187,6 +1505,15 @@ ORACLES = {
     "tumbling_window_agg": SQL_TUMBLING,
     "embedding_quantize": SQL_EMBED_QUANT,
     "curation_pipeline": SQL_CURATION,
+    "csv_report_ingest": SQL_CSV_REPORT,
+    "json_flatten_ingest": SQL_JSON_FLATTEN,
+    "competencia_parse": SQL_COMPETENCIA,
+    "roman_codes": SQL_ROMAN,
+    "month_pt": SQL_MONTH_PT,
+    "sentinel_blank_zeros": SQL_SENTINEL_BZ,
+    "content_key": SQL_CONTENT_KEY,
+    "period_lead": SQL_PERIOD_LEAD,
+    "lww_compact_parity": SQL_LWW_COMPACT_PARITY,
 }
 
 

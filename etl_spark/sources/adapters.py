@@ -23,7 +23,8 @@ from pyspark.sql.types import StructType
 
 __all__ = [
     "carve_between", "read_report_csv", "read_json_records",
-    "flatten_struct", "read_excel_sheets",
+    "flatten_struct", "read_excel_sheets", "pandas_style_headers",
+    "read_converted_sheet_csv",
 ]
 
 
@@ -127,6 +128,72 @@ def flatten_struct(df: DataFrame, sep: str = "_") -> DataFrame:
             else:
                 cols.append(F.col(f.name))
         df = df.select(*cols)
+
+
+def pandas_style_headers(names: list[str | None]) -> list[str]:
+    """Reproduce pandas' header mangling that the reference's per-sheet
+    rename maps are written against (egestor/relatorio_financiamento/
+    tratamento.py:491-565): a blank/missing header at position i becomes
+    ``Unnamed: {i}``; a repeated header gets ``.1``, ``.2``... suffixes
+    (``AJUSTE*``, ``AJUSTE*.1``)."""
+    out: list[str] = []
+    seen: dict[str, int] = {}
+    for i, raw in enumerate(names):
+        name = (raw or "").strip()
+        if not name:
+            name = f"Unnamed: {i}"
+        if name in seen:
+            seen[name] += 1
+            name = f"{name}.{seen[name]}"
+        else:
+            seen[name] = 0
+        out.append(name)
+    return out
+
+
+def read_converted_sheet_csv(
+    spark: SparkSession,
+    path: str,
+    header_row: int = 3,
+    sheet_renames: dict[str, str] | None = None,
+    sep: str = ",",
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """One e-Gestor report sheet, pre-converted to CSV (the environment has
+    no xlsx reader — see :func:`read_excel_sheets`): skip the title/banner
+    rows above ``header_row`` (pandas ``header=3`` semantics,
+    egestor/.../extracao.py:130-259), mangle the header row pandas-style so
+    duplicate ("AJUSTE*.1") and blank ("Unnamed: 16") labels are
+    addressable, then apply the per-sheet rename map
+    (tratamento.py:491-565)."""
+    from pyspark.sql.types import StringType, StructField as SF, StructType as ST
+
+    wide = ST([SF(f"_c{i}", StringType(), True) for i in range(64)])
+    raw = (
+        spark.read.options(sep=sep, encoding=encoding, header="false",
+                           mode="PERMISSIVE")
+        .schema(wide).csv(path)
+        .withColumn("_rid", F.monotonically_increasing_id())
+        .filter(F.col("_rid") >= header_row)
+    )
+    first_two = raw.orderBy("_rid").limit(2).collect()
+    hdr = first_two[0]
+    # width includes trailing BLANK headers that still carry data (they
+    # become 'Unnamed: N' — the whole point): probe the first data row too
+    width = max(
+        (i + 1 for row in first_two for i in range(64)
+         if row[f"_c{i}"] is not None),
+        default=0,
+    )
+    names = pandas_style_headers([hdr[f"_c{i}"] for i in range(width)])
+    body = raw.filter(F.col("_rid") > hdr["_rid"])
+    df = body.select(
+        *[F.col(f"_c{i}").alias(n) for i, n in enumerate(names)]
+    )
+    for old, new in (sheet_renames or {}).items():
+        if old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    return df
 
 
 def read_excel_sheets(

@@ -58,3 +58,46 @@ def test_read_json_flatten(spark, tmp_root):
 def test_excel_stub(spark):
     with pytest.raises(NotImplementedError):
         read_excel_sheets(spark, "/nonexistent.xlsx", ["Sheet1"])
+
+
+def test_pandas_style_headers():
+    from etl_spark.sources.adapters import pandas_style_headers
+
+    got = pandas_style_headers(
+        ["Cod", "AJUSTE*", None, "AJUSTE*", "", "Valor Total do Custeio"]
+    )
+    assert got == ["Cod", "AJUSTE*", "Unnamed: 2", "AJUSTE*.1", "Unnamed: 4",
+                   "Valor Total do Custeio"]
+
+
+def test_read_converted_sheet_csv(spark, tmp_root):
+    """e-Gestor sheet semantics under CSV conversion (the xlsx reader is
+    env-gated): header at row 3, duplicate 'AJUSTE*' and blank headers
+    mangled pandas-style, then resolved by the per-sheet rename map —
+    reference egestor/relatorio_financiamento/tratamento.py:491-565."""
+    from etl_spark.sources.adapters import read_converted_sheet_csv
+
+    sheet = (
+        "RELATÓRIO DE PAGAMENTOS,,,\n"
+        "Competência: 2024-01,,,\n"
+        ",,,\n"
+        "UF,AJUSTE*,AJUSTE*,\n"
+        "SP,10,20,30\n"
+        "RJ,1,2,3\n"
+    )
+    path = os.path.join(tmp_root, "acoes_sb.csv")
+    with open(path, "w") as fh:
+        fh.write(sheet)
+    df = read_converted_sheet_csv(
+        spark, path, header_row=3,
+        sheet_renames={
+            "AJUSTE*": "pagamento_esb_adicional",
+            "AJUSTE*.1": "pagamento_adicional_uom",
+            "Unnamed: 3": "pagamento_desconto",
+        },
+    )
+    assert df.columns == ["UF", "pagamento_esb_adicional",
+                          "pagamento_adicional_uom", "pagamento_desconto"]
+    got = {r["UF"]: (r["pagamento_esb_adicional"], r["pagamento_adicional_uom"],
+                     r["pagamento_desconto"]) for r in df.collect()}
+    assert got == {"SP": ("10", "20", "30"), "RJ": ("1", "2", "3")}
