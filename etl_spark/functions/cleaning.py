@@ -144,9 +144,15 @@ def valid_code_array(col: Column | str, pattern: str = r"^[A-Z][0-9]{2,3}$") -> 
 
 def normalize_text(col: Column | str) -> Column:
     """Lower-case, non-alnum runs → '_', trim leading/trailing '_'
-    (utilitarios/textos.py:15-28; full unidecode is out of scope for
-    JVM-side — accent folding uses `translate` for the PT-BR alphabet)."""
+    (utilitarios/textos.py:15-28). Accent folding covers the full Latin-1
+    supplement via `translate` (JVM-side, codegen'd); that is what the
+    reference's unidecode call actually encounters in ISO-8859-1 sources —
+    non-Latin scripts fold to '_' like any other non-alnum rune."""
     c = F.lower(_c(col))
-    c = F.translate(c, "áàâãäéèêëíìîïóòôõöúùûüç", "aaaaaeeeeiiiiooooouuuuc")
+    c = F.translate(
+        c,
+        "áàâãäåāéèêëēíìîïóòôõöøúùûüçñýÿšž",
+        "aaaaaaaeeeeeiiiioooooouuuucnyysz",
+    )
     c = F.regexp_replace(c, r"[^a-z0-9]+", "_")
     return F.regexp_replace(c, r"^_+|_+$", "")

@@ -460,6 +460,7 @@ class LakeTable:
         ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
 
         mode = snap.props.get("merge_mode", "mor")
+        coarse = snap.props.get("write_metrics", "full") == "coarse"
         if mode == "cow":
             # Control-plane job: which buckets does this batch touch?
             # (map-side-combinable distinct over <= n_buckets values). Only
@@ -498,7 +499,7 @@ class LakeTable:
                 aligned.unionByName(existing), key_cols, ver_cols, user_cols, types
             ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
             new_files, rows_written, lineage = self._write_buckets(
-                merged, snap.version + 1
+                merged, snap.version + 1, coarse_metrics=coarse
             )
             for bkt in affected:
                 buckets[bkt] = new_files.get(bkt, [])
@@ -532,7 +533,7 @@ class LakeTable:
                     aligned, key_cols, ver_cols, user_cols, types
                 ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
             new_files, rows_written, lineage = self._write_buckets(
-                merged, snap.version + 1
+                merged, snap.version + 1, coarse_metrics=coarse
             )
             if snap.props.get("batch_dedup", "true") == "false":
                 add_nonunique = [f for fl in new_files.values() for f in fl]
@@ -605,7 +606,10 @@ class LakeTable:
         compacted = compacted.withColumn(
             BUCKET_COL, _bucket_of(snap.key_cols, snap.n_buckets)
         )
-        new_files, _, _ = self._write_buckets(compacted, version, tag="c")
+        new_files, _, _ = self._write_buckets(
+            compacted, version, tag="c",
+            coarse_metrics=snap.props.get("write_metrics", "full") == "coarse",
+        )
         return new_files
 
     def compact(self, buckets: list[int] | None = None,
@@ -635,9 +639,15 @@ class LakeTable:
         return len(target)
 
     def _write_buckets(
-        self, merged: DataFrame, version: int, tag: str = ""
+        self, merged: DataFrame, version: int, tag: str = "",
+        coarse_metrics: bool = False,
     ) -> tuple[dict[int, list[str]], int, int]:
-        """Write per-bucket parquet files; return bucket→relative paths."""
+        """Write per-bucket parquet files; return bucket→relative paths.
+
+        ``coarse_metrics`` skips the per-bucket row-count job (lineage then
+        reports files/bytes only, rows_written = -1) — the write-optimized
+        setting for throughput-critical CDC tails where per-commit row
+        lineage is not worth one extra (metadata-only) job per merge."""
         staging = os.path.join(self.path, _DATA_DIR, f".stage-v{version}-{uuid.uuid4().hex}")
         (
             merged.repartition(F.col(BUCKET_COL))
@@ -656,7 +666,7 @@ class LakeTable:
             r[BUCKET_COL]: r["__rows"]
             for r in self.spark.read.parquet(staging)
             .groupBy(BUCKET_COL).agg(F.count(F.lit(1)).alias("__rows")).collect()
-        } if has_output else {}
+        } if has_output and not coarse_metrics else {}
         new_files: dict[int, list[str]] = {}
         lineage: dict[int, dict] = {}
         rows_written = 0
@@ -682,11 +692,13 @@ class LakeTable:
                 shutil.move(os.path.join(src_dir, name), dst)
                 files.append(rel)
                 b_bytes += os.stat(dst).st_size
-            b_rows = int(bucket_rows.get(bkt, 0))
+            b_rows = -1 if coarse_metrics else int(bucket_rows.get(bkt, 0))
             new_files[bkt] = files
             lineage[bkt] = {"files": len(files), "bytes": b_bytes, "rows": b_rows}
-            rows_written += b_rows
+            rows_written += max(b_rows, 0)
         shutil.rmtree(staging, ignore_errors=True)
+        if coarse_metrics:
+            rows_written = -1
         return new_files, rows_written, lineage
 
     def _child(

@@ -140,3 +140,57 @@ def test_write_optimized_mode_matches_oracle(spark, tmp_root):
     assert t.compact() > 0
     assert t.current_snapshot().nonunique == []
     pd.testing.assert_frame_equal(_state(t), want, check_dtype=False)
+
+
+def test_partial_mor_read_skips_aggregate_for_clean_buckets(spark, tmp_root):
+    """One un-compacted delta bucket must not drag the whole table through
+    the read-time LWW aggregate: the plan unions the compacted buckets
+    (scan only) around an aggregate over just the dirty bucket's files."""
+    import datetime as dt
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(
+        "event_id bigint, op_ts timestamp, repo string, path string, content string"
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "pm"), schema,
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=4, props={"compact_threshold": "999"},
+    )
+    ts = dt.datetime(2024, 1, 1)
+    rows = [(i, ts + dt.timedelta(seconds=i), "r", f"p{i}", f"v{i}", "I")
+            for i in range(40)]
+    t.merge(spark.createDataFrame(
+        rows, "event_id bigint, op_ts timestamp, repo string, path string, "
+              "content string, op string"), "e:0")
+    t.compact()  # every bucket: one unique file
+
+    # clean table: no LWW aggregate at all
+    clean_plan = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "max_by" not in clean_plan
+
+    # dirty ONE bucket with an update
+    t.merge(spark.createDataFrame(
+        [(100, ts + dt.timedelta(hours=1), "r", "p1", "v1b", "U")],
+        "event_id bigint, op_ts timestamp, repo string, path string, "
+        "content string, op string"), "e:1")
+    snap = t.current_snapshot()
+    dirty = [b for b, fl in snap.buckets.items() if len(fl) > 1]
+    assert len(dirty) == 1
+
+    df = t.read()
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan          # clean buckets bypass the aggregate
+    assert "max_by" in plan         # dirty bucket still LWW-resolved
+
+    got = {r["path"]: r["content"] for r in df.collect()}
+    want = {f"p{i}": f"v{i}" for i in range(40)}
+    want["p1"] = "v1b"
+    assert got == want
+
+    # full compaction returns the read to the aggregate-free fast path
+    t.compact()
+    plan2 = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "max_by" not in plan2
+    assert {r["path"]: r["content"] for r in t.read().collect()} == want

@@ -165,3 +165,36 @@ def test_connected_components(spark):
            for r in connected_components(pairs).collect()}
     # {1,2,3,8,9} all collapse to 1; {5,6} to 5
     assert got == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_asof_join_plan_has_no_fact_side_aggregate(spark):
+    """Scale shape of the as-of join: the fact table is never shuffled,
+    aggregated or windowed — the only aggregate in the plan builds the
+    (broadcast) per-key version arrays on the dim side, i.e. it appears
+    BELOW the broadcast join in the plan tree, never above it."""
+    import datetime as dt
+
+    from etl_spark.operators import asof_join
+
+    fact = spark.range(0, 1000).select(
+        F.col("id").alias("fid"), (F.col("id") % 5).alias("k"),
+        F.timestamp_add("DAY", (F.col("id") % 90).cast("int"),
+                        F.to_timestamp(F.lit("2024-01-01"))).alias("ft"),
+    )
+    dim = spark.range(0, 50).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("rule"),
+        F.timestamp_add("DAY", (F.col("id") * 2).cast("int"),
+                        F.to_timestamp(F.lit("2024-01-01"))).alias("vfrom"),
+    )
+    out = asof_join(fact, dim, ["k"], ["k"], "ft", "vfrom")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    head = plan.split("BroadcastHashJoin")[0]
+    assert "Aggregate" not in head and "Window" not in head
+
+    # semantics: greatest vfrom <= ft per key. fid=7 => k=2, ft=2024-01-08;
+    # k=2 versions start at +2*id days (id=2,7,12,...) => winner id=2
+    # (vfrom 2024-01-05; the next, id=7, starts 2024-01-15 > ft)
+    row = out.filter(F.col("fid") == 7).collect()[0]
+    assert row["rule"] == 2
+    assert row["vfrom"] == dt.datetime(2024, 1, 5)

@@ -137,3 +137,35 @@ def test_windowed_agg_with_watermark(spark, tmp_root):
     assert g
     assert all(k in w and v <= w[k] for k, v in g.items())
     assert len(g) >= len(w) * 0.5
+
+
+def test_wiped_checkpoint_does_not_collide_with_old_manifests(spark, tmp_root):
+    """Regression: manifest keys are namespaced per stream identity. A
+    restart with a NEW checkpoint dir restarts batch ids at 0 with
+    different file groupings; under un-namespaced 'stream:<n>' keys those
+    batches hit the old manifest entries and their rows were silently
+    dropped. Namespaced keys re-apply them (LWW-idempotent), so the final
+    state still matches the oracle."""
+    events_dir = os.path.join(tmp_root, "wal")
+    ev = synth_events(spark, 1500, n_repos=12, paths_per_repo=12, n_epochs=3)
+    write_event_epochs(ev, events_dir)
+    table = _mk_table(spark, events_dir, os.path.join(tmp_root, "tbl"))
+
+    # first run: drain PART of the WAL under checkpoint A (coarse batches)
+    q = stream_replay(spark, events_dir, table, os.path.join(tmp_root, "ckptA"),
+                      max_files_per_trigger=1)
+    while not q.recentProgress:
+        q.awaitTermination(1)
+    q.stop()
+    q.awaitTermination(60)
+    assert table.applied_manifests()
+
+    # "operator wiped the checkpoint": same WAL, fresh checkpoint dir,
+    # different batch sizing => batch ids restart with new groupings
+    q2 = stream_replay(spark, events_dir, table, os.path.join(tmp_root, "ckptB"),
+                       max_files_per_trigger=4)
+    q2.awaitTermination(120)
+    assert not q2.isActive
+
+    want = oracle_final_state(events_dir).reset_index(drop=True)
+    pd.testing.assert_frame_equal(_state(table), want, check_dtype=False)

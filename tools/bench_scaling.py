@@ -78,7 +78,7 @@ user = StructType([f for f in sample.schema.fields if f.name not in ("op", "epoc
 # JIT/codegen warmup: one small merge on a throwaway table.
 wtbl = LakeTable.create(spark, os.path.join(scratch, "warm"), user,
                         ["repo", "path"], ["op_ts", "event_id"], n_buckets=8,
-                        props={{"batch_dedup": "false"}})
+                        props={{"batch_dedup": "false", "write_metrics": "coarse"}})
 wtbl.merge(spark.read.parquet(os.path.join(wal, "epoch=0")).limit(20000), "warm")
 
 best = None
@@ -86,7 +86,7 @@ for r in range({reps}):
     tpath = os.path.join(scratch, f"tbl{{r}}")
     tbl = LakeTable.create(spark, tpath, user, ["repo", "path"],
                            ["op_ts", "event_id"], n_buckets=64,
-                           props={{"batch_dedup": "false"}})
+                           props={{"batch_dedup": "false", "write_metrics": "coarse"}})
     t0 = time.monotonic()
     for e in range({epochs}):
         tbl.merge(spark.read.parquet(os.path.join(wal, f"epoch={{e}}")), f"epoch:{{e}}")
