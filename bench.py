@@ -124,6 +124,7 @@ def main() -> None:
     from etl_spark.session import get_spark
 
     extra = {}
+    shuffle_dir = None
     if os.path.isdir("/dev/shm"):
         shuffle_dir = tempfile.mkdtemp(prefix="etl_spark_shuffle_", dir="/dev/shm")
         extra["spark.local.dir"] = shuffle_dir
@@ -161,6 +162,9 @@ def main() -> None:
     }
     print(json.dumps(out))
     spark.stop()
+    if shuffle_dir:
+        # tmpfs scratch is RAM: leaking it across runs starves later jobs
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

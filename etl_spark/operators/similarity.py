@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from etl_spark.functions.hashing import portable_hash60
 
 __all__ = ["cosine", "bounded_topk", "brute_force_topk", "hyperplane_bucket",
-           "lsh_ann_topk"]
+           "lsh_ann_topk", "lsh_ann_topk_multiprobe"]
 
 
 def cosine(a, b):
@@ -180,4 +180,63 @@ def lsh_ann_topk(
     joined = qb.join(cb, "__bkt").filter(F.col(q_id) != F.col(c_id))
     sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4)
     cand = joined.select(F.col(q_id), F.col(c_id), sim.alias("sim"))
+    return bounded_topk(cand, q_id, c_id, k, fanout)
+
+
+def lsh_ann_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    n_bits: int = 4,
+    seeds: tuple[int, ...] = (7, 8),
+    max_bucket: int | None = None,
+    fanout: int = 32,
+) -> DataFrame:
+    """Multi-probe ANN top-k: one hyperplane table per seed, candidates =
+    the UNION of same-bucket pairs across tables (deduped), exact cosine
+    rank via :func:`bounded_topk`. Single-table sign-bit LSH misses even
+    high-cosine neighbours with probability (θ/π)·n_bits-ish; T independent
+    tables drive the miss rate down exponentially at T× the candidate cost
+    — the standard recall/cost dial for corpus-scale ANN.
+
+    ``max_bucket`` drops over-full buckets per (table, bucket) — the same
+    skew guard as :func:`lsh_ann_topk`."""
+    def _tables(df, id_col, vec_col):
+        parts = [
+            df.select(
+                F.col(id_col),
+                F.lit(t).alias("__band"),
+                hyperplane_bucket(F.col(vec_col), n_bits, seed).alias("__bkt"),
+            )
+            for t, seed in enumerate(seeds)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    qt = _tables(queries, q_id, q_vec)
+    ct = _tables(corpus, c_id, c_vec)
+    if max_bucket is not None:
+        sizes = ct.groupBy("__band", "__bkt").agg(F.count(F.lit(1)).alias("__n"))
+        ct = ct.join(
+            F.broadcast(sizes.filter(F.col("__n") <= max_bucket).drop("__n")),
+            ["__band", "__bkt"],
+        )
+    cand_ids = (
+        qt.join(ct, ["__band", "__bkt"])
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id)
+        .distinct()   # a pair colliding in several tables scores once
+    )
+    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4)
+    cand = (
+        cand_ids.join(queries.select(q_id, q_vec), q_id)
+        .join(F.broadcast(corpus.select(c_id, c_vec)), c_id)
+        .select(F.col(q_id), F.col(c_id), sim.alias("sim"))
+    )
     return bounded_topk(cand, q_id, c_id, k, fanout)

@@ -112,6 +112,10 @@ def q_cdc_replay_final_state(spark, sf_dir):
     table, _ = replay_events(
         spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=16,
         key_cols=["user_id"], version_cols=["ts", "event_id"],
+        # write-optimized CDC-tail config (the headline bench mode):
+        # deltas land as-is, read-time LWW resolves winners — identical
+        # final state, fewer jobs per merge
+        table_props={"batch_dedup": "false", "write_metrics": "coarse"},
     )
     return table.read().select(
         "user_id", "event_id", "ts", "event_type", "value", "props"
@@ -830,6 +834,63 @@ FROM documents GROUP BY source
 """
 
 
+def q_text_ratios(spark, sf_dir):
+    """Quality-score character features: punctuation ratio, digit ratio,
+    distinct char-trigram count (the char-n-gram basis for fingerprinting)
+    — all JVM-side array/regex expressions."""
+    from etl_spark.functions import char_ngrams, digit_ratio, punct_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 4).alias("punct_r"),
+        F.round(digit_ratio("text"), 4).alias("digit_r"),
+        F.size(char_ngrams("text", 3)).alias("n_char3"),
+    )
+
+
+SQL_TEXT_RATIOS = r"""
+SELECT doc_id,
+       round(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text)
+                  - length(regexp_replace(text, '[^0-9A-Za-z\s]', '', 'g'))
+                  AS DOUBLE) / length(text) END, 4) AS punct_r,
+       round(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS DOUBLE) / length(text) END, 4) AS digit_r,
+       CAST(len(list_distinct(list_transform(
+         range(1, greatest(length(text) - 1, 1)),
+         i -> substr(text, CAST(i AS INTEGER), 3)))) AS INTEGER) AS n_char3
+FROM documents
+"""
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Per-type value percentiles (QA distribution gate). Uses Spark's
+    EXACT ``percentile`` so the DuckDB ``quantile_cont`` oracle matches
+    bit-for-bit (both linear-interpolate order statistics). At 100 TB use
+    ``approx_percentile`` (t-digest, combinable) — exact percentile
+    buffers each group's values and exists here for verifiability."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_multimodal_metadata(spark, sf_dir):
     """Opaque-binary multimodal plumbing: payload as binary + typed
     metadata (byte length, digest). The decode stage itself is the
@@ -1025,6 +1086,62 @@ SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (
 SQL_ANN_LSH = _ann_lsh_sql(4, 7, 5, 10000)
 
 
+def q_ann_multiprobe(spark, sf_dir):
+    """Multi-probe ANN top-k: candidates unioned across two independent
+    hyperplane tables (recall dial — a single sign-bit table misses even
+    high-cosine neighbours), skew-guarded, ranked by the bounded two-phase
+    top-k. Verified exactly by a SQL oracle replaying both tables."""
+    from etl_spark.operators.similarity import lsh_ann_topk_multiprobe
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    queries = (
+        e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return lsh_ann_topk_multiprobe(queries, corpus, k=5, n_bits=4,
+                                   seeds=(7, 8), max_bucket=10000)
+
+
+def _ann_multiprobe_sql(seeds=(7, 8), n_bits: int = 4, k: int = 5,
+                        max_bucket: int = 10000) -> str:
+    tables = []
+    for t, seed in enumerate(seeds):
+        projs, bucket = _hyperplane_sql(n_bits, seed)
+        tables.append(f"""
+  SELECT vec_id, {t} AS band, CAST({bucket} AS INTEGER) AS bucket
+  FROM (
+    SELECT vec_id, {projs}
+    FROM v, LATERAL (SELECT unnest(range(1, len(e) + 1)) AS d) dims
+    GROUP BY vec_id
+  ) p{t}""")
+    union = "\n  UNION ALL\n".join(tables)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), bkt AS ({union}
+), sz AS (
+  SELECT band, bucket FROM bkt
+  GROUP BY band, bucket HAVING COUNT(*) <= {max_bucket}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM bkt q JOIN bkt c ON q.band = c.band AND q.bucket = c.bucket
+  JOIN sz ON sz.band = c.band AND sz.bucket = c.bucket
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+), scored AS (
+  SELECT q_id, c_id, round(list_cosine_similarity(qv.e, cv.e), 4) AS sim
+  FROM cand JOIN v qv ON qv.vec_id = q_id JOIN v cv ON cv.vec_id = c_id
+)
+SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+SQL_ANN_MULTIPROBE = _ann_multiprobe_sql((7, 8), 4, 5, 10000)
+
+
 def q_tumbling_window_agg(spark, sf_dir):
     """Tumbling event-time windows (the Structured Streaming windowed-agg
     shape, run batch here): per hour x event_type counts and sums."""
@@ -1045,6 +1162,45 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
        event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value
 FROM events
 GROUP BY 1, 2
+"""
+
+
+def q_session_windows(spark, sf_dir):
+    """Per-user session windows (30-minute inactivity gap) via Spark's
+    native ``session_window`` aggregate — the same expression works under
+    Structured Streaming with a watermark (dynamic gap state merging);
+    verified against a DuckDB islands-and-gaps formulation (lag + running
+    sum of session breaks)."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n", "sum_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOWS = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), numbered AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n, round(SUM(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, sid
 """
 
 
@@ -1451,11 +1607,15 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
+    "text_ratios": q_text_ratios,
+    "value_percentiles": q_value_percentiles,
     "multimodal_metadata": q_multimodal_metadata,
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
+    "ann_multiprobe": q_ann_multiprobe,
     "tumbling_window_agg": q_tumbling_window_agg,
+    "session_windows": q_session_windows,
     "embedding_quantize": q_embedding_quantize,
     "curation_pipeline": q_curation_pipeline,
     "csv_report_ingest": q_csv_report_ingest,
@@ -1498,11 +1658,15 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "token_stats": SQL_TOKEN_STATS,
+    "text_ratios": SQL_TEXT_RATIOS,
+    "value_percentiles": SQL_VALUE_PERCENTILES,
     "multimodal_metadata": SQL_MULTIMODAL,
     "ann_bruteforce": SQL_ANN_BRUTE,
     "embedding_neardup": SQL_EMBED_NEARDUP,
     "ann_lsh": SQL_ANN_LSH,
+    "ann_multiprobe": SQL_ANN_MULTIPROBE,
     "tumbling_window_agg": SQL_TUMBLING,
+    "session_windows": SQL_SESSION_WINDOWS,
     "embedding_quantize": SQL_EMBED_QUANT,
     "curation_pipeline": SQL_CURATION,
     "csv_report_ingest": SQL_CSV_REPORT,

@@ -101,3 +101,43 @@ def test_read_converted_sheet_csv(spark, tmp_root):
     got = {r["UF"]: (r["pagamento_esb_adicional"], r["pagamento_adicional_uom"],
                      r["pagamento_desconto"]) for r in df.collect()}
     assert got == {"SP": ("10", "20", "30"), "RJ": ("1", "2", "3")}
+
+
+def test_with_retries_recovers_and_propagates():
+    from etl_spark.sources.retry import retrying, with_retries
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient listing miss")
+        return "landed"
+
+    assert with_retries(flaky, attempts=4, base_delay=0.1,
+                        sleep=sleeps.append) == "landed"
+    assert calls["n"] == 3
+    assert sleeps == [0.1, 0.2]  # exponential backoff between tries
+
+    # exhausted attempts re-raise the last error
+    calls["n"] = -10
+    with pytest.raises(OSError):
+        with_retries(flaky, attempts=2, base_delay=0, sleep=lambda s: None)
+
+    # non-retryable errors propagate immediately
+    boom = {"n": 0}
+
+    def parse_error():
+        boom["n"] += 1
+        raise ValueError("bad payload")
+
+    with pytest.raises(ValueError):
+        with_retries(parse_error, attempts=5, sleep=lambda s: None)
+    assert boom["n"] == 1
+
+    @retrying(attempts=3, base_delay=0, sleep=lambda s: None)
+    def decorated(x):
+        return x * 2
+
+    assert decorated(21) == 42
