@@ -555,10 +555,16 @@ class LakeTable:
             to_compact = [b for b in buckets if len(buckets[b]) > threshold]
             if to_compact:
                 try:
-                    # Best-effort maintenance: a concurrent writer winning
-                    # the race just means they (or the next merge) compact.
+                    # Best-effort maintenance: the merge above is already
+                    # durably committed, so NO compaction failure may
+                    # surface as a merge failure (the caller would wrongly
+                    # retry/abort a succeeded merge). A lost commit race or
+                    # a transient error just leaves the buckets for the
+                    # next merge (or the maintenance job) to fold.
                     compacted_n = self.compact(buckets=to_compact)
                 except CommitConflict:
+                    compacted_n = 0
+                except Exception:  # noqa: BLE001 — deliberate best-effort
                     compacted_n = 0
 
         return MergeStats(

@@ -1,4 +1,5 @@
+from etl_spark.streaming.change_feed import follow_changes
 from etl_spark.streaming.stateful import lww_compact_stream
 from etl_spark.streaming.stream_replay import stream_replay
 
-__all__ = ["lww_compact_stream", "stream_replay"]
+__all__ = ["follow_changes", "lww_compact_stream", "stream_replay"]

@@ -1,0 +1,55 @@
+"""CDC *out*: tail a LakeTable's snapshot log as an incremental change
+feed (the downstream half of the binlog→lake→binlog loop).
+
+``LakeTable.changes(v1, v2)`` already materializes the rows a commit range
+added (tombstones tagged ``_op='D'``); ``follow_changes`` turns that into
+a driver-side tail loop a downstream pipeline can consume — the same
+control-plane polling shape as the reference's scheduled pending-work scan
+(scripts/geral.py:61-65), pointed at our own table instead of an upstream.
+
+Deliberately a driver-side generator, not a custom streaming Source:
+snapshot arrival is a control-plane event (one JSON per commit); each
+yielded DataFrame is a normal distributed plan over the commit's added
+files. Consumers that want Structured Streaming semantics can land each
+yield into a directory and ``readStream`` it.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+from etl_spark.lake import LakeTable
+
+__all__ = ["follow_changes"]
+
+
+def follow_changes(
+    table: LakeTable,
+    from_version: int | None = None,
+    poll_interval: float = 1.0,
+    stop: Callable[[], bool] | None = None,
+) -> Iterator[tuple[int, DataFrame]]:
+    """Yield ``(to_version, changes_df)`` for every new snapshot range as
+    commits land; blocks polling between commits until ``stop()`` is true.
+
+    ``from_version`` defaults to the current version (tail-from-now);
+    pass an older version to backfill first — bounded by snapshot
+    retention (``expire_snapshots``), like any change feed.
+
+    Each yielded DataFrame covers the whole range since the previous yield
+    (a burst of commits between polls arrives as one batch — consumers
+    needing exactly-once downstream apply the same manifest-key pattern
+    ``merge`` uses, keyed by ``to_version``)."""
+    cur = table.current_version() if from_version is None else from_version
+    while stop is None or not stop():
+        latest = table.current_version()
+        if latest > cur:
+            yield latest, table.changes(cur, latest)
+            cur = latest
+        else:
+            if stop is not None and stop():
+                return
+            time.sleep(poll_interval)

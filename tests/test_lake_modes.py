@@ -194,3 +194,52 @@ def test_partial_mor_read_skips_aggregate_for_clean_buckets(spark, tmp_root):
     plan2 = t.read()._jdf.queryExecution().optimizedPlan().toString()
     assert "max_by" not in plan2
     assert {r["path"]: r["content"] for r in t.read().collect()} == want
+
+
+def test_compaction_failure_never_fails_a_committed_merge(spark, tmp_root, monkeypatch):
+    """Auto-compaction is best-effort follow-up maintenance: once the merge
+    snapshot is published, a compaction crash must not surface as a merge
+    error (the caller would retry/abort a merge that succeeded). The next
+    healthy merge (or explicit compact) folds the backlog."""
+    import datetime as dt
+
+    from pyspark.sql.types import StructType
+
+    from etl_spark.lake.table import LakeTable as LT
+
+    schema = StructType.fromDDL(
+        "event_id bigint, op_ts timestamp, repo string, path string, content string"
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "bf"), schema,
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=1, props={"compact_threshold": "2"},
+    )
+    ts = dt.datetime(2024, 1, 1)
+
+    def b(i):
+        return spark.createDataFrame(
+            [(i, ts + dt.timedelta(seconds=i), "r", f"p{i}", f"v{i}", "I")],
+            "event_id bigint, op_ts timestamp, repo string, path string, "
+            "content string, op string")
+
+    t.merge(b(0), "e:0")
+    t.merge(b(1), "e:1")
+
+    # third merge crosses the threshold; make its compaction blow up
+    def boom(*a, **kw):
+        raise RuntimeError("simulated compaction crash")
+
+    monkeypatch.setattr(LT, "_compact_files", boom)
+    st = t.merge(b(2), "e:2")            # must NOT raise
+    assert st.applied and st.buckets_rewritten == 0
+    assert t.read().count() == 3         # merge itself is durable
+    backlog = max(len(fl) for fl in t.current_snapshot().buckets.values())
+    assert backlog == 3                  # compaction did not run
+
+    # healthy again: the next merge folds the backlog
+    monkeypatch.undo()
+    st = t.merge(b(3), "e:3")
+    assert st.applied and st.buckets_rewritten >= 1
+    assert max(len(fl) for fl in t.current_snapshot().buckets.values()) == 1
+    assert t.read().count() == 4

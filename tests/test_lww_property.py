@@ -66,3 +66,57 @@ def test_maxby_equals_window_equals_python(spark, rows):
         }
         assert (got_a[k]["op"], got_a[k]["content"]) in dup_payloads
         assert (got_b[k]["op"], got_b[k]["content"]) in dup_payloads
+
+
+# ---------------------------------------------------------------- top-k
+
+topk_cands = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),     # q_id
+        st.integers(min_value=0, max_value=40),    # c_id
+        st.integers(min_value=-100, max_value=100),  # sim*100 (int => exact)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def python_topk(rows, k):
+    """Naive oracle: per query, sort candidates by (-sim, c_id), slice k.
+    Duplicate (q,c) pairs keep their best sim (matches distinct candidate
+    generation upstream; the operator itself ranks whatever it is given,
+    so feed it deduped pairs like every caller does)."""
+    best: dict = {}
+    for q, c, s in rows:
+        if (q, c) not in best or s > best[(q, c)]:
+            best[(q, c)] = s
+    per_q: dict = {}
+    for (q, c), s in best.items():
+        per_q.setdefault(q, []).append((-s, c))
+    out = {}
+    for q, lst in per_q.items():
+        lst.sort()
+        out[q] = [(c, -negs, i + 1) for i, (negs, c) in enumerate(lst[:k])]
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(topk_cands, st.integers(min_value=1, max_value=6))
+def test_bounded_topk_equals_naive(spark, rows, k):
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.similarity import bounded_topk
+
+    deduped = python_topk(rows, 10**9)  # dedup only
+    flat = [(q, c, s / 100.0)
+            for q, ranked in deduped.items() for c, s, _ in ranked]
+    df = spark.createDataFrame(flat, "q_id int, c_id int, sim double")
+    got = {}
+    for r in bounded_topk(df, "q_id", "c_id", k, fanout=4).collect():
+        got.setdefault(r["q_id"], []).append((r["c_id"], r["sim"], r["rank"]))
+    want = {q: [(c, s / 100.0, rank) for c, s, rank in ranked]
+            for q, ranked in python_topk(rows, k).items()}
+    for q in want:
+        got[q].sort(key=lambda t: t[2])
+    assert got == want

@@ -169,3 +169,45 @@ def test_wiped_checkpoint_does_not_collide_with_old_manifests(spark, tmp_root):
 
     want = oracle_final_state(events_dir).reset_index(drop=True)
     pd.testing.assert_frame_equal(_state(table), want, check_dtype=False)
+
+
+def test_follow_changes_tails_commits(spark, tmp_root):
+    """CDC-out tail: follow_changes yields each commit range's added rows
+    (tombstones tagged 'D'), surviving interleaved auto-compaction."""
+    import datetime as dt
+
+    from etl_spark.streaming import follow_changes
+
+    schema = StructType.fromDDL(
+        "event_id bigint, op_ts timestamp, repo string, path string, content string"
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "cfeed"), schema,
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=1, props={"compact_threshold": "2"},
+    )
+    ts = dt.datetime(2024, 1, 1)
+
+    def b(i, op="I", content="v"):
+        return spark.createDataFrame(
+            [(i, ts + dt.timedelta(seconds=i), "r", f"p{i % 3}",
+              None if op == "D" else f"{content}{i}", op)],
+            "event_id bigint, op_ts timestamp, repo string, path string, "
+            "content string, op string")
+
+    feed = follow_changes(t, from_version=0, poll_interval=0.01)
+
+    t.merge(b(0), "e:0")   # committed before each next() => yields at once
+    v, df = next(feed)
+    assert v == t.current_version()
+    assert {(r["path"], r["_op"]) for r in df.collect()} == {("p0", "U")}
+
+    # several commits (incl. auto-compaction) land before the next poll:
+    # they arrive as one batch, delete visible as 'D'
+    t.merge(b(1), "e:1")
+    t.merge(b(2), "e:2")               # threshold crossed => compaction too
+    t.merge(b(3, op="D"), "e:3")
+    v, df = next(feed)
+    assert v == t.current_version()
+    got = {(r["event_id"], r["_op"]) for r in df.collect()}
+    assert got == {(1, "U"), (2, "U"), (3, "D")}
