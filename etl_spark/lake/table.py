@@ -397,6 +397,13 @@ class LakeTable:
                 self.bucket_expr(snap).alias("__b")).collect()
         })
         df = self.read(version=version, buckets=want_buckets)
+        # Per-column IN-list predicate (a superset of the exact key set):
+        # pushes to the parquet scan, where the key-sorted file layout
+        # compaction/rebucket produce lets row-group min/max stats skip
+        # most of each bucket. The exact match is the semi join below.
+        if keys and len(keys) <= 1000:
+            for i, c in enumerate(snap.key_cols):
+                df = df.filter(F.col(c).isin([k[i] for k in keys]))
         return df.join(F.broadcast(key_rows), snap.key_cols, "left_semi")
 
     # ---------------------------------------------------------------- MERGE
@@ -615,6 +622,7 @@ class LakeTable:
         new_files, _, _ = self._write_buckets(
             compacted, version, tag="c",
             coarse_metrics=snap.props.get("write_metrics", "full") == "coarse",
+            sort_cols=snap.key_cols,
         )
         return new_files
 
@@ -644,20 +652,68 @@ class LakeTable:
                                   f"compact:{snap.version + 1}", added=[]))
         return len(target)
 
+    def rebucket(self, new_n_buckets: int) -> int:
+        """Rewrite the table into a different bucket count — the growth
+        path when a layout chosen at creation stops fitting the data
+        volume (Iceberg's partition-spec evolution analogue). One atomic
+        commit: every stored row (including tombstones, which must keep
+        suppressing late events) is re-hashed with the new modulus and
+        rewritten; concurrent writers lose the race cleanly via
+        ``CommitConflict`` and retry against the new layout.
+
+        O(table) rewrite by design — schedule it like a full compaction.
+        Returns the new snapshot version."""
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        snap = self.current_snapshot()
+        files = [f for fl in snap.buckets.values() for f in fl]
+        user_cols = [f.name for f in snap.schema.fields]
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        storage = self._read_files(snap, files).select(
+            *user_cols, F.col(META_DELETED).alias(DEL_FLAG)
+        )
+        # resolve LWW while we are rewriting anyway (free compaction)
+        resolved = _lww_rows(
+            storage, snap.key_cols, snap.version_cols, user_cols, types
+        ).withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(*[F.col(c) for c in snap.key_cols]),
+                   F.lit(new_n_buckets)).cast("int"),
+        )
+        coarse = snap.props.get("write_metrics", "full") == "coarse"
+        new_files, _, _ = self._write_buckets(
+            resolved, snap.version + 1, tag="r", coarse_metrics=coarse,
+            sort_cols=snap.key_cols,
+        )
+        child = self._child(snap, snap.schema, new_files,
+                            f"rebucket:{snap.version + 1}", added=[])
+        child.n_buckets = new_n_buckets
+        self._publish(child)
+        return child.version
+
     def _write_buckets(
         self, merged: DataFrame, version: int, tag: str = "",
         coarse_metrics: bool = False,
+        sort_cols: list[str] | None = None,
     ) -> tuple[dict[int, list[str]], int, int]:
         """Write per-bucket parquet files; return bucket→relative paths.
 
         ``coarse_metrics`` skips the per-bucket row-count job (lineage then
         reports files/bytes only, rows_written = -1) — the write-optimized
         setting for throughput-critical CDC tails where per-commit row
-        lineage is not worth one extra (metadata-only) job per merge."""
+        lineage is not worth one extra (metadata-only) job per merge.
+
+        ``sort_cols`` clusters rows within each bucket file before writing
+        (parquet row-group min/max stats then prune point lookups inside a
+        bucket). Compaction/rebucket pass the key columns; the merge hot
+        path stays unsorted — background rewrites pay the sort, not the
+        ingest tail."""
         staging = os.path.join(self.path, _DATA_DIR, f".stage-v{version}-{uuid.uuid4().hex}")
+        shaped = merged.repartition(F.col(BUCKET_COL))
+        if sort_cols:
+            shaped = shaped.sortWithinPartitions(*sort_cols)
         (
-            merged.repartition(F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
+            shaped.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(staging)
         )

@@ -7,7 +7,7 @@ Ship as:
     spark-submit --py-files dist/etl_spark.zip \
         jobs/maintenance_job.py --table-path TBL \
         [--compact] [--expire-keep-last N] \
-        [--vacuum-older-than-sec S] \
+        [--vacuum-older-than-sec S] [--rebucket N] \
         [--expire-tombstones-before 2024-01-01T00:00:00]
 
 Run it on a schedule beside the replay job (the reference's analogue is
@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--vacuum-older-than-sec", type=float, default=None,
                     help="delete unreferenced data files older than this "
                          "grace window (e.g. 3600)")
+    ap.add_argument("--rebucket", type=int, default=None,
+                    help="rewrite the table into this bucket count "
+                         "(O(table); layout evolution)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +52,9 @@ def main() -> None:
     report: dict = {"table": args.table_path,
                     "version_before": table.current_version()}
 
+    if args.rebucket is not None:
+        report["rebucketed_to"] = args.rebucket
+        table.rebucket(args.rebucket)
     if args.compact:
         wm = (dt.datetime.fromisoformat(args.expire_tombstones_before)
               if args.expire_tombstones_before else None)

@@ -243,3 +243,61 @@ def test_compaction_failure_never_fails_a_committed_merge(spark, tmp_root, monke
     assert st.applied and st.buckets_rewritten >= 1
     assert max(len(fl) for fl in t.current_snapshot().buckets.values()) == 1
     assert t.read().count() == 4
+
+
+def test_rebucket_rescales_layout(spark, tmp_root):
+    """Bucket-count evolution: rebucket() rewrites the table into a new
+    modulus in one atomic commit — same live rows, tombstones preserved,
+    lookup pruning works against the new layout, exactly-once ledger
+    intact, change feed unaffected (a rewrite adds no changes)."""
+    import datetime as dt
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(
+        "event_id bigint, op_ts timestamp, repo string, path string, content string"
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "rb"), schema,
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=2, props={"compact_threshold": "999"},
+    )
+    ts = dt.datetime(2024, 1, 1)
+    rows = [(i, ts + dt.timedelta(seconds=i), f"r{i % 5}", f"p{i}", f"v{i}", "I")
+            for i in range(60)]
+    t.merge(spark.createDataFrame(
+        rows, "event_id bigint, op_ts timestamp, repo string, path string, "
+              "content string, op string"), "e:0")
+    t.merge(spark.createDataFrame(
+        [(100, ts + dt.timedelta(hours=1), "r1", "p1", None, "D")],
+        "event_id bigint, op_ts timestamp, repo string, path string, "
+        "content string, op string"), "e:1")
+    before = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    feed_before = t.changes(0).count()
+
+    v = t.rebucket(16)
+    snap = t.current_snapshot()
+    assert snap.version == v and snap.n_buckets == 16
+    assert set(snap.buckets) <= set(range(16)) and len(snap.buckets) > 2
+    assert all(len(fl) == 1 for fl in snap.buckets.values())  # compacted too
+
+    after = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    assert after == before
+    # tombstone survived the rewrite: a LATE older event still loses
+    t.merge(spark.createDataFrame(
+        [(99, ts + dt.timedelta(minutes=30), "r1", "p1", "late", "I")],
+        "event_id bigint, op_ts timestamp, repo string, path string, "
+        "content string, op string"), "e:2")
+    assert ("r1", "p1") not in {
+        (r["repo"], r["path"]) for r in t.read().collect()
+    }
+    # point lookups prune against the NEW modulus
+    got = {(r["repo"], r["path"]): r["content"]
+           for r in t.lookup([("r2", "p2"), ("r0", "p5")]).collect()}
+    assert got == {("r2", "p2"): "v2", ("r0", "p5"): "v5"}
+    # rewrite added no changes to the feed; idempotence ledger intact
+    assert t.changes(0).count() == feed_before + 1  # only e:2 added rows
+    assert not t.merge(spark.createDataFrame(
+        [(0, ts, "rX", "pX", "dup", "I")],
+        "event_id bigint, op_ts timestamp, repo string, path string, "
+        "content string, op string"), "e:0").applied
