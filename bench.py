@@ -100,14 +100,18 @@ BENCH_QUERIES = [
     "cdc_replay_final_state",
     "depara_projection",
     "dim_broadcast_enrich",
+    "asof_join_rules",
     "pricing_summary",
     "melt_metrics",
+    "session_windows",
     "dedup_exact",
     "minhash_lsh_buckets",
+    "ngram_jaccard",
     "simhash_groups",
     "text_quality",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_multiprobe",
 ]
 
 
