@@ -27,6 +27,7 @@ from etl_spark.functions.text import tokens, word_shingles
 __all__ = [
     "exact_dedup_groups", "minhash_signature", "lsh_buckets",
     "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash", "simhash_groups",
+    "connected_components", "connected_components_star",
 ]
 
 
@@ -198,6 +199,102 @@ def connected_components(
             "(graph diameter exceeds max_iter); raise max_iter"
         )
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_rounds: int = 30
+) -> DataFrame:
+    """Connected components by alternating **large-star / small-star
+    contraction** (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — converges in O(log n) rounds regardless of graph diameter,
+    where min-label propagation needs O(diameter). Use this when component
+    chains can be long (transitive near-dup chains at corpus scale);
+    :func:`connected_components` remains for small-diameter graphs.
+
+    Each round is two groupBy-min + join passes over the edge set, with
+    the edge set shrinking toward star graphs (every node pointing at its
+    component minimum). The driver only checks an (edge-count, checksum)
+    fixpoint per round; lineage is truncated with localCheckpoint.
+
+    Returns (node, component) where component = min node id reachable.
+    """
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent, overflow-free under ANSI mode
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = None
+    for _ in range(max_rounds):
+        # LARGE-STAR: per node u, attach every strictly-larger neighbour
+        # to m = min(Γ(u) ∪ {u})
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("mv", F.col("u")).alias("m")
+        )
+        e = (
+            nbrs.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR: per node u, attach u and its ≤-neighbours to their min
+        le = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = le.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            le.join(mins, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("v"),
+                    F.col("u").alias("self"))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("x").alias("u"), F.col("v")),
+                        F.struct(F.col("self").alias("u"), F.col("v")),
+                    )
+                ).alias("ed")
+            )
+            .select(F.col("ed.u").alias("u"), F.col("ed.v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    # fixpoint: e is a star forest (u -> component min); roots map to selves
+    labels = e.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
+    return (
+        all_nodes.join(labels, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )
 
 
 def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhash") -> DataFrame:

@@ -704,16 +704,17 @@ WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components over the Jaccard-verified
-    LSH candidate pairs (iterative min-label propagation — the one
-    genuinely iterative algorithm in the engine; verified against a
-    recursive-CTE closure)."""
-    from etl_spark.operators.dedup import connected_components
+    LSH candidate pairs via large-star/small-star contraction (O(log n)
+    rounds regardless of component diameter — the corpus-scale algorithm;
+    min-label propagation remains available for tiny-diameter graphs);
+    verified against a recursive-CTE closure."""
+    from etl_spark.operators.dedup import connected_components_star
 
     d = _t(spark, sf_dir, "documents")
     pairs = _lsh_pairs(d)
     edges = ngram_jaccard_pairs(d, pairs, "doc_id", "text", shingle_k=3,
                                 threshold=0.15).select("a", "b")
-    return connected_components(edges)
+    return connected_components_star(edges)
 
 
 SQL_DEDUP_CLUSTERS = f"""

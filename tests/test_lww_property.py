@@ -120,3 +120,57 @@ def test_bounded_topk_equals_naive(spark, rows, k):
     for q in want:
         got[q].sort(key=lambda t: t[2])
     assert got == want
+
+
+# ------------------------------------------------- connected components
+
+edge_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=25),
+              st.integers(min_value=0, max_value=25)),
+    min_size=1, max_size=40,
+).map(lambda es: [(x, y) for x, y in es if x != y]).filter(len)
+
+
+def python_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    # canonical label = min of each component
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: root for root, ns in comp.items() for n in ns}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edge_lists)
+def test_star_contraction_equals_union_find(spark, edges):
+    from etl_spark.operators.dedup import connected_components_star
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(df).collect()}
+    assert got == python_components(edges)
+
+
+def test_star_contraction_handles_long_chain(spark):
+    """A path graph of diameter 40 — the case O(diameter) label
+    propagation needs 40 rounds for — converges in O(log n) star rounds."""
+    from etl_spark.operators.dedup import connected_components_star
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(df).collect()}
+    assert got == {i: 0 for i in range(41)}
