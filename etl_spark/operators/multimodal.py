@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -33,7 +34,8 @@ from pyspark.sql.types import (
 
 __all__ = [
     "with_binary_payload", "decode_kernel", "extract_media_features",
-    "MEDIA_FEATURE_SCHEMA",
+    "resize_kernel", "resize_media", "frame_sample_kernel", "sample_frames",
+    "MEDIA_FEATURE_SCHEMA", "RESIZED_SCHEMA", "FRAME_SCHEMA",
 ]
 
 MEDIA_FEATURE_SCHEMA = StructType(
@@ -111,3 +113,132 @@ def extract_media_features(
             )
 
     return src.mapInPandas(run, MEDIA_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("decoder", StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("frame", BinaryType(), False),
+        StructField("decoder", StringType(), False),
+    ]
+)
+
+
+def resize_kernel(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize entry point — intentionally unimplemented (no PIL/vips
+    in this container). Swap in the codec here."""
+    raise NotImplementedError(
+        "media resize requires an image library not present in this "
+        "environment; resize_media falls back to the deterministic fake"
+    )
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-batched binary→binary resize stage (image normalization for a
+    training pipeline). Real plumbing — schema, batch shape, partition
+    balancing — with the codec stubbed: the fake output payload is the
+    sha256 of (input payload, target dims), deterministic and clearly not
+    an image."""
+    src = df.select(id_col, payload_col)
+    if target_partitions:
+        src = src.repartition(target_partitions, F.col(id_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            decoder = "real"
+            for b in pdf[payload_col]:
+                raw = bytes(b)
+                try:
+                    out.append(resize_kernel(raw, width, height))
+                except NotImplementedError:
+                    decoder = "stub-deterministic-fake"
+                    out.append(hashlib.sha256(
+                        raw + f"|resize:{width}x{height}".encode()).digest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": out,
+                    "width": pd.array([width] * len(out), dtype="int32"),
+                    "height": pd.array([height] * len(out), dtype="int32"),
+                    "decoder": decoder,
+                }
+            )
+
+    return src.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def frame_sample_kernel(payload: bytes, every_ms: int) -> list[bytes]:
+    """REAL frame-extraction entry point — intentionally unimplemented
+    (no ffmpeg in this container)."""
+    raise NotImplementedError(
+        "frame sampling requires ffmpeg, not present in this environment; "
+        "sample_frames falls back to the deterministic fake"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_partitions: int | None = None,
+) -> DataFrame:
+    """Video → sampled frames as a 1:N Arrow ``mapInPandas`` stage (the
+    kernel yields several output rows per input row — the frame fan-out a
+    video curation pipeline needs). Stubbed codec: the fake samples
+    1 + (n_bytes mod 4) frames, each frame payload = sha256(payload, idx),
+    timestamps at ``every_ms`` spacing — deterministic, schema-true."""
+    src = df.select(id_col, payload_col)
+    if target_partitions:
+        src = src.repartition(target_partitions, F.col(id_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames, decs = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(b)
+                try:
+                    fs = frame_sample_kernel(raw, every_ms)
+                    dec = "real"
+                except NotImplementedError:
+                    n = 1 + len(raw) % 4
+                    fs = [hashlib.sha256(raw + f"|frame:{j}".encode()).digest()
+                          for j in range(n)]
+                    dec = "stub-deterministic-fake"
+                for j, fr in enumerate(fs):
+                    ids.append(int(i))
+                    idxs.append(j)
+                    tss.append(j * every_ms)
+                    frames.append(fr)
+                    decs.append(dec)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "ts_ms": pd.array(tss, dtype="int64"),
+                    "frame": frames,
+                    "decoder": decs,
+                }
+            )
+
+    return src.mapInPandas(run, FRAME_SCHEMA)

@@ -913,6 +913,31 @@ FROM documents
 """
 
 
+def q_frame_sample(spark, sf_dir):
+    """Multimodal 1:N fan-out gate: binary payloads through the
+    frame-sampling ``mapInPandas`` stage (stub codec — deterministic fake
+    frames), frame digests compared hex-exact against a SQL oracle that
+    replays the fake's arithmetic. Proves the Arrow plumbing (binary in,
+    N rows out, typed metadata) end to end."""
+    from etl_spark.operators.multimodal import sample_frames, with_binary_payload
+
+    d = _t(spark, sf_dir, "documents")
+    frames = sample_frames(with_binary_payload(d), every_ms=1000)
+    return frames.select(
+        "doc_id", "frame_idx", "ts_ms",
+        F.lower(F.hex("frame")).alias("frame_digest"),
+    )
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
+       CAST(j * 1000 AS BIGINT) AS ts_ms,
+       sha256(text || '|frame:' || CAST(j AS VARCHAR)) AS frame_digest
+FROM documents,
+     LATERAL (SELECT unnest(range(0, 1 + strlen(text) % 4)) AS j) r
+"""
+
+
 # -------------------------------------------------- similarity search
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -1611,6 +1636,7 @@ QUERIES = {
     "text_ratios": q_text_ratios,
     "value_percentiles": q_value_percentiles,
     "multimodal_metadata": q_multimodal_metadata,
+    "frame_sample": q_frame_sample,
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
@@ -1662,6 +1688,7 @@ ORACLES = {
     "text_ratios": SQL_TEXT_RATIOS,
     "value_percentiles": SQL_VALUE_PERCENTILES,
     "multimodal_metadata": SQL_MULTIMODAL,
+    "frame_sample": SQL_FRAME_SAMPLE,
     "ann_bruteforce": SQL_ANN_BRUTE,
     "embedding_neardup": SQL_EMBED_NEARDUP,
     "ann_lsh": SQL_ANN_LSH,

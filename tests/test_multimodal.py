@@ -41,3 +41,50 @@ def test_extract_media_features(spark, sf_dir="/root/testdata/sf0.001"):
     jvm = {x["doc_id"]: x["d"] for x in payloads.select(
         "doc_id", F.sha2(F.col("payload"), 256).alias("d")).collect()}
     assert all(jvm[x["doc_id"]] == x["digest"] for x in rows)
+
+
+def test_resize_media_stub_plumbing(spark, sf_dir="/root/testdata/sf0.001"):
+    import hashlib
+
+    from etl_spark.operators.multimodal import resize_kernel, resize_media
+
+    with pytest.raises(NotImplementedError):
+        resize_kernel(b"\x89PNG", 224, 224)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    payloads = with_binary_payload(docs)
+    out = resize_media(payloads, 224, 224, target_partitions=4)
+    assert dict(out.dtypes)["payload"] == "binary"
+    rows = out.collect()
+    assert len(rows) == 20
+    src = {r["doc_id"]: bytes(r["payload"]) for r in payloads.collect()}
+    for r in rows:
+        assert (r["width"], r["height"]) == (224, 224)
+        assert r["decoder"] == "stub-deterministic-fake"
+        want = hashlib.sha256(src[r["doc_id"]] + b"|resize:224x224").digest()
+        assert bytes(r["payload"]) == want
+
+
+def test_sample_frames_fan_out(spark, sf_dir="/root/testdata/sf0.001"):
+    import hashlib
+
+    from etl_spark.operators.multimodal import frame_sample_kernel, sample_frames
+
+    with pytest.raises(NotImplementedError):
+        frame_sample_kernel(b"\x00video", 1000)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    payloads = with_binary_payload(docs)
+    frames = sample_frames(payloads, every_ms=500, target_partitions=4)
+    rows = frames.collect()
+    src = {r["doc_id"]: bytes(r["payload"]) for r in payloads.collect()}
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, raw in src.items():
+        fs = sorted(per_doc[doc_id], key=lambda r: r["frame_idx"])
+        assert len(fs) == 1 + len(raw) % 4          # deterministic fan-out
+        for j, fr in enumerate(fs):
+            assert fr["frame_idx"] == j and fr["ts_ms"] == j * 500
+            want = hashlib.sha256(raw + f"|frame:{j}".encode()).digest()
+            assert bytes(fr["frame"]) == want
