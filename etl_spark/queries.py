@@ -132,6 +132,51 @@ FROM (
 """
 
 
+def q_cdc_point_lookup(spark, sf_dir):
+    """Bucket-pruned point lookup against a replayed LakeTable (the
+    reference's memoized per-key dim SELECTs at lake scale,
+    geografias.py:78-97): a k-key lookup hashes the keys driver-side,
+    reads ONLY their buckets, pushes an IN-list predicate to the parquet
+    scan (row-group pruning via the key-sorted compacted layout), then
+    exact-matches with a broadcast semi join."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(2)).cast("long").alias("epoch"),
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_lookup_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, _ = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=16,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+    )
+    table.compact()  # key-sorted single-file buckets => row-group pruning
+    keys = [(uid,) for uid in (3, 13, 23, 33, 43, 53, 63, 73)]
+    return table.lookup(keys).select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+SQL_POINT_LOOKUP = """
+SELECT user_id, event_id, ts, event_type, value, props
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id % 10 = 3
+) WHERE rn = 1 AND event_type <> 'error'
+  AND user_id IN (3, 13, 23, 33, 43, 53, 63, 73)
+"""
+
+
 # -------------------------------------------------------- M1: transforms
 
 DE_PARA_LINEITEM = {
@@ -1607,6 +1652,7 @@ SQL_LWW_COMPACT_PARITY = SQL_CDC_LWW
 QUERIES = {
     "cdc_lww_latest_state": q_cdc_lww_latest_state,
     "cdc_replay_final_state": q_cdc_replay_final_state,
+    "cdc_point_lookup": q_cdc_point_lookup,
     "depara_projection": q_depara_projection,
     "cleaning_sentinels": q_cleaning_sentinels,
     "date_roundtrip": q_date_roundtrip,
@@ -1659,6 +1705,7 @@ QUERIES = {
 ORACLES = {
     "cdc_lww_latest_state": SQL_CDC_LWW,
     "cdc_replay_final_state": SQL_CDC_REPLAY,
+    "cdc_point_lookup": SQL_POINT_LOOKUP,
     "depara_projection": SQL_DEPARA,
     "cleaning_sentinels": SQL_CLEANING,
     "date_roundtrip": SQL_DATES,
