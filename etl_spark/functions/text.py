@@ -59,11 +59,18 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
 
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct character n-grams of the string."""
+    """Distinct character n-grams of the string; empty array when the
+    string is shorter than ``n`` (``F.sequence(1, 0)`` counts DOWN —
+    without the guard a short string emits itself as a phantom n-gram)."""
     c = _c(col)
     ln = F.length(c)
-    idx = F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+    idx = F.sequence(F.lit(1), ln - F.lit(n - 1))
+    grams = F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("array<string>"))
+        .when(ln >= n, grams)
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def punct_ratio(col: Column | str) -> Column:

@@ -134,22 +134,26 @@ class Snapshot:
     added: list[str] | None = None  # data files ADDED by this commit (change
     #   provenance for changes(); [] for compaction/maintenance commits;
     #   None only for pre-provenance snapshots => fall back to file diffing)
-    applied_watermarks: dict[str, int] = field(default_factory=dict)
-    #   prefix -> highest seq evicted from the bounded `applied` window; a
-    #   key "prefix:seq" with seq <= watermark counts as applied (valid
-    #   because sequence-keyed manifests commit in non-decreasing order:
-    #   replay sorts epochs, streaming batch ids are monotonic)
+    applied_watermarks: dict[str, list[int]] = field(default_factory=dict)
+    #   prefix -> [lo, hi]: a CONTIGUOUS range of seqs folded out of the
+    #   bounded `applied` window ("prefix:seq" with lo <= seq <= hi is
+    #   applied). Ranges only ever grow by exactly-adjacent seqs, so a
+    #   never-committed gap/backfill seq can NEVER be claimed applied (a
+    #   false positive would silently drop its rows); an evicted key that
+    #   is not adjacent stays in the window instead. A false negative is
+    #   merely wasteful: re-merging an applied batch is LWW-idempotent.
     applied_count: int = 0          # total manifest keys ever applied
 
     def has_applied(self, manifest_key: str) -> bool:
         """Exactly-once membership: the bounded recent window, then the
-        per-prefix high-watermark for sequence-shaped keys ('name:123')."""
+        per-prefix contiguous folded range for sequence-shaped keys
+        ('name:123')."""
         if manifest_key in self.applied:
             return True
         prefix, _, seq = manifest_key.rpartition(":")
         if prefix and seq.isdigit():
-            wm = self.applied_watermarks.get(prefix)
-            return wm is not None and int(seq) <= wm
+            rng = self.applied_watermarks.get(prefix)
+            return rng is not None and rng[0] <= int(seq) <= rng[1]
         return False
 
     def to_json(self) -> str:
@@ -189,7 +193,12 @@ class Snapshot:
             props=d.get("props", {}),
             nonunique=d.get("nonunique", []),
             added=d.get("added"),
-            applied_watermarks=d.get("applied_watermarks", {}),
+            applied_watermarks={
+                # pre-range snapshots stored a bare high-watermark meaning
+                # "0..wm applied" (engine sequences start at 0)
+                k: (list(v) if isinstance(v, list) else [0, int(v)])
+                for k, v in d.get("applied_watermarks", {}).items()
+            },
             applied_count=d.get("applied_count", len(d["applied"])),
         )
 
@@ -785,16 +794,28 @@ class LakeTable:
         # metadata should use 'name:seq' keys (the engine always does).
         window = int(snap.props.get("manifest_window", "512"))
         applied = snap.applied + [manifest_key]
-        watermarks = dict(snap.applied_watermarks)
+        watermarks = {k: list(v) for k, v in snap.applied_watermarks.items()}
         if len(applied) > window:
             kept: list[str] = []
             overflow = len(applied) - window
-            for i, key in enumerate(applied):
-                prefix, _, seq = key.rpartition(":")
-                if i < overflow and prefix and seq.isdigit():
-                    watermarks[prefix] = max(watermarks.get(prefix, -1), int(seq))
-                else:
-                    kept.append(key)
+            folded = 0
+            for key in applied:  # oldest first
+                if folded < overflow:
+                    prefix, _, seq = key.rpartition(":")
+                    if prefix and seq.isdigit():
+                        s = int(seq)
+                        rng = watermarks.get(prefix)
+                        if rng is None:
+                            watermarks[prefix] = [s, s]
+                            folded += 1
+                            continue
+                        if s == rng[1] + 1 or rng[0] <= s <= rng[1]:
+                            rng[1] = max(rng[1], s)
+                            folded += 1
+                            continue
+                        # non-adjacent (gap) seq: folding it would make the
+                        # range claim seqs that never committed — keep it
+                kept.append(key)
             applied = kept
         return Snapshot(
             version=snap.version + 1,
@@ -849,7 +870,13 @@ class LakeTable:
         snapshot until ``expire_snapshots`` drops it, which is the bound on
         how far back a change feed can start. (Under copy-on-write the
         added files are whole rewritten buckets, so the feed
-        over-approximates; use MoR for change feeds.)"""
+        over-approximates; use MoR for change feeds.)
+
+        With ``batch_dedup=false`` (write-optimized) deltas land raw, so
+        the feed may carry several versions of a key per range; every row
+        still carries the version columns, so a consumer applies the same
+        LWW reduction this table's reads do (or replays into another
+        LakeTable, whose merge does it for free)."""
         if to_version is None:
             to_version = self.current_version()
         snap_to = self.snapshot(to_version)

@@ -218,17 +218,17 @@ def connected_components_star(
 
     Returns (node, component) where component = min node id reachable.
     """
-    e = (
-        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    raw = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # node universe BEFORE dropping self-loops: a node whose only pair is
+    # reflexive is a singleton component, not absent (parity with
+    # connected_components)
     all_nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e = raw.filter(F.col("u") != F.col("v")).distinct()
 
     def _sig(df):
         row = df.agg(

@@ -121,8 +121,6 @@ def period_lead(
     control-plane dim (hundreds of rows — the reference caches 60 in an
     lru_cache), so the single-task sort is trivial; the enriched dim is
     then broadcast against facts. Never point this at a fact table."""
-    from pyspark.sql.window import Window
-
     out_col = out_col or f"next_{period_col}"
     w = Window.orderBy(F.col(period_col))
     return dim.withColumn(out_col, F.lead(period_col).over(w))

@@ -70,8 +70,12 @@ def read_report_csv(
             spark.read.options(sep=sep, encoding=encoding, header="false",
                                mode="PERMISSIVE")
             .schema(wide).csv(path)
+            # single frozen partition => _rid is a stable file-order row
+            # number across the header collect and the body scan
+            .coalesce(1)
             .withColumn("_rid", F.monotonically_increasing_id())
             .filter(F.col("_rid") >= skip_leading)
+            .localCheckpoint(eager=True)
         )
         if header:
             hdr = raw.orderBy("_rid").limit(1).collect()[0]
@@ -137,16 +141,19 @@ def pandas_style_headers(names: list[str | None]) -> list[str]:
     ``Unnamed: {i}``; a repeated header gets ``.1``, ``.2``... suffixes
     (``AJUSTE*``, ``AJUSTE*.1``)."""
     out: list[str] = []
-    seen: dict[str, int] = {}
+    used: set[str] = set()
+    counts: dict[str, int] = {}
     for i, raw in enumerate(names):
         name = (raw or "").strip()
         if not name:
             name = f"Unnamed: {i}"
-        if name in seen:
-            seen[name] += 1
-            name = f"{name}.{seen[name]}"
-        else:
-            seen[name] = 0
+        base = name
+        # keep suffixing until unique — a literal 'X.1' header coexisting
+        # with duplicate 'X' headers must not collide with the mangled one
+        while name in used:
+            counts[base] = counts.get(base, 0) + 1
+            name = f"{base}.{counts[base]}"
+        used.add(name)
         out.append(name)
     return out
 
@@ -173,18 +180,28 @@ def read_converted_sheet_csv(
         spark.read.options(sep=sep, encoding=encoding, header="false",
                            mode="PERMISSIVE")
         .schema(wide).csv(path)
+        # one partition + materialize: monotonically_increasing_id is only
+        # a stable file-order row number within a single frozen partition
+        # (these are control-plane-sized converted report sheets)
+        .coalesce(1)
         .withColumn("_rid", F.monotonically_increasing_id())
         .filter(F.col("_rid") >= header_row)
+        .localCheckpoint(eager=True)
     )
-    first_two = raw.orderBy("_rid").limit(2).collect()
-    hdr = first_two[0]
-    # width includes trailing BLANK headers that still carry data (they
-    # become 'Unnamed: N' — the whole point): probe the first data row too
-    width = max(
-        (i + 1 for row in first_two for i in range(64)
-         if row[f"_c{i}"] is not None),
-        default=0,
+    hdr_rows = raw.orderBy("_rid").limit(1).collect()
+    if not hdr_rows:
+        raise ValueError(
+            f"{path}: no header row at index {header_row} (file too short)"
+        )
+    hdr = hdr_rows[0]
+    # width includes trailing BLANK headers that still carry data in ANY
+    # row (they become 'Unnamed: N' — the whole point): probe every row,
+    # not just the first, so a leading null cell can't truncate a column
+    width_of_row = F.greatest(
+        *[F.when(F.col(f"_c{i}").isNotNull(), F.lit(i + 1)).otherwise(F.lit(0))
+          for i in range(64)]
     )
+    width = raw.agg(F.max(width_of_row)).collect()[0][0] or 0
     names = pandas_style_headers([hdr[f"_c{i}"] for i in range(width)])
     body = raw.filter(F.col("_rid") > hdr["_rid"])
     df = body.select(

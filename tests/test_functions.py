@@ -131,3 +131,18 @@ def test_roman_month_codes(spark):
     assert one(spark, month_pt_to_num("x"), x="febuary") is None
     assert one(spark, valid_code_array("x"), x="causa: X65.2 / b24; X652!") == "{X652,B24}"
     assert one(spark, valid_code_array("x"), x="nada") == "{}"
+
+
+def test_char_ngrams_short_strings(spark):
+    from etl_spark.functions import char_ngrams
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("",), ("a",), ("ab",), ("abc",), ("abca",), (None,)], "x string"
+    )
+    got = {r["x"]: r["g"] for r in df.select(
+        "x", char_ngrams("x", 3).alias("g")).collect()}
+    assert got[""] == [] and got["a"] == [] and got["ab"] == []
+    assert got["abc"] == ["abc"]
+    assert sorted(got["abca"]) == ["abc", "bca"]
+    assert got[None] is None

@@ -174,3 +174,20 @@ def test_star_contraction_handles_long_chain(spark):
     got = {r["node"]: r["component"]
            for r in connected_components_star(df).collect()}
     assert got == {i: 0 for i in range(41)}
+
+
+def test_star_contraction_keeps_self_loop_singletons(spark):
+    """A node whose only pair is reflexive is a singleton component —
+    present in the output, like connected_components (not dropped)."""
+    from etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame([(5, 5), (1, 2)], "a long, b long")
+    star = {r["node"]: r["component"]
+            for r in connected_components_star(df).collect()}
+    prop = {r["node"]: r["component"]
+            for r in connected_components(df).collect()}
+    assert star == {5: 5, 1: 1, 2: 1}
+    assert star == prop

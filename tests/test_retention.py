@@ -159,13 +159,28 @@ def test_manifest_window_and_watermark_bound_metadata(spark, tmp_root):
     snap = t.current_snapshot()
     assert len(snap.applied) <= 16
     assert snap.applied_count == 200
-    assert snap.applied_watermarks["m"] == 199 - 16
+    assert snap.applied_watermarks["m"] == [0, 199 - 16]
     for key, want in [("m:0", True), ("m:100", True), ("m:199", True),
                       ("m:200", False), ("other:5", False), ("m", False)]:
         assert snap.has_applied(key) is want, key
-    # merge() respects the watermark: an ancient key is a no-op
+    # merge() respects the folded range: an ancient key is a no-op
     st = t.merge(_batch(spark, (1, TS, "r", "p", "v", "I")), "m:3")
     assert not st.applied
+
+    # a GAP sequence must never be folded into the range (a false
+    # positive would silently drop a backfill batch): commit a sparse
+    # prefix, roll the window, and check the gaps stay un-applied
+    for s in (10, 11, 40, 41):
+        cur = t.current_snapshot()
+        t._publish(t._child(cur, cur.schema, cur.buckets, f"g:{s}", added=[]))
+    for i in range(40):  # force eviction pressure
+        cur = t.current_snapshot()
+        t._publish(t._child(cur, cur.schema, cur.buckets, f"m:{200 + i}",
+                            added=[]))
+    snap = t.current_snapshot()
+    assert snap.has_applied("g:10") and snap.has_applied("g:41")
+    for gap in ("g:9", "g:12", "g:25", "g:39", "g:42"):
+        assert not snap.has_applied(gap), gap
 
 
 def test_vacuum_grace_window_protects_inflight_files(spark, tmp_root):

@@ -68,6 +68,8 @@ def test_pandas_style_headers():
     )
     assert got == ["Cod", "AJUSTE*", "Unnamed: 2", "AJUSTE*.1", "Unnamed: 4",
                    "Valor Total do Custeio"]
+    # a literal 'X.1' header must not collide with the mangled duplicate
+    assert pandas_style_headers(["A", "A.1", "A"]) == ["A", "A.1", "A.2"]
 
 
 def test_read_converted_sheet_csv(spark, tmp_root):
@@ -82,7 +84,7 @@ def test_read_converted_sheet_csv(spark, tmp_root):
         "Competência: 2024-01,,,\n"
         ",,,\n"
         "UF,AJUSTE*,AJUSTE*,\n"
-        "SP,10,20,30\n"
+        "SP,10,20,\n"
         "RJ,1,2,3\n"
     )
     path = os.path.join(tmp_root, "acoes_sb.csv")
@@ -100,7 +102,9 @@ def test_read_converted_sheet_csv(spark, tmp_root):
                           "pagamento_adicional_uom", "pagamento_desconto"]
     got = {r["UF"]: (r["pagamento_esb_adicional"], r["pagamento_adicional_uom"],
                      r["pagamento_desconto"]) for r in df.collect()}
-    assert got == {"SP": ("10", "20", "30"), "RJ": ("1", "2", "3")}
+    # SP's blank 4th cell must not truncate the 'Unnamed: 3' column away —
+    # RJ's value under the blank header survives
+    assert got == {"SP": ("10", "20", None), "RJ": ("1", "2", "3")}
 
 
 def test_with_retries_recovers_and_propagates():
