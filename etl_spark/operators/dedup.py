@@ -45,24 +45,57 @@ def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFram
     )
 
 
+def minhash_xor_salt(i: int) -> int:
+    """Deterministic 60-bit XOR constant for min-hash family member ``i``
+    (golden-ratio Weyl sequence — reproducible as a SQL literal)."""
+    return (i * 0x9E3779B97F4A7C15 + 0x5851F42D4C957F2D) % (1 << 60)
+
+
 def minhash_signature(
     df: DataFrame, text_col: str, num_hashes: int = 16, shingle_k: int = 3,
     out_col: str = "minhash",
 ) -> DataFrame:
     """Append an array<long> MinHash signature per row.
 
-    Hash family i = portable_hash60("{i}|" + shingle); signature[i] is the
-    min over the document's distinct word shingles. Pure per-row expression:
-    generation shuffles nothing and parallelizes embarrassingly."""
-    sh = word_shingles(text_col, shingle_k)
+    Each distinct shingle is md5-hashed ONCE (``portable_hash60``); family
+    member i is the XOR-permutation ``h ⊕ salt_i`` (the standard
+    cheap-family construction — one cryptographic hash per shingle instead
+    of ``num_hashes``, which measured 16× less hashing on long documents).
+    signature[i] = min over the document's shingles. Pure per-row
+    expression: no shuffle, embarrassingly parallel, and bit-reproducible
+    in the DuckDB oracle (xor of the same 60-bit values).
+
+    Both the shingle array and its hashed form are materialized once per
+    row through a generator stage — a bare Project alias would be inlined
+    into every one of the ``num_hashes`` consuming expressions by the
+    optimizer, re-tokenizing the document N times."""
+    packed = df.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.struct(*[F.col(c) for c in df.columns]).alias("__row"),
+                    F.transform(
+                        word_shingles(text_col, shingle_k),
+                        lambda s: portable_hash60(s),
+                    ).alias("__hs"),
+                )
+            )
+        )
+    )
 
     def _minhash(i: int):
+        salt = F.lit(minhash_xor_salt(i))
         # one-arg closure (a `i=i` default would make pyspark treat the
         # lambda as binary and feed the array index as `i`)
-        return F.array_min(F.transform(sh, lambda s: portable_hash60(s, salt=i)))
+        return F.array_min(
+            F.transform(F.col("__hs"), lambda h: h.bitwiseXOR(salt))
+        )
 
     sig = F.array(*[_minhash(i) for i in range(num_hashes)])
-    return df.withColumn(out_col, sig)
+    return packed.select(
+        *[F.col(f"__row.{c}").alias(c) for c in df.columns],
+        sig.alias(out_col),
+    )
 
 
 def lsh_buckets(
@@ -119,13 +152,29 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.0,
+    restrict_to_candidates: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs.
 
     ``pairs`` has columns (a, b); the shingle sets are joined in twice
     (broadcast when small). Output: (a, b, jaccard) with jaccard rounded to
-    6 dp for engine-portable comparison."""
-    sets_ = df.select(
+    6 dp for engine-portable comparison.
+
+    ``restrict_to_candidates`` (default) semi-joins the corpus down to ids
+    that appear in ``pairs`` BEFORE computing the (expensive, wide) shingle
+    arrays — candidates are a near-linear sliver of the corpus, so the
+    exact-verification stage shouldn't tokenize everything. Callers should
+    pass a materialized ``pairs`` (e.g. localCheckpoint) — it is consumed
+    three times here."""
+    src = df
+    if restrict_to_candidates:
+        ids = (
+            pairs.select(F.col("a").alias(id_col))
+            .unionByName(pairs.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        src = df.join(ids, id_col, "left_semi")
+    sets_ = src.select(
         F.col(id_col).alias("__id"), word_shingles(text_col, shingle_k).alias("__sh")
     )
     j = (
@@ -228,7 +277,12 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e = raw.filter(F.col("u") != F.col("v")).distinct()
+    e = (
+        raw.filter(F.col("u") != F.col("v")).distinct()
+        # materialize: the candidate-pair pipeline feeding this is often
+        # expensive and `e` is consumed twice per round (both orientations)
+        .localCheckpoint(eager=True)
+    )
 
     def _sig(df):
         row = df.agg(

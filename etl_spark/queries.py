@@ -630,10 +630,18 @@ GROUP BY doc_id
 
 
 def _minhash_sql(num_hashes: int) -> str:
+    from etl_spark.operators.dedup import minhash_xor_salt
+
+    # mirror of minhash_signature: one md5-based 60-bit hash per shingle,
+    # then the XOR-permutation family per signature slot
     mins = ",\n       ".join(
-        f"MIN({portable_hash60_sql('s', salt=i)}) AS m{i}" for i in range(num_hashes)
+        f"MIN(xor(h, {minhash_xor_salt(i)})) AS m{i}" for i in range(num_hashes)
     )
-    return f"SELECT doc_id, {mins} FROM ({_SQL_SHINGLE3}) sh GROUP BY doc_id"
+    return (
+        f"SELECT doc_id, {mins} FROM "
+        f"(SELECT doc_id, {_h60('s')} AS h FROM ({_SQL_SHINGLE3}) sh) hs "
+        f"GROUP BY doc_id"
+    )
 
 
 def q_minhash_lsh_buckets(spark, sf_dir):
@@ -703,7 +711,12 @@ def _lsh_pairs(d, max_bucket: int = 1000):
 
     sig = minhash_signature(d, "text", num_hashes=16, shingle_k=3)
     buckets = lsh_buckets(sig, "doc_id", bands=4, rows_per_band=4)
-    return lsh_candidate_pairs(buckets, "doc_id", max_bucket=max_bucket)
+    # materialized: candidate pairs are tiny (near-linear in corpus) and
+    # every consumer (exact Jaccard sets x2, clustering rounds) would
+    # otherwise re-run the whole MinHash/LSH pipeline per reference
+    return lsh_candidate_pairs(
+        buckets, "doc_id", max_bucket=max_bucket
+    ).localCheckpoint(eager=True)
 
 
 # DuckDB replica of _lsh_pairs: same 16 minhashes, 4 bands, bucket-size
