@@ -69,15 +69,20 @@ def minhash_signature(
     row through a generator stage — a bare Project alias would be inlined
     into every one of the ``num_hashes`` consuming expressions by the
     optimizer, re-tokenizing the document N times."""
+    row_col, hs_col = "__mh_row", "__mh_hs"
+    while row_col in df.columns:
+        row_col += "_"
+    while hs_col in df.columns:
+        hs_col += "_"
     packed = df.select(
         F.inline(
             F.array(
                 F.struct(
-                    F.struct(*[F.col(c) for c in df.columns]).alias("__row"),
+                    F.struct(*[F.col(c) for c in df.columns]).alias(row_col),
                     F.transform(
                         word_shingles(text_col, shingle_k),
                         lambda s: portable_hash60(s),
-                    ).alias("__hs"),
+                    ).alias(hs_col),
                 )
             )
         )
@@ -88,12 +93,13 @@ def minhash_signature(
         # one-arg closure (a `i=i` default would make pyspark treat the
         # lambda as binary and feed the array index as `i`)
         return F.array_min(
-            F.transform(F.col("__hs"), lambda h: h.bitwiseXOR(salt))
+            F.transform(F.col(hs_col), lambda h: h.bitwiseXOR(salt))
         )
 
     sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    # getField (not "a.b" string paths): user column names may contain dots
     return packed.select(
-        *[F.col(f"__row.{c}").alias(c) for c in df.columns],
+        *[F.col(row_col).getField(c).alias(c) for c in df.columns],
         sig.alias(out_col),
     )
 
@@ -267,7 +273,14 @@ def connected_components_star(
 
     Returns (node, component) where component = min node id reachable.
     """
-    raw = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # materialize the input ONCE: the candidate-pair pipeline feeding this
+    # is often the most expensive stage of the whole job, and it is
+    # consumed by the node universe, and twice per round (both edge
+    # orientations) — deriving those from separate lazy references would
+    # re-run it each time
+    raw = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint(
+        eager=True
+    )
     # node universe BEFORE dropping self-loops: a node whose only pair is
     # reflexive is a singleton component, not absent (parity with
     # connected_components)
@@ -275,14 +288,8 @@ def connected_components_star(
         raw.select(F.col("u").alias("node"))
         .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    e = (
-        raw.filter(F.col("u") != F.col("v")).distinct()
-        # materialize: the candidate-pair pipeline feeding this is often
-        # expensive and `e` is consumed twice per round (both orientations)
-        .localCheckpoint(eager=True)
-    )
+    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
 
     def _sig(df):
         row = df.agg(

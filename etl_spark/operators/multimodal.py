@@ -165,13 +165,15 @@ def resize_media(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            decoder = "real"
+            decs = []  # per ROW: a partial real-codec fallback must not
+            #            retroactively mislabel rows it actually resized
             for b in pdf[payload_col]:
                 raw = bytes(b)
                 try:
                     out.append(resize_kernel(raw, width, height))
+                    decs.append("real")
                 except NotImplementedError:
-                    decoder = "stub-deterministic-fake"
+                    decs.append("stub-deterministic-fake")
                     out.append(hashlib.sha256(
                         raw + f"|resize:{width}x{height}".encode()).digest())
             yield pd.DataFrame(
@@ -180,7 +182,7 @@ def resize_media(
                     "payload": out,
                     "width": pd.array([width] * len(out), dtype="int32"),
                     "height": pd.array([height] * len(out), dtype="int32"),
-                    "decoder": decoder,
+                    "decoder": decs,
                 }
             )
 

@@ -140,21 +140,32 @@ def pandas_style_headers(names: list[str | None]) -> list[str]:
     tratamento.py:491-565): a blank/missing header at position i becomes
     ``Unnamed: {i}``; a repeated header gets ``.1``, ``.2``... suffixes
     (``AJUSTE*``, ``AJUSTE*.1``)."""
+    filled = [
+        (raw or "").strip() or f"Unnamed: {i}" for i, raw in enumerate(names)
+    ]
+    originals = set(filled)
     out: list[str] = []
     used: set[str] = set()
     counts: dict[str, int] = {}
-    for i, raw in enumerate(names):
-        name = (raw or "").strip()
-        if not name:
-            name = f"Unnamed: {i}"
+    for name in filled:
+        if name not in used:
+            used.add(name)
+            out.append(name)
+            continue
+        # duplicate: suffix like pandas' CSV parser, which skips over any
+        # candidate appearing ANYWHERE in the original header row — a
+        # literal 'A.1' later in the row must keep its name, so the
+        # mangled duplicate becomes 'A.2' (["A","A","A.1"] →
+        # ["A","A.2","A.1"], verified against pandas 2.2.2)
         base = name
-        # keep suffixing until unique — a literal 'X.1' header coexisting
-        # with duplicate 'X' headers must not collide with the mangled one
-        while name in used:
-            counts[base] = counts.get(base, 0) + 1
-            name = f"{base}.{counts[base]}"
-        used.add(name)
-        out.append(name)
+        k = counts.get(base, 0) + 1
+        cand = f"{base}.{k}"
+        while cand in used or cand in originals:
+            k += 1
+            cand = f"{base}.{k}"
+        counts[base] = k
+        used.add(cand)
+        out.append(cand)
     return out
 
 

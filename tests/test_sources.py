@@ -68,8 +68,10 @@ def test_pandas_style_headers():
     )
     assert got == ["Cod", "AJUSTE*", "Unnamed: 2", "AJUSTE*.1", "Unnamed: 4",
                    "Valor Total do Custeio"]
-    # a literal 'X.1' header must not collide with the mangled duplicate
+    # a literal 'X.1' header must not collide with the mangled duplicate,
+    # in either order (both verified against pandas 2.2.2 read_csv)
     assert pandas_style_headers(["A", "A.1", "A"]) == ["A", "A.1", "A.2"]
+    assert pandas_style_headers(["A", "A", "A.1"]) == ["A", "A.2", "A.1"]
 
 
 def test_read_converted_sheet_csv(spark, tmp_root):
