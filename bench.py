@@ -98,6 +98,7 @@ def run_replay_bench(spark, n_events: int, n_buckets: int, parallelism: int,
 BENCH_QUERIES = [
     "cdc_lww_latest_state",
     "cdc_replay_final_state",
+    "cdc_change_feed",
     "depara_projection",
     "dim_broadcast_enrich",
     "asof_join_rules",

@@ -145,14 +145,25 @@ def valid_code_array(col: Column | str, pattern: str = r"^[A-Z][0-9]{2,3}$") -> 
 def normalize_text(col: Column | str) -> Column:
     """Lower-case, non-alnum runs → '_', trim leading/trailing '_'
     (utilitarios/textos.py:15-28). Accent folding covers the full Latin-1
-    supplement via `translate` (JVM-side, codegen'd); that is what the
-    reference's unidecode call actually encounters in ISO-8859-1 sources —
-    non-Latin scripts fold to '_' like any other non-alnum rune."""
+    supplement AND Latin Extended-A (Latin-2 languages: pl/cs/sk/hu/ro/
+    lt/lv...) — 1:1 folds via `translate`, the multi-char Latin-1 ligatures
+    (ß→ss, æ→ae, œ→oe, þ→th) via `replace` — all JVM-side, codegen'd;
+    that is the full set the reference's unidecode call encounters in its
+    ISO-8859-1 sources plus the neighboring code page. Non-Latin scripts
+    fold to '_' like any other non-alnum rune."""
     c = F.lower(_c(col))
+    for lig, out in (("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("þ", "th")):
+        c = F.replace(c, F.lit(lig), F.lit(out))
     c = F.translate(
         c,
-        "áàâãäåāéèêëēíìîïóòôõöøúùûüçñýÿšž",
-        "aaaaaaaeeeeeiiiioooooouuuucnyysz",
+        # Latin-1 supplement (lower-cased forms)
+        "áàâãäåéèêëíìîïóòôõöøúùûüçñýÿð"
+        # Latin Extended-A
+        "āăąćĉċčďđēĕėęěĝğġģĥħĩīĭįıĵķĸĺļľŀłńņňŉŋōŏő"
+        "ŕŗřśŝşšţťŧũūŭůűųŵŷźżž",
+        "aaaaaaeeeeiiiioooooouuuucnyyd"
+        "aaaccccddeeeeegggghhiiiiijkklllllnnnnnooo"
+        "rrrsssstttuuuuuuwyzzz",
     )
     c = F.regexp_replace(c, r"[^a-z0-9]+", "_")
     return F.regexp_replace(c, r"^_+|_+$", "")

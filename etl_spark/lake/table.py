@@ -66,6 +66,16 @@ _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
 
 
+def _is_canonical_seq(seq: str) -> bool:
+    """True iff ``seq`` is the canonical decimal rendering of a
+    non-negative int (ASCII, no zero-padding, no unicode digits). Only
+    canonical suffixes participate in watermark folding: 'epoch:04' must
+    stay a distinct string key from 'epoch:4', or a caller mixing padded
+    and unpadded keys could have a never-applied batch claimed applied
+    (silently dropped) once the watermark covers that integer."""
+    return seq.isdigit() and str(int(seq)) == seq
+
+
 def _bucket_of(key_cols: list[str], n_buckets: int):
     """Bucket id of a row: pmod(xxhash64(key cols), n_buckets)."""
     return F.pmod(
@@ -151,7 +161,7 @@ class Snapshot:
         if manifest_key in self.applied:
             return True
         prefix, _, seq = manifest_key.rpartition(":")
-        if prefix and seq.isdigit():
+        if prefix and _is_canonical_seq(seq):
             rng = self.applied_watermarks.get(prefix)
             return rng is not None and rng[0] <= int(seq) <= rng[1]
         return False
@@ -655,10 +665,10 @@ class LakeTable:
         for b in target:
             merged[b] = cfiles.get(b, [])
         # added=[]: compaction rewrites rows, it does not change them — the
-        # change feed must not re-emit its output. Numeric manifest suffix so
-        # old compaction keys fold into the applied-watermark when evicted.
-        self._publish(self._child(snap, snap.schema, merged,
-                                  f"compact:{snap.version + 1}", added=[]))
+        # change feed must not re-emit its output. manifest_key=None:
+        # maintenance commits stay out of the exactly-once ledger (see
+        # _child) — a redundant re-compaction is wasteful, never wrong.
+        self._publish(self._child(snap, snap.schema, merged, None, added=[]))
         return len(target)
 
     def rebucket(self, new_n_buckets: int) -> int:
@@ -694,8 +704,7 @@ class LakeTable:
             resolved, snap.version + 1, tag="r", coarse_metrics=coarse,
             sort_cols=snap.key_cols,
         )
-        child = self._child(snap, snap.schema, new_files,
-                            f"rebucket:{snap.version + 1}", added=[])
+        child = self._child(snap, snap.schema, new_files, None, added=[])
         child.n_buckets = new_n_buckets
         self._publish(child)
         return child.version
@@ -717,7 +726,14 @@ class LakeTable:
         bucket). Compaction/rebucket pass the key columns; the merge hot
         path stays unsorted — background rewrites pay the sort, not the
         ingest tail."""
-        staging = os.path.join(self.path, _DATA_DIR, f".stage-v{version}-{uuid.uuid4().hex}")
+        # Unique per write attempt: a crashed or racing writer's segment
+        # must never collide with (and silently overwrite) a committed
+        # writer's segment of the same target version — orphans stay
+        # orphans and are reclaimed by vacuum().
+        tok = uuid.uuid4().hex[:8]
+        seg_rel = f"{_DATA_DIR}/v{version:010d}{tag}-{tok}"
+        seg_abs = os.path.join(self.path, seg_rel)
+        staging = seg_abs + ".stage"
         shaped = merged.repartition(F.col(BUCKET_COL))
         if sort_cols:
             shaped = shaped.sortWithinPartitions(*sort_cols)
@@ -741,33 +757,37 @@ class LakeTable:
         new_files: dict[int, list[str]] = {}
         lineage: dict[int, dict] = {}
         rows_written = 0
-        # Unique per write attempt: a crashed or racing writer's files must
-        # never collide with (and silently overwrite) a committed writer's
-        # files of the same target version — orphans stay orphans and are
-        # reclaimed by vacuum(). The per-file publish is a driver-side
-        # rename loop (metadata ops only, no data reads); on an object
-        # store this whole step is the manifest/catalog commit instead.
-        tok = uuid.uuid4().hex[:8]
+        # Publish = ONE rename per bucket directory (O(buckets), not
+        # O(files)): the staged `__bucket=N` dirs move into the commit's
+        # segment dir as `bNNNNN` (stripping the `name=value` shape so a
+        # later multi-path read can't partition-infer a stray column), and
+        # the snapshot references files by their staged names. At thousands
+        # of files per commit this is what keeps publish off the critical
+        # path; on an object store this whole step is the manifest/catalog
+        # commit instead.
+        os.makedirs(seg_abs, exist_ok=True)
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith(f"{BUCKET_COL}="):
                 continue
             bkt = int(entry.split("=", 1)[1])
-            src_dir = os.path.join(staging, entry)
+            bdir_rel = f"{seg_rel}/b{bkt:05d}"
+            bdir_abs = os.path.join(self.path, bdir_rel)
+            os.rename(os.path.join(staging, entry), bdir_abs)
             files = []
             b_bytes = 0
-            for i, name in enumerate(sorted(os.listdir(src_dir))):
-                if not name.endswith(".parquet"):
-                    continue
-                rel = f"{_DATA_DIR}/v{version:010d}{tag}-b{bkt:05d}-{i:04d}-{tok}.parquet"
-                dst = os.path.join(self.path, rel)
-                shutil.move(os.path.join(src_dir, name), dst)
-                files.append(rel)
-                b_bytes += os.stat(dst).st_size
+            with os.scandir(bdir_abs) as it:
+                for de in sorted(it, key=lambda d: d.name):
+                    if not de.name.endswith(".parquet"):
+                        continue
+                    files.append(f"{bdir_rel}/{de.name}")
+                    b_bytes += de.stat().st_size
             b_rows = -1 if coarse_metrics else int(bucket_rows.get(bkt, 0))
             new_files[bkt] = files
             lineage[bkt] = {"files": len(files), "bytes": b_bytes, "rows": b_rows}
             rows_written += max(b_rows, 0)
         shutil.rmtree(staging, ignore_errors=True)
+        if not new_files:
+            shutil.rmtree(seg_abs, ignore_errors=True)
         if coarse_metrics:
             rows_written = -1
         return new_files, rows_written, lineage
@@ -777,7 +797,7 @@ class LakeTable:
         snap: Snapshot,
         schema: StructType,
         buckets: dict[int, list[str]],
-        manifest_key: str,
+        manifest_key: str | None,
         add_nonunique: list[str] = (),
         added: list[str] | None = None,
     ) -> Snapshot:
@@ -792,8 +812,16 @@ class LakeTable:
         # snapshot instead of O(history) (and total O(n) instead of O(n²)).
         # Non-sequence keys are never evicted — callers wanting bounded
         # metadata should use 'name:seq' keys (the engine always does).
+        #
+        # ``manifest_key=None`` marks a MAINTENANCE commit (compaction,
+        # rebucket): it needs no exactly-once dedup (re-running it is a
+        # redundant rewrite, never a correctness bug), and its snapshot-
+        # version "seqs" are non-contiguous per prefix so on eviction they
+        # would never fold — accumulating in `applied` forever and breaking
+        # the bounded-metadata property. Maintenance commits therefore stay
+        # out of the ledger entirely.
         window = int(snap.props.get("manifest_window", "512"))
-        applied = snap.applied + [manifest_key]
+        applied = snap.applied + ([manifest_key] if manifest_key is not None else [])
         watermarks = {k: list(v) for k, v in snap.applied_watermarks.items()}
         if len(applied) > window:
             kept: list[str] = []
@@ -802,7 +830,7 @@ class LakeTable:
             for key in applied:  # oldest first
                 if folded < overflow:
                     prefix, _, seq = key.rpartition(":")
-                    if prefix and seq.isdigit():
+                    if prefix and _is_canonical_seq(seq):
                         s = int(seq)
                         rng = watermarks.get(prefix)
                         if rng is None:
@@ -830,12 +858,19 @@ class LakeTable:
             nonunique=nonunique,
             added=sorted(added) if added is not None else None,
             applied_watermarks=watermarks,
-            applied_count=snap.applied_count + 1,
+            applied_count=snap.applied_count + (1 if manifest_key is not None else 0),
         )
 
     # --------------------------------------------------------------- utils
 
     def applied_manifests(self) -> set[str]:
+        """The bounded RECENT WINDOW of applied manifest keys — NOT the
+        full history: past ``manifest_window`` commits, older sequence-
+        shaped keys are folded into ``Snapshot.applied_watermarks`` and no
+        longer enumerable. Exactly-once checks must use
+        :meth:`Snapshot.has_applied` (window + watermarks); totals come
+        from ``Snapshot.applied_count``. This accessor exists for
+        debugging/reporting over short histories only."""
         return set(self.current_snapshot().applied)
 
     def drop(self) -> None:
@@ -931,13 +966,33 @@ class LakeTable:
         cutoff = time.time() - older_than_sec
         data_dir = os.path.join(self.path, _DATA_DIR)
         removed = []
-        for name in sorted(os.listdir(data_dir)):
-            rel = f"{_DATA_DIR}/{name}"
-            full = os.path.join(data_dir, name)
-            if (os.path.isfile(full) and rel not in referenced
-                    and os.stat(full).st_mtime <= cutoff):
-                os.unlink(full)
-                removed.append(rel)
+        # Walk the segment layout (data/<segment>/bNNNNN/*.parquet); flat
+        # files from the pre-segment layout are covered by the same walk.
+        # A crashed writer's abandoned `.stage` tree is reclaimed wholesale
+        # once it ages past the grace window (a live writer renames it away
+        # within one commit).
+        for dirpath, dirnames, filenames in os.walk(data_dir, topdown=True):
+            for d in list(dirnames):
+                if d.endswith(".stage"):
+                    full = os.path.join(dirpath, d)
+                    if os.stat(full).st_mtime <= cutoff:
+                        shutil.rmtree(full, ignore_errors=True)
+                        removed.append(os.path.relpath(full, self.path))
+                    dirnames.remove(d)
+            for name in sorted(filenames):
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.path)
+                if rel not in referenced and os.stat(full).st_mtime <= cutoff:
+                    os.unlink(full)
+                    removed.append(rel)
+        # prune segment/bucket dirs emptied by the deletes (bottom-up;
+        # re-listdir because the walk snapshot predates child removals)
+        for dirpath, _dirnames, _filenames in os.walk(data_dir, topdown=False):
+            if dirpath != data_dir and not os.listdir(dirpath):
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
         return removed
 
 

@@ -234,9 +234,15 @@ def lsh_ann_topk_multiprobe(
         .distinct()   # a pair colliding in several tables scores once
     )
     sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4)
+    # Candidate-vector resolution must NOT broadcast the corpus: at corpus
+    # scale the full (c_id, c_vec) relation never fits an executor, while the
+    # candidate-id set is near-linear (bounded by max_bucket × tables). A
+    # shuffle hash join keyed on c_id ships only the candidate sliver of the
+    # corpus to each reducer; the hint pins the plan so AQE can't "helpfully"
+    # re-broadcast at test scale and mask the production shape.
     cand = (
         cand_ids.join(queries.select(q_id, q_vec), q_id)
-        .join(F.broadcast(corpus.select(c_id, c_vec)), c_id)
+        .join(corpus.select(c_id, c_vec).hint("shuffle_hash"), c_id)
         .select(F.col(q_id), F.col(c_id), sim.alias("sim"))
     )
     return bounded_topk(cand, q_id, c_id, k, fanout)

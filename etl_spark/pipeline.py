@@ -30,6 +30,7 @@ from etl_spark.lake import LakeTable, MergeStats
 __all__ = [
     "ValidationError", "expect", "expect_nonempty", "expect_no_nulls",
     "expect_unique_keys", "run_capture", "pending_from_schedule",
+    "pending_scan",
 ]
 
 
@@ -137,6 +138,71 @@ def run_capture(
 def pending_from_schedule(schedule: list[str], table: LakeTable) -> list[str]:
     """Schedule entries (manifest keys) not yet in the applied history —
     the reference's ``capturas_agendamentos`` minus ``capturas_historico``
-    (scripts/geral.py:61-65, 92-109)."""
+    (scripts/geral.py:61-65, 92-109). Driver-side list form; for a
+    lake-scale schedule use :func:`pending_scan`."""
     snap = table.current_snapshot()
     return [k for k in schedule if not snap.has_applied(k)]
+
+
+# Split at the LAST colon exactly like str.rpartition (greedy `.*` +
+# colon-free suffix class); the suffix only counts as sequence-shaped when
+# it is CANONICAL decimal (no leading zeros, ASCII digits) — the
+# distributed twin of etl_spark.lake.table._is_canonical_seq, so
+# 'epoch:04' stays a distinct key from 'epoch:4' here too. (A digit-class
+# suffix in ONE regex would let greedy `.*` steal leading digits —
+# 'a:1:02' must parse as prefix 'a:1', not 'a:1:0'.)
+_KEY_SPLIT_RE = r"^(.*):([^:]*)$"
+_CANONICAL_SEQ_RE = r"^(0|[1-9][0-9]*)$"
+
+
+def pending_scan(
+    schedule: DataFrame, table: LakeTable, key_col: str = "manifest_key"
+) -> DataFrame:
+    """Distributed pending-work discovery: rows of ``schedule`` whose
+    ``key_col`` is not applied yet — the reference's
+    ``capturas_agendamentos`` minus ``capturas_historico``
+    (scripts/geral.py:61-65, 92-109) as relational algebra, so a
+    lake-scale schedule (millions of (table, partition, period) entries)
+    never collects to the driver.
+
+    The applied history is control-plane-sized BY CONSTRUCTION — the
+    bounded recent manifest window plus the per-prefix folded watermark
+    ranges (see ``lake.table.Snapshot``) — so both lookup sides broadcast:
+
+    1. left-anti broadcast join against the recent window keys;
+    2. left-anti broadcast join against the watermark ranges for
+       sequence-shaped keys (``prefix:seq`` with ``lo <= seq <= hi``).
+    """
+    spark = schedule.sparkSession
+    snap = table.current_snapshot()
+    out = schedule
+    if snap.applied:
+        window_df = spark.createDataFrame(
+            [(k,) for k in snap.applied], f"{key_col} string"
+        )
+        out = out.join(F.broadcast(window_df), key_col, "left_anti")
+    if snap.applied_watermarks:
+        wm_df = spark.createDataFrame(
+            [(p, int(lo), int(hi))
+             for p, (lo, hi) in snap.applied_watermarks.items()],
+            "__prefix string, __lo bigint, __hi bigint",
+        )
+        key = F.col(key_col)
+        suffix = F.regexp_extract(key, _KEY_SPLIT_RE, 2)
+        out = (
+            out.withColumn("__p", F.regexp_extract(key, _KEY_SPLIT_RE, 1))
+            .withColumn(
+                "__s",
+                F.when(suffix.rlike(_CANONICAL_SEQ_RE), suffix.cast("long")),
+            )
+            .join(
+                F.broadcast(wm_df),
+                (F.col("__p") == F.col("__prefix"))
+                & F.col("__s").isNotNull()
+                & (F.col("__s") >= F.col("__lo"))
+                & (F.col("__s") <= F.col("__hi")),
+                "left_anti",
+            )
+            .drop("__p", "__s")
+        )
+    return out

@@ -320,15 +320,21 @@ FROM r
 
 
 def q_normalize_names(spark, sf_dir):
-    """Text normalization (utilitarios/textos.py equivalent)."""
+    """Text normalization (utilitarios/textos.py equivalent). The constant
+    accented prefix exercises the full Latin-1/Extended-A fold (incl. the
+    multi-char ß→ss ligature and Latin-2 ł/ő/ř/ž); the oracle carries its
+    ground-truth folded form as a literal, so the gate fails if the fold
+    map regresses."""
     p = _t(spark, sf_dir, "part")
-    return p.select("p_partkey", normalize_text("p_name").alias("norm_name"))
+    name = F.concat(F.lit("Sífilis Ação Łódź Gärße Őř Čaj — "), F.col("p_name"))
+    return p.select("p_partkey", normalize_text(name).alias("norm_name"))
 
 
 SQL_NORMALIZE = """
 SELECT p_partkey,
-       regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g'),
-                      '^_+|_+$', '', 'g') AS norm_name
+       concat('sifilis_acao_lodz_garsse_or_caj_',
+              regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g'),
+                             '^_+|_+$', '', 'g')) AS norm_name
 FROM part
 """
 
@@ -1618,6 +1624,123 @@ FROM orders JOIN led ON CAST(date_trunc('quarter', o_orderdate) AS DATE) = q
 """
 
 
+def q_cdc_change_feed(spark, sf_dir):
+    """CDC *out*: the LakeTable change feed across a multi-commit range
+    with auto-compaction firing mid-range (the round-1 bug class —
+    commit-level ``added`` provenance must keep compacted-away merge
+    deltas in the feed). Reference contract: the incremental
+    capture-history ledger, scripts/geral.py:92-109.
+
+    Six epoch merges land on a small-bucket table with
+    ``compact_threshold=2``, so threshold compaction rewrites buckets
+    several times inside the requested range; ``changes(0)`` must still
+    equal exactly the union of the per-epoch LWW-deduped batches (delete
+    winners carried as ``_op='D'`` tombstones with nulled payload)."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(6)).cast("long").alias("epoch"),
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_feed_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, _ = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=8,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        table_props={"compact_threshold": "2"},
+    )
+    return table.changes(0).select(
+        "user_id", "event_id", "ts", "event_type", "value", "props", "_op"
+    )
+
+
+SQL_CDC_CHANGE_FEED = """
+SELECT user_id, event_id, ts,
+       CASE WHEN is_del THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN is_del THEN NULL ELSE value END AS value,
+       CASE WHEN is_del THEN NULL ELSE props END AS props,
+       CASE WHEN is_del THEN 'D' ELSE 'U' END AS _op
+FROM (
+  SELECT *, (event_type = 'error') AS is_del,
+         row_number() OVER (
+           PARTITION BY event_id % 6, user_id
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_pending_capture_scan(spark, sf_dir):
+    """Distributed pending-work discovery (scripts/geral.py:61-65:
+    ``capturas_agendamentos`` minus ``capturas_historico``): schedule
+    DataFrame anti-joined against the applied-manifest history — BOTH the
+    bounded recent window and the folded per-prefix watermark ranges
+    (``manifest_window=2`` forces epochs 0-1 into the watermark, so the
+    scan must consult both). Non-canonical ('epoch:02') and non-sequence
+    ('adhoc:x') keys were never applied and must survive the scan."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+    from etl_spark.pipeline import pending_scan
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 7)
+    wal = ev.select(
+        "event_id", F.lit("U").alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_pend_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, _ = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=8,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        table_props={"manifest_window": "2"},
+    )
+    sched = spark.createDataFrame(
+        [(f"epoch:{i}",) for i in range(8)] + [("epoch:02",), ("adhoc:x",)],
+        "manifest_key string",
+    )
+    return pending_scan(sched, table)
+
+
+SQL_PENDING_SCAN = """
+WITH sched AS (
+  SELECT 'epoch:' || CAST(i AS VARCHAR) AS manifest_key
+  FROM (SELECT unnest(range(8)) AS i)
+  UNION ALL SELECT 'epoch:02' UNION ALL SELECT 'adhoc:x'
+), applied AS (
+  SELECT DISTINCT 'epoch:' || CAST(event_id % 4 AS VARCHAR) AS k
+  FROM events WHERE user_id % 10 = 7
+)
+SELECT manifest_key FROM sched
+WHERE manifest_key NOT IN (SELECT k FROM applied)
+"""
+
+
+def q_value_percentiles_approx(spark, sf_dir):
+    """The SCALE variant of ``value_percentiles``: ``approx_percentile``
+    (t-digest sketch — map-side combinable, constant memory per group, the
+    operator actually run at 100 TB where exact ``percentile`` would
+    buffer every group's values). The sketch is not bit-reproducible in
+    DuckDB, so this entry has no SQL oracle (the driver records the
+    weaker rows-only check); tests/test_functions.py asserts its error
+    against the exact gate is bounded at accuracy=10000."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 4).alias("p90"),
+        F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_lww_compact_parity(spark, sf_dir):
     """Batch-verifiable gate for the stateful streaming compactor
     (applyInPandasWithState, streaming/stateful.py): stream the events
@@ -1712,6 +1835,9 @@ QUERIES = {
     "sentinel_blank_zeros": q_sentinel_blank_zeros,
     "content_key": q_content_key,
     "period_lead": q_period_lead,
+    "cdc_change_feed": q_cdc_change_feed,
+    "pending_capture_scan": q_pending_capture_scan,
+    "value_percentiles_approx": q_value_percentiles_approx,
     "lww_compact_parity": q_lww_compact_parity,
 }
 
@@ -1765,6 +1891,10 @@ ORACLES = {
     "sentinel_blank_zeros": SQL_SENTINEL_BZ,
     "content_key": SQL_CONTENT_KEY,
     "period_lead": SQL_PERIOD_LEAD,
+    "cdc_change_feed": SQL_CDC_CHANGE_FEED,
+    "pending_capture_scan": SQL_PENDING_SCAN,
+    # value_percentiles_approx: t-digest sketch, not DuckDB-reproducible —
+    # no oracle by design (bounded-error pytest gates it instead)
     "lww_compact_parity": SQL_LWW_COMPACT_PARITY,
 }
 

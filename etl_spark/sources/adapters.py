@@ -24,8 +24,29 @@ from pyspark.sql.types import StructType
 __all__ = [
     "carve_between", "read_report_csv", "read_json_records",
     "flatten_struct", "read_excel_sheets", "pandas_style_headers",
-    "read_converted_sheet_csv",
+    "read_converted_sheet_csv", "ReportWidthOverflow",
 ]
+
+
+class ReportWidthOverflow(ValueError):
+    """A report carries more columns than ``max_width`` — raised instead of
+    silently truncating (the reference's SISAB production reports have
+    variable column sets, sisab/producao.py:1016-1045; a rename-map-driven
+    ingest of a silently-truncated frame would corrupt downstream).
+    Re-read with a larger ``max_width``."""
+
+
+def _check_width_overflow(raw, max_width: int, path: str) -> None:
+    """The wide scan schema carries one SENTINEL column past ``max_width``;
+    any non-null cell there means the file is wider than the scan — fail
+    loudly (one combinable filter+limit job)."""
+    sentinel = f"_c{max_width}"
+    if raw.filter(F.col(sentinel).isNotNull()).limit(1).count():
+        raise ReportWidthOverflow(
+            f"{path}: report has more than max_width={max_width} columns; "
+            f"pass a larger max_width (silent truncation would corrupt a "
+            f"rename-map-driven ingest)"
+        )
 
 
 def carve_between(text: str, start_marker: str, end_marker: str) -> str:
@@ -47,6 +68,7 @@ def read_report_csv(
     footer_prefix: str | None = None,
     header: bool = True,
     schema: StructType | str | None = None,
+    max_width: int = 64,
 ) -> DataFrame:
     """Report-CSV scan: separator/encoding knobs, leading-junk skip,
     footer strip by prefix, and comma-decimal conversion — all as
@@ -54,7 +76,9 @@ def read_report_csv(
 
     ``skip_leading`` drops the first N *parsed* rows (blank lines are
     already skipped by the CSV reader — count only junk rows with content);
-    ``footer_prefix`` drops trailer lines like 'Fonte:'.
+    ``footer_prefix`` drops trailer lines like 'Fonte:'. ``max_width``
+    bounds the wide scan the skip-leading path uses; a wider report raises
+    :class:`ReportWidthOverflow` instead of silently truncating.
     """
     if skip_leading:
         # Spark CSV has no skipRows: read the file as an over-wide
@@ -65,7 +89,9 @@ def read_report_csv(
         # id is file-ordered within one input partition.
         from pyspark.sql.types import StringType, StructField as SF, StructType as ST
 
-        wide = ST([SF(f"_c{i}", StringType(), True) for i in range(64)])
+        # +1 sentinel column past max_width: detects (instead of dropping)
+        # a report wider than the scan
+        wide = ST([SF(f"_c{i}", StringType(), True) for i in range(max_width + 1)])
         raw = (
             spark.read.options(sep=sep, encoding=encoding, header="false",
                                mode="PERMISSIVE")
@@ -77,9 +103,11 @@ def read_report_csv(
             .filter(F.col("_rid") >= skip_leading)
             .localCheckpoint(eager=True)
         )
+        _check_width_overflow(raw, max_width, path)
+        raw = raw.drop(f"_c{max_width}")
         if header:
             hdr = raw.orderBy("_rid").limit(1).collect()[0]
-            names = [(f"_c{i}", hdr[f"_c{i}"]) for i in range(64)
+            names = [(f"_c{i}", hdr[f"_c{i}"]) for i in range(max_width)
                      if hdr[f"_c{i}"] is not None]
             raw = raw.filter(F.col("_rid") > hdr["_rid"])
             df = raw.select(*[F.col(c).alias(n) for c, n in names])
@@ -176,6 +204,7 @@ def read_converted_sheet_csv(
     sheet_renames: dict[str, str] | None = None,
     sep: str = ",",
     encoding: str = "UTF-8",
+    max_width: int = 64,
 ) -> DataFrame:
     """One e-Gestor report sheet, pre-converted to CSV (the environment has
     no xlsx reader — see :func:`read_excel_sheets`): skip the title/banner
@@ -183,10 +212,11 @@ def read_converted_sheet_csv(
     egestor/.../extracao.py:130-259), mangle the header row pandas-style so
     duplicate ("AJUSTE*.1") and blank ("Unnamed: 16") labels are
     addressable, then apply the per-sheet rename map
-    (tratamento.py:491-565)."""
+    (tratamento.py:491-565). A sheet wider than ``max_width`` raises
+    :class:`ReportWidthOverflow` instead of silently truncating."""
     from pyspark.sql.types import StringType, StructField as SF, StructType as ST
 
-    wide = ST([SF(f"_c{i}", StringType(), True) for i in range(64)])
+    wide = ST([SF(f"_c{i}", StringType(), True) for i in range(max_width + 1)])
     raw = (
         spark.read.options(sep=sep, encoding=encoding, header="false",
                            mode="PERMISSIVE")
@@ -199,6 +229,8 @@ def read_converted_sheet_csv(
         .filter(F.col("_rid") >= header_row)
         .localCheckpoint(eager=True)
     )
+    _check_width_overflow(raw, max_width, path)
+    raw = raw.drop(f"_c{max_width}")
     hdr_rows = raw.orderBy("_rid").limit(1).collect()
     if not hdr_rows:
         raise ValueError(
@@ -210,7 +242,7 @@ def read_converted_sheet_csv(
     # not just the first, so a leading null cell can't truncate a column
     width_of_row = F.greatest(
         *[F.when(F.col(f"_c{i}").isNotNull(), F.lit(i + 1)).otherwise(F.lit(0))
-          for i in range(64)]
+          for i in range(max_width)]
     )
     width = raw.agg(F.max(width_of_row)).collect()[0][0] or 0
     names = pandas_style_headers([hdr[f"_c{i}"] for i in range(width)])

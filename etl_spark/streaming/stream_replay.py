@@ -9,7 +9,7 @@ utilitarios/semaforos.py:26-119). Streaming equivalent:
   WAL files are the schedule; ``maxFilesPerTrigger`` is the reference's
   ``passo`` batch-size knob);
 - **exactly-once** = checkpoint (which micro-batch saw which files) +
-  idempotent commit manifest keyed ``stream:<batch_id>`` inside
+  idempotent commit manifest keyed ``stream:{stream_id}:{batch_id}`` inside
   ``foreachBatch`` — a restart that replays the last micro-batch hits the
   manifest and is a metadata no-op (the double-guard the reference builds
   from semaphores + history rows);

@@ -63,7 +63,11 @@ def main() -> None:
             metrics_sink=sink,
         )
         q.awaitTermination()
-        stats = [{"manifest_key": k} for k in sorted(table.applied_manifests())]
+        # applied_manifests() is the bounded recent WINDOW (older keys fold
+        # into watermarks) — report the total applied_count, not the keys
+        snap = table.current_snapshot()
+        stats = {"applied_count": snap.applied_count,
+                 "recent_window": len(snap.applied)}
     else:
         from etl_spark.cdc.replay import replay_events
 

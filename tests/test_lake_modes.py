@@ -301,3 +301,76 @@ def test_rebucket_rescales_layout(spark, tmp_root):
         [(0, ts, "rX", "pX", "dup", "I")],
         "event_id bigint, op_ts timestamp, repo string, path string, "
         "content string, op string"), "e:0").applied
+
+
+def test_manifest_metadata_bounded_over_1k_commits(spark, tmp_root):
+    """Soak the exactly-once ledger across ~1.1k commits: snapshot JSON
+    stays O(manifest_window) bytes, ``has_applied`` stays correct across
+    the fold boundary, a deliberately-skipped gap seq is never falsely
+    claimed applied, the late backfill of that gap eventually folds, and
+    maintenance commits never enter the ledger. The first commits run
+    through real merges; the long tail drives the same _child/_publish
+    metadata path the streaming sink commits through (folding is pure
+    metadata — no data write changes its behavior)."""
+    from pyspark.sql.types import StructType
+
+    ts = pd.Timestamp("2024-01-01").to_pydatetime()
+    schema = spark.createDataFrame(
+        [(0, ts, "r", "p", "c")],
+        "event_id bigint, op_ts timestamp, repo string, path string, "
+        "content string",
+    ).schema
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "soak"), StructType(schema.fields),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=2, props={"manifest_window": "64", "compact_threshold": "999"},
+    )
+    window = 64
+    # two real merges (epoch:0, epoch:1) -> 2 delta files in some bucket
+    for e in range(2):
+        t.merge(spark.createDataFrame(
+            [(e, ts, "r", f"p{e}", f"c{e}", "I")],
+            "event_id bigint, op_ts timestamp, repo string, path string, "
+            "content string, op string"), f"epoch:{e}")
+    # a maintenance commit stays OUT of the ledger
+    count_before = t.current_snapshot().applied_count
+    assert t.compact() > 0
+    snap = t.current_snapshot()
+    assert snap.applied_count == count_before
+    assert all(":" not in k or k.startswith("epoch:") for k in snap.applied)
+
+    gap = 600
+    committed = set()
+    for i in range(2, 1101):
+        if i == gap:
+            continue  # deliberate gap: epoch:600 arrives late (below)
+        snap = t.current_snapshot()
+        t._publish(t._child(snap, snap.schema, snap.buckets,
+                            f"epoch:{i}", added=[]))
+        committed.add(i)
+        if i == 800:
+            # while the gap is open: seqs past it must NOT fold into the
+            # watermark, and the gap must not be claimed applied
+            s = t.current_snapshot()
+            assert not s.has_applied(f"epoch:{gap}")
+            assert s.has_applied("epoch:599") and s.has_applied("epoch:601")
+            # backfill the gap -> adjacency restored, backlog can fold
+            t._publish(t._child(s, s.schema, s.buckets,
+                                f"epoch:{gap}", added=[]))
+            committed.add(gap)
+
+    s = t.current_snapshot()
+    # bounded metadata: the kept window collapsed back to O(window)
+    assert len(s.applied) <= window
+    assert len(s.to_json()) < 32_768
+    assert s.applied_watermarks["epoch"][0] == 0
+    assert s.applied_watermarks["epoch"][1] >= 1100 - window - 1
+    # exactly-once answers across the whole history
+    for e in (0, 1, 2, gap - 1, gap, gap + 1, 1000, 1100):
+        assert s.has_applied(f"epoch:{e}"), e
+    assert not s.has_applied("epoch:1200")
+    # non-canonical zero-padded keys never collapse onto folded seqs
+    assert not s.has_applied("epoch:04")
+    assert not s.has_applied("epoch:0600")
+    # epochs 2..1100 = 1099 keyed commits (the gap was backfilled)
+    assert s.applied_count == count_before + 1099

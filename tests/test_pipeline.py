@@ -82,3 +82,45 @@ def test_pending_from_schedule(spark, table):
     run_capture(table, b, "cap:1")
     schedule = ["cap:1", "cap:2", "cap:3"]
     assert pending_from_schedule(schedule, table) == ["cap:2", "cap:3"]
+
+
+def test_pending_scan_matches_driver_side(spark, tmp_root):
+    """The distributed pending scan must agree with the driver-side
+    has_applied() on every tricky key shape — window hits, folded
+    watermark hits, a gap seq, zero-padded non-canonical seqs, keys with
+    extra colons, and non-sequence keys."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from etl_spark.lake import LakeTable
+    from etl_spark.pipeline import pending_from_schedule, pending_scan
+
+    base = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), "r", "p", "c")],
+        "event_id bigint, op_ts timestamp, repo string, path string, "
+        "content string",
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "pend"), StructType(base.schema.fields),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=2, props={"manifest_window": "2"},
+    )
+    snap = t.current_snapshot()
+    for i in [0, 1, 2, 3, 5]:  # gap at 4 — must never fold
+        t._publish(t._child(snap, snap.schema, snap.buckets,
+                            f"epoch:{i}", added=[]))
+        snap = t.current_snapshot()
+    t._publish(t._child(snap, snap.schema, snap.buckets, "a:1:2", added=[]))
+
+    schedule = [f"epoch:{i}" for i in range(8)] + [
+        "epoch:04", "epoch:004", "a:1:2", "a:1:02", "a:12", "adhoc", "adhoc:x",
+    ]
+    want = sorted(pending_from_schedule(schedule, t))
+    sched_df = spark.createDataFrame([(k,) for k in schedule],
+                                     "manifest_key string")
+    got = sorted(r["manifest_key"]
+                 for r in pending_scan(sched_df, t).collect())
+    assert got == want
+    assert "epoch:4" in got and "epoch:04" in got and "a:1:02" in got
+    assert "epoch:3" not in got and "a:1:2" not in got

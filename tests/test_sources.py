@@ -38,6 +38,51 @@ def test_read_report_csv(spark, tmp_root):
     assert rows == {"São Paulo": ("10", 1234.56), "Rio": ("20", 99.10)}
 
 
+def test_report_csv_wider_than_default_raises_then_roundtrips(spark, tmp_root):
+    """>64-column report (the reference's variable-width SISAB production
+    reports, sisab/producao.py:1016-1045): the default scan must FAIL
+    LOUDLY (silent truncation corrupts rename-map ingests); a larger
+    max_width round-trips every column."""
+    from etl_spark.sources.adapters import ReportWidthOverflow
+
+    n_cols = 70
+    header = ";".join(f"col{i}" for i in range(n_cols))
+    row = ";".join(str(i * 10) for i in range(n_cols))
+    path = os.path.join(tmp_root, "wide.csv")
+    with open(path, "w") as fh:
+        fh.write(f"Banner junk\n{header}\n{row}\n")
+
+    with pytest.raises(ReportWidthOverflow):
+        read_report_csv(spark, path, sep=";", skip_leading=1)
+
+    df = read_report_csv(spark, path, sep=";", skip_leading=1, max_width=128)
+    assert df.columns == [f"col{i}" for i in range(n_cols)]
+    got = df.collect()[0]
+    assert got["col0"] == "0" and got["col69"] == "690"
+
+
+def test_converted_sheet_wider_than_default_raises_then_roundtrips(spark, tmp_root):
+    from etl_spark.sources.adapters import (
+        ReportWidthOverflow, read_converted_sheet_csv,
+    )
+
+    n_cols = 80
+    header = ",".join(f"H{i}" for i in range(n_cols))
+    row = ",".join(f"v{i}" for i in range(n_cols))
+    path = os.path.join(tmp_root, "wide_sheet.csv")
+    with open(path, "w") as fh:
+        # banner rows carry separators (a converted sheet keeps its grid);
+        # fully-blank lines would be skipped by the CSV parser
+        fh.write(f"Title,,,\nCompetência: 2024-01,,,\n,,,\n{header}\n{row}\n")
+
+    with pytest.raises(ReportWidthOverflow):
+        read_converted_sheet_csv(spark, path, header_row=3)
+
+    df = read_converted_sheet_csv(spark, path, header_row=3, max_width=96)
+    assert df.columns == [f"H{i}" for i in range(n_cols)]
+    assert df.collect()[0]["H79"] == "v79"
+
+
 def test_carve_between():
     page = "junk\n\n\n\nmunicipio;q\nX;1\n\n\nFonte: SISAB"
     body = carve_between(page, "\n\n\n", "\n\n\nFonte:")
