@@ -374,3 +374,52 @@ def test_manifest_metadata_bounded_over_1k_commits(spark, tmp_root):
     assert not s.has_applied("epoch:0600")
     # epochs 2..1100 = 1099 keyed commits (the gap was backfilled)
     assert s.applied_count == count_before + 1099
+
+
+def test_publish_is_one_rename_per_bucket_not_per_file(spark, tmp_root, monkeypatch):
+    """Publish cost must be O(buckets), not O(files): with
+    maxRecordsPerFile forcing many files per bucket, the publish step
+    still issues exactly one os.rename per bucket directory (plus none
+    per data file)."""
+    import os as _os
+
+    from etl_spark.lake import table as table_mod
+
+    ts = __import__("datetime").datetime(2024, 1, 1)
+    rows = [(i, ts, "r", f"p{i}", f"c{i}", "I") for i in range(400)]
+    batch = spark.createDataFrame(
+        rows,
+        "event_id bigint, op_ts timestamp, repo string, path string, "
+        "content string, op string",
+    )
+    from pyspark.sql.types import StructType
+
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "pubcost"),
+        StructType([f for f in batch.schema.fields if f.name != "op"]),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=2, props={"compact_threshold": "999"},
+    )
+    renames = []
+    real_rename = _os.rename
+
+    def counting_rename(src, dst):
+        renames.append((src, dst))
+        return real_rename(src, dst)
+
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+    try:
+        monkeypatch.setattr(table_mod.os, "rename", counting_rename)
+        stats = t.merge(batch, "e:0")
+    finally:
+        monkeypatch.undo()
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+    snap = t.current_snapshot()
+    n_files = sum(len(fl) for fl in snap.buckets.values())
+    assert n_files >= 8, n_files  # many files per bucket, by construction
+    # one rename per bucket dir; zero per data file
+    data_renames = [r for r in renames if table_mod._DATA_DIR in r[0]]
+    assert len(data_renames) == len(snap.buckets) == 2
+    assert stats.rows_written == 400
+    assert t.read().count() == 400
