@@ -1632,10 +1632,11 @@ def q_cdc_change_feed(spark, sf_dir):
     capture-history ledger, scripts/geral.py:92-109.
 
     Six epoch merges land on a small-bucket table with
-    ``compact_threshold=2``, so threshold compaction rewrites buckets
-    several times inside the requested range; ``changes(0)`` must still
-    equal exactly the union of the per-epoch LWW-deduped batches (delete
-    winners carried as ``_op='D'`` tombstones with nulled payload)."""
+    ``compact_threshold=4``, so threshold compaction rewrites every bucket
+    strictly inside the requested range (after the 5th merge); ``changes(0)``
+    must still equal exactly the union of the per-epoch LWW-deduped batches
+    (delete winners carried as ``_op='D'`` tombstones with nulled
+    payload)."""
     from etl_spark.cdc.events import write_event_epochs
     from etl_spark.cdc.replay import replay_events
 
@@ -1654,7 +1655,7 @@ def q_cdc_change_feed(spark, sf_dir):
     table, _ = replay_events(
         spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=8,
         key_cols=["user_id"], version_cols=["ts", "event_id"],
-        table_props={"compact_threshold": "2"},
+        table_props={"compact_threshold": "4"},
     )
     return table.changes(0).select(
         "user_id", "event_id", "ts", "event_type", "value", "props", "_op"

@@ -241,3 +241,44 @@ def test_point_lookup_prunes_buckets(spark, tmp_root):
     got = {(r["repo"], r["path"]): r["content"]
            for r in t.lookup([("r1", "p1"), ("r3", "p3"), ("r0", "nope")]).collect()}
     assert got == {("r1", "p1"): "v1", ("r3", "p3"): "v3"}
+
+
+def test_change_feed_replays_into_downstream_table(spark, tmp_root):
+    """CDC-out consumed as CDC-in: replaying the change feed into a second
+    LakeTable reproduces the upstream live state exactly (the feed carries
+    the version columns and 'D' tombstones, so the downstream LWW merge
+    resolves them for free — the documented consumption contract of
+    LakeTable.changes). Auto-compaction runs upstream mid-history and must
+    not distort the feed."""
+    import datetime as dt
+
+    up = LakeTable.create(
+        spark, os.path.join(tmp_root, "up"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=2, props={"compact_threshold": "2"},
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    batches = [
+        [(1, t0, "r", "a", "v1", "I"), (2, t0, "r", "b", "v1", "I")],
+        [(3, t0 + dt.timedelta(minutes=1), "r", "a", "v2", "U")],
+        [(4, t0 + dt.timedelta(minutes=2), "r", "b", None, "D")],
+        [(5, t0 + dt.timedelta(minutes=3), "r", "c", "v1", "I")],
+        [(6, t0 + dt.timedelta(minutes=4), "r", "a", "v3", "U")],
+    ]
+    for i, rows in enumerate(batches):
+        up.merge(spark.createDataFrame(rows, SCHEMA + ", op string"),
+                 f"epoch:{i}")
+
+    down = LakeTable.create(
+        spark, os.path.join(tmp_root, "down"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=4,  # different layout on purpose
+    )
+    feed = up.changes(0).withColumnRenamed("_op", "op")
+    down.merge(feed, "sync:0")
+
+    cols = ["event_id", "op_ts", "repo", "path", "content"]
+    want = sorted(tuple(r) for r in up.read().select(*cols).collect())
+    got = sorted(tuple(r) for r in down.read().select(*cols).collect())
+    assert got == want
+    assert {r["path"] for r in down.read().collect()} == {"a", "c"}
