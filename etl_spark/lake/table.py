@@ -975,7 +975,22 @@ class LakeTable:
             for d in list(dirnames):
                 if d.endswith(".stage"):
                     full = os.path.join(dirpath, d)
-                    if os.stat(full).st_mtime <= cutoff:
+                    # a LIVE writer touches the stage root early but keeps
+                    # writing inside it — age by the NEWEST mtime in the
+                    # tree, or a merge outlasting the grace window would
+                    # have its staging reclaimed mid-write
+                    try:
+                        newest = os.stat(full).st_mtime
+                        for sub, _dn, fn in os.walk(full):
+                            newest = max(newest, os.stat(sub).st_mtime, *(
+                                os.stat(os.path.join(sub, f)).st_mtime
+                                for f in fn
+                            ))
+                    except OSError:
+                        # racing writer just published/removed it: not ours
+                        dirnames.remove(d)
+                        continue
+                    if newest <= cutoff:
                         shutil.rmtree(full, ignore_errors=True)
                         removed.append(os.path.relpath(full, self.path))
                     dirnames.remove(d)

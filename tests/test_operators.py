@@ -198,3 +198,26 @@ def test_asof_join_plan_has_no_fact_side_aggregate(spark):
     row = out.filter(F.col("fid") == 7).collect()[0]
     assert row["rule"] == 2
     assert row["vfrom"] == dt.datetime(2024, 1, 5)
+
+
+def test_multiprobe_resolves_vectors_without_corpus_broadcast(spark):
+    """Regression pin for the corpus-scale contract: multiprobe ANN must
+    resolve candidate corpus vectors with a SHUFFLED hash join on c_id —
+    never by broadcasting the full corpus-vector relation (which cannot
+    fit an executor at the scale the operator targets)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.similarity import lsh_ann_topk_multiprobe
+
+    e = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (d + 3)).cast("float") for d in range(8)])
+        .alias("embedding"),
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    df = lsh_ann_topk_multiprobe(queries, corpus, k=3, n_bits=4, seeds=(7, 8))
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "ShuffledHashJoin [c_id" in plan, plan[:2000]

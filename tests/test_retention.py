@@ -282,3 +282,21 @@ def test_change_feed_replays_into_downstream_table(spark, tmp_root):
     got = sorted(tuple(r) for r in down.read().select(*cols).collect())
     assert got == want
     assert {r["path"] for r in down.read().collect()} == {"a", "c"}
+
+
+def test_vacuum_reclaims_abandoned_staging_dirs(spark, tmp_root):
+    """A crashed writer's `.stage` tree is reclaimed wholesale once it ages
+    past the grace window; a fresh one (a live writer) is protected."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "vs"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"], n_buckets=1,
+    )
+    stage = os.path.join(t.path, "data", "v0000000009-deadbeef.stage")
+    os.makedirs(os.path.join(stage, "__bucket=0"))
+    with open(os.path.join(stage, "__bucket=0", "part-0.parquet"), "wb") as fh:
+        fh.write(b"partial")
+    assert t.vacuum() == []                      # fresh: protected
+    assert os.path.isdir(stage)
+    removed = t.vacuum(older_than_sec=0)
+    assert any(r.endswith(".stage") for r in removed)
+    assert not os.path.exists(stage)
