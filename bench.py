@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "ann_bruteforce",
     "ann_lsh",
     "ann_multiprobe",
+    "ann_ivf",
 ]
 
 

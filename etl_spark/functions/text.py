@@ -17,9 +17,9 @@ from pyspark.sql import functions as F
 from etl_spark.functions.hashing import portable_hash60
 
 __all__ = [
-    "tokens", "token_count", "word_shingles", "char_ngrams",
-    "punct_ratio", "digit_ratio", "stopword_ratio", "doc_fingerprint",
-    "STOPWORDS_EN",
+    "tokens", "token_count", "token_count_bpe", "word_shingles",
+    "char_ngrams", "punct_ratio", "digit_ratio", "stopword_ratio",
+    "doc_fingerprint", "STOPWORDS_EN", "BPE_PRETOKEN_RE",
 ]
 
 STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
@@ -36,6 +36,22 @@ def tokens(col: Column | str) -> Column:
 
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
+
+
+# GPT-2-style pre-tokenizer, simplified to the portable common core of
+# Java regex (Spark) and RE2 (DuckDB): contraction suffixes, letter runs,
+# single digits (BPE vocabularies split numbers digit-wise), punctuation
+# runs. Both engines use leftmost-first alternation, so the match sets are
+# identical.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches — the cheap
+    JVM-side stand-in for a real BPE vocab count a curation pipeline uses
+    to budget training tokens (whitespace counting under-counts punctuation
+    and numbers; this tracks a GPT-2-style pre-tokenizer instead)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_PRETOKEN_RE), F.lit(0))).cast("long")
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:

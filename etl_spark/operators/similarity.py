@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from etl_spark.functions.hashing import portable_hash60
 
 __all__ = ["cosine", "bounded_topk", "brute_force_topk", "hyperplane_bucket",
-           "lsh_ann_topk", "lsh_ann_topk_multiprobe"]
+           "lsh_ann_topk", "lsh_ann_topk_multiprobe", "ivf_ann_topk"]
 
 
 def cosine(a, b):
@@ -245,4 +245,87 @@ def lsh_ann_topk_multiprobe(
         .join(corpus.select(c_id, c_vec).hint("shuffle_hash"), c_id)
         .select(F.col(q_id), F.col(c_id), sim.alias("sim"))
     )
+    return bounded_topk(cand, q_id, c_id, k, fanout)
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    seed: int = 11,
+    max_cell: int | None = None,
+    fanout: int = 32,
+) -> DataFrame:
+    """IVF-flat ANN top-k (the inverted-file alternative to the hyperplane
+    sketch): a deterministic coarse quantizer — ``n_centroids`` corpus
+    vectors picked by smallest portable hash of their id, the
+    random-sampling centroid init every IVF build starts from — assigns
+    each corpus row to its best cell (one broadcast of the tiny centroid
+    set + one combinable ``max_by`` aggregate, O(N·C) work, no shuffle of
+    the corpus); a query probes its ``n_probe`` nearest cells and ranks
+    exact cosine only within them via the bounded two-phase
+    :func:`bounded_topk`.
+
+    Scale shape: centroid selection is a top-C reduction (C is fixed and
+    tiny), assignment is per-row, the probe join is an equi-join on the
+    cell id, and ``max_cell`` guards a degenerate cell exactly like
+    ``max_bucket`` does for LSH. Recall dials: ``n_probe`` (cells per
+    query) and ``n_centroids`` (cell granularity — grow it with corpus
+    size, √N is the usual rule). All arithmetic is rounded (4 dp) with id
+    tie-breaks, so a DuckDB oracle reproduces cells, probes and ranking
+    exactly."""
+    h = portable_hash60(F.col(c_id).cast("string"), salt=seed)
+    centroids = (
+        corpus.select(F.col(c_id), F.col(c_vec), h.alias("__h"))
+        .orderBy(F.col("__h").asc(), F.col(c_id).asc())
+        .limit(n_centroids)
+        .select(F.col(c_id).alias("__cent_id"), F.col(c_vec).alias("__cent_vec"))
+    )
+    csim = F.round(cosine(F.col(c_vec), F.col("__cent_vec")), 4)
+    assign = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(F.col(c_id), F.col(c_vec), F.col("__cent_id"), csim.alias("__s"))
+        .groupBy(c_id)
+        .agg(
+            F.max_by(
+                F.col("__cent_id"),
+                F.struct(F.col("__s"), (-F.col("__cent_id")).alias("__nid")),
+            ).alias("__cell"),
+            F.any_value(F.col(c_vec)).alias(c_vec),
+        )
+    )
+    if max_cell is not None:
+        sizes = assign.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n"))
+        assign = assign.join(
+            F.broadcast(sizes.filter(F.col("__n") <= max_cell).drop("__n")),
+            "__cell",
+        )
+    from pyspark.sql.window import Window
+
+    qsim = F.round(cosine(F.col(q_vec), F.col("__cent_vec")), 4)
+    # top-n_probe cells per query: the window partition holds exactly
+    # n_centroids rows per query (C is a fixed constant), never corpus-sized
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(F.col(q_id), F.col(q_vec), F.col("__cent_id"), qsim.alias("__s"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(q_id).orderBy(
+                    F.col("__s").desc(), F.col("__cent_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select(F.col(q_id), F.col(q_vec), F.col("__cent_id").alias("__cell"))
+    )
+    joined = probes.join(assign, "__cell").filter(F.col(q_id) != F.col(c_id))
+    sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4)
+    cand = joined.select(F.col(q_id), F.col(c_id), sim.alias("sim"))
     return bounded_topk(cand, q_id, c_id, k, fanout)

@@ -899,6 +899,41 @@ FROM documents GROUP BY source
 """
 
 
+def q_token_stats_bpe(spark, sf_dir):
+    """BPE-ish token budgeting: whitespace vs pre-tokenizer counts per
+    source (the training-token budget a curation pipeline actually tracks —
+    whitespace counting under-counts punctuation/numbers)."""
+    from etl_spark.functions.text import token_count_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", token_count("text").alias("nw"),
+                 token_count_bpe("text").alias("nb"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("ws_tokens"),
+            F.sum("nb").alias("bpe_tokens"),
+        )
+    )
+
+
+def _token_stats_bpe_sql() -> str:
+    from etl_spark.functions.text import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")  # the pattern itself contains '
+    return f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)
+         AS bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+SQL_TOKEN_STATS_BPE = _token_stats_bpe_sql()
+
+
 def q_text_ratios(spark, sf_dir):
     """Quality-score character features: punctuation ratio, digit ratio,
     distinct char-trigram count (the char-n-gram basis for fingerprinting)
@@ -1230,6 +1265,74 @@ SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (
 
 
 SQL_ANN_MULTIPROBE = _ann_multiprobe_sql((7, 8), 4, 5, 10000)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN top-k (the inverted-file scale path beside the
+    hyperplane LSH one): deterministic sampled centroids → per-row cell
+    assignment (broadcast centroids + combinable max_by) → n_probe nearest
+    cells per query → exact cosine only within probed cells, bounded
+    two-phase top-k. Verified exactly by a SQL oracle replaying the same
+    centroids, assignment and probes."""
+    from etl_spark.operators.similarity import ivf_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    queries = (
+        e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return ivf_ann_topk(queries, corpus, k=5, n_centroids=16, n_probe=4,
+                        seed=11, max_cell=100000)
+
+
+def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5,
+                 seed: int = 11, max_cell: int = 100000) -> str:
+    cent_h = portable_hash60_sql("CAST(vec_id AS VARCHAR)", salt=seed)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cent AS (
+  SELECT vec_id AS cent_id, e AS ce FROM v
+  ORDER BY {cent_h}, vec_id LIMIT {n_centroids}
+), asgn AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(v.e, c.ce), 4) DESC,
+                      c.cent_id) AS rn
+    FROM v CROSS JOIN cent c
+  ) WHERE rn = 1
+), sized AS (
+  SELECT cell FROM asgn GROUP BY cell HAVING COUNT(*) <= {max_cell}
+), probes AS (
+  SELECT vec_id AS q_id, cent_id AS cell FROM (
+    SELECT v.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(v.e, c.ce), 4) DESC,
+                      c.cent_id) AS rn
+    FROM v CROSS JOIN cent c WHERE v.vec_id < 20
+  ) WHERE rn <= {n_probe}
+), scored AS (
+  SELECT p.q_id, a.vec_id AS c_id,
+         round(list_cosine_similarity(qv.e, cv.e), 4) AS sim
+  FROM probes p
+  JOIN sized USING (cell)
+  JOIN asgn a USING (cell)
+  JOIN v qv ON qv.vec_id = p.q_id
+  JOIN v cv ON cv.vec_id = a.vec_id
+  WHERE p.q_id <> a.vec_id
+)
+SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVF = _ann_ivf_sql(16, 4, 5, 11, 100000)
 
 
 def q_tumbling_window_agg(spark, sf_dir):
@@ -1816,6 +1919,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_stats": q_token_stats,
+    "token_stats_bpe": q_token_stats_bpe,
     "text_ratios": q_text_ratios,
     "value_percentiles": q_value_percentiles,
     "multimodal_metadata": q_multimodal_metadata,
@@ -1824,6 +1928,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
     "ann_multiprobe": q_ann_multiprobe,
+    "ann_ivf": q_ann_ivf,
     "tumbling_window_agg": q_tumbling_window_agg,
     "session_windows": q_session_windows,
     "embedding_quantize": q_embedding_quantize,
@@ -1872,6 +1977,7 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "token_stats": SQL_TOKEN_STATS,
+    "token_stats_bpe": SQL_TOKEN_STATS_BPE,
     "text_ratios": SQL_TEXT_RATIOS,
     "value_percentiles": SQL_VALUE_PERCENTILES,
     "multimodal_metadata": SQL_MULTIMODAL,
@@ -1880,6 +1986,7 @@ ORACLES = {
     "embedding_neardup": SQL_EMBED_NEARDUP,
     "ann_lsh": SQL_ANN_LSH,
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
+    "ann_ivf": SQL_ANN_IVF,
     "tumbling_window_agg": SQL_TUMBLING,
     "session_windows": SQL_SESSION_WINDOWS,
     "embedding_quantize": SQL_EMBED_QUANT,
