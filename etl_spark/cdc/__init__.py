@@ -11,6 +11,7 @@ exactly-once manifests.
 from etl_spark.cdc.events import EVENT_SCHEMA, synth_events, write_event_epochs
 from etl_spark.cdc.lww import lww_dedup
 from etl_spark.cdc.replay import replay_batches, replay_events
+from etl_spark.cdc.sync import last_synced_version, sync_changes
 
 __all__ = [
     "EVENT_SCHEMA",
@@ -19,4 +20,6 @@ __all__ = [
     "lww_dedup",
     "replay_batches",
     "replay_events",
+    "last_synced_version",
+    "sync_changes",
 ]

@@ -1,0 +1,79 @@
+"""Incremental downstream materialization: change feed → second LakeTable.
+
+The reference's downstream consumers re-derive warehouse tables from the
+capture history incrementally (``capturas_historico`` tells them which
+``(geo, period)`` slices are new since their last run —
+/root/reference/src/impulsoetl/scripts/geral.py:92-109). Here the same
+contract is the upstream table's commit-level change feed
+(:meth:`etl_spark.lake.LakeTable.changes`) consumed by a cursor:
+
+- the CURSOR is the last upstream snapshot version the destination has
+  applied, recorded as the manifest key ``{prefix}:{upstream_version}`` of
+  the sync merge itself — crash-safe because the cursor advances in the
+  same atomic commit that lands the data (the reference's
+  history-insert-in-the-same-transaction);
+- each round replays ``changes(cursor, current)``; the feed carries the
+  LWW version columns and ``'D'`` tombstones, so the destination merge
+  resolves late/duplicate deliveries for free;
+- re-running a round is a metadata no-op (``has_applied``), and re-playing
+  an OLDER range would be absorbed by LWW anyway — which is why the
+  destination should declare the prefix a **monotone cursor**
+  (``props["cursor_prefixes"]="sync"``): folded watermarks then keep only
+  the high-water mark and metadata stays O(manifest_window) no matter how
+  many sync rounds run (upstream versions are sparse — merges, compactions
+  — so the contiguous-seq fold would never fire for them).
+
+Bounds: the feed can only start at a snapshot that still exists upstream —
+``expire_snapshots(keep_last=k)`` limits how far behind a consumer may
+fall (Iceberg's incremental-read contract). A consumer that lapsed past
+the horizon must re-bootstrap with ``sync_changes(..., full_refresh=True)``.
+"""
+
+from __future__ import annotations
+
+from etl_spark.lake import LakeTable, MergeStats
+
+__all__ = ["last_synced_version", "sync_changes"]
+
+
+def last_synced_version(dst: LakeTable, prefix: str = "sync") -> int | None:
+    """The destination's cursor: the highest upstream version recorded by
+    a previous sync commit — from the folded watermark (cursor folding
+    keeps the max) and any keys still verbatim in the bounded window.
+    ``None`` if never synced."""
+    snap = dst.current_snapshot()
+    best: int | None = None
+    rng = snap.applied_watermarks.get(prefix)
+    if rng is not None:
+        best = int(rng[1])
+    for key in snap.applied:
+        p, _, seq = key.rpartition(":")
+        if p == prefix and seq.isdigit() and str(int(seq)) == seq:
+            v = int(seq)
+            if best is None or v > best:
+                best = v
+    return best
+
+
+def sync_changes(
+    src: LakeTable,
+    dst: LakeTable,
+    prefix: str = "sync",
+    end_version: int | None = None,
+    full_refresh: bool = False,
+) -> MergeStats | None:
+    """One incremental sync round: merge ``src.changes(cursor, end)`` into
+    ``dst`` and advance the cursor — all in one atomic commit. Returns the
+    merge stats, or ``None`` when the destination is already caught up.
+
+    ``full_refresh=True`` restarts the feed from version 0 (bootstrap, or
+    recovery after the consumer fell past ``src``'s snapshot-retention
+    horizon); LWW makes the re-merge of already-applied rows a semantic
+    no-op."""
+    cursor = None if full_refresh else last_synced_version(dst, prefix)
+    start = cursor if cursor is not None else 0
+    end = src.current_version() if end_version is None else end_version
+    if not full_refresh and end <= start:
+        return None
+    feed = src.changes(start, end).withColumnRenamed("_op", "op")
+    return dst.merge(feed, manifest_key=f"{prefix}:{end}")

@@ -154,16 +154,32 @@ class Snapshot:
     #   merely wasteful: re-merging an applied batch is LWW-idempotent.
     applied_count: int = 0          # total manifest keys ever applied
 
+    def cursor_prefixes(self) -> set[str]:
+        """Manifest-key prefixes declared MONOTONE CURSORS via the
+        ``cursor_prefixes`` table prop (comma-separated). A cursor prefix
+        tracks a position, not a work unit: seqs are non-contiguous (e.g.
+        an upstream snapshot version) and re-applying any range at or
+        below the high-water mark is idempotent by construction (the sync
+        feed re-merge is absorbed by LWW). Folding therefore keeps only
+        the max — no adjacency requirement — and ``has_applied`` treats
+        every seq ≤ hi as applied."""
+        raw = self.props.get("cursor_prefixes", "")
+        return {p.strip() for p in raw.split(",") if p.strip()}
+
     def has_applied(self, manifest_key: str) -> bool:
         """Exactly-once membership: the bounded recent window, then the
-        per-prefix contiguous folded range for sequence-shaped keys
-        ('name:123')."""
+        per-prefix folded range for sequence-shaped keys ('name:123') —
+        contiguous for work-unit prefixes, ≤-hi for cursor prefixes."""
         if manifest_key in self.applied:
             return True
         prefix, _, seq = manifest_key.rpartition(":")
         if prefix and _is_canonical_seq(seq):
             rng = self.applied_watermarks.get(prefix)
-            return rng is not None and rng[0] <= int(seq) <= rng[1]
+            if rng is None:
+                return False
+            if prefix in self.cursor_prefixes():
+                return int(seq) <= rng[1]
+            return rng[0] <= int(seq) <= rng[1]
         return False
 
     def to_json(self) -> str:
@@ -827,6 +843,11 @@ class LakeTable:
             kept: list[str] = []
             overflow = len(applied) - window
             folded = 0
+            cursor_pfx = {
+                p.strip()
+                for p in snap.props.get("cursor_prefixes", "").split(",")
+                if p.strip()
+            }
             for key in applied:  # oldest first
                 if folded < overflow:
                     prefix, _, seq = key.rpartition(":")
@@ -835,6 +856,15 @@ class LakeTable:
                         rng = watermarks.get(prefix)
                         if rng is None:
                             watermarks[prefix] = [s, s]
+                            folded += 1
+                            continue
+                        if prefix in cursor_pfx:
+                            # cursor prefix (monotone position, e.g. a
+                            # sync'd upstream version): seqs are sparse by
+                            # nature and any ≤-hi re-apply is idempotent —
+                            # fold unconditionally, keep only the extremes
+                            rng[0] = min(rng[0], s)
+                            rng[1] = max(rng[1], s)
                             folded += 1
                             continue
                         if s == rng[1] + 1 or rng[0] <= s <= rng[1]:

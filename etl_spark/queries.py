@@ -1781,6 +1781,59 @@ FROM (
 """
 
 
+def q_cdc_incremental_sync(spark, sf_dir):
+    """Incremental downstream materialization (the reference's consumers
+    re-deriving tables from capture history, scripts/geral.py:92-109):
+    upstream replays epochs in two waves with auto-compaction in between;
+    after each wave ``sync_changes`` merges only the new change-feed range
+    into a DIFFERENTLY-bucketed destination, advancing a crash-safe cursor
+    in the same atomic commit. Final destination state must equal the full
+    LWW replay of all events — the DuckDB oracle."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+    from etl_spark.cdc.sync import sync_changes
+    from etl_spark.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(6)).cast("long").alias("epoch"),
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_sync_")
+    waves = [os.path.join(tmp, "w0"), os.path.join(tmp, "w1")]
+    write_event_epochs(wal.filter(F.col("epoch") < 3), waves[0])
+    write_event_epochs(wal.filter(F.col("epoch") >= 3), waves[1])
+
+    src_path = os.path.join(tmp, "src")
+    src, _ = replay_events(
+        spark, waves[0], src_path, n_buckets=8,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        table_props={"compact_threshold": "2"},
+    )
+    dst = LakeTable.create(
+        spark, os.path.join(tmp, "dst"), src.current_snapshot().schema,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        n_buckets=4, props={"cursor_prefixes": "sync"},
+    )
+    assert sync_changes(src, dst).applied          # wave 1
+    src, _ = replay_events(                        # wave 2 (+compaction)
+        spark, waves[1], src_path,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+    )
+    assert sync_changes(src, dst).applied
+    assert sync_changes(src, dst) is None          # caught up: no-op
+    return dst.read().select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+SQL_CDC_SYNC = SQL_CDC_REPLAY  # destination == full LWW replay, live rows
+
+
 def q_pending_capture_scan(spark, sf_dir):
     """Distributed pending-work discovery (scripts/geral.py:61-65:
     ``capturas_agendamentos`` minus ``capturas_historico``): schedule
@@ -1942,6 +1995,7 @@ QUERIES = {
     "content_key": q_content_key,
     "period_lead": q_period_lead,
     "cdc_change_feed": q_cdc_change_feed,
+    "cdc_incremental_sync": q_cdc_incremental_sync,
     "pending_capture_scan": q_pending_capture_scan,
     "value_percentiles_approx": q_value_percentiles_approx,
     "lww_compact_parity": q_lww_compact_parity,
@@ -2000,6 +2054,7 @@ ORACLES = {
     "content_key": SQL_CONTENT_KEY,
     "period_lead": SQL_PERIOD_LEAD,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
+    "cdc_incremental_sync": SQL_CDC_SYNC,
     "pending_capture_scan": SQL_PENDING_SCAN,
     # value_percentiles_approx: t-digest sketch, not DuckDB-reproducible —
     # no oracle by design (bounded-error pytest gates it instead)

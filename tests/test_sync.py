@@ -1,0 +1,99 @@
+"""Incremental downstream sync: change feed → second LakeTable with a
+crash-safe cursor (reference: consumers re-deriving tables from
+capturas_historico, scripts/geral.py:92-109)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql.types import StructType
+
+from etl_spark.cdc.sync import last_synced_version, sync_changes
+from etl_spark.lake import LakeTable
+
+SCHEMA = "event_id bigint, op_ts timestamp, repo string, path string, content string"
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _mk(spark, root, name, n_buckets=2, props=None):
+    return LakeTable.create(
+        spark, os.path.join(root, name), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=n_buckets, props=props,
+    )
+
+
+def _merge(spark, t, key, rows):
+    t.merge(spark.createDataFrame(rows, SCHEMA + ", op string"), key)
+
+
+def test_sync_is_incremental_idempotent_and_cursor_correct(spark, tmp_root):
+    src = _mk(spark, tmp_root, "src", props={"compact_threshold": "2"})
+    dst = _mk(spark, tmp_root, "dst", n_buckets=4,
+              props={"cursor_prefixes": "sync"})
+
+    assert last_synced_version(dst) is None
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "v1", "I"),
+                               (2, T0, "r", "b", "v1", "I")])
+    _merge(spark, src, "e:1", [(3, T0 + dt.timedelta(minutes=1), "r", "a", "v2", "U")])
+    st = sync_changes(src, dst)
+    assert st.applied
+    v1 = src.current_version()
+    assert last_synced_version(dst) == v1
+    assert {r["path"]: r["content"] for r in dst.read().collect()} == \
+        {"a": "v2", "b": "v1"}
+
+    # caught up: no-op, cursor unmoved
+    assert sync_changes(src, dst) is None
+    assert last_synced_version(dst) == v1
+
+    # new upstream work incl. a delete; compaction may fire upstream
+    _merge(spark, src, "e:2", [(4, T0 + dt.timedelta(minutes=2), "r", "b", None, "D"),
+                               (5, T0 + dt.timedelta(minutes=3), "r", "c", "v1", "I")])
+    st2 = sync_changes(src, dst)
+    assert st2.applied
+    assert last_synced_version(dst) == src.current_version() > v1
+    assert {r["path"]: r["content"] for r in dst.read().collect()} == \
+        {"a": "v2", "c": "v1"}
+
+    # re-running the same round is a metadata no-op (crash-replay safety)
+    again = dst.merge(
+        src.changes(v1).withColumnRenamed("_op", "op"),
+        manifest_key=f"sync:{src.current_version()}")
+    assert not again.applied
+
+
+def test_sync_cursor_metadata_stays_bounded(spark, tmp_root):
+    """Many sync rounds against a tiny manifest window: sync seqs are
+    sparse upstream versions, so without cursor folding they would pile
+    up in `applied` forever; with cursor_prefixes they fold to [min, max]
+    and every historical round still answers has_applied=True."""
+    src = _mk(spark, tmp_root, "src2", props={"compact_threshold": "999"})
+    dst = _mk(spark, tmp_root, "dst2",
+              props={"cursor_prefixes": "sync", "manifest_window": "2"})
+
+    synced_versions = []
+    for i in range(6):
+        _merge(spark, src, f"e:{i}",
+               [(i + 1, T0 + dt.timedelta(minutes=i), "r", f"p{i}", f"v{i}", "I")])
+        assert sync_changes(src, dst).applied
+        synced_versions.append(src.current_version())
+
+    snap = dst.current_snapshot()
+    assert len(snap.applied) <= 2
+    # the newest keys stay verbatim in the window; everything older folded
+    # into the cursor watermark despite the seqs being non-contiguous
+    assert snap.applied_watermarks["sync"][1] == synced_versions[-3]
+    for v in synced_versions:
+        assert snap.has_applied(f"sync:{v}"), v
+    assert last_synced_version(dst) == synced_versions[-1]
+    assert dst.read().count() == 6
+
+
+def test_sync_full_refresh_bootstraps(spark, tmp_root):
+    src = _mk(spark, tmp_root, "src3")
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "v1", "I")])
+    dst = _mk(spark, tmp_root, "dst3", props={"cursor_prefixes": "sync"})
+    assert sync_changes(src, dst, full_refresh=True).applied
+    assert dst.read().count() == 1
