@@ -147,13 +147,21 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     if not skip_queries:
+        # best-of-N per query: single-shot numbers on this sandbox swing
+        # >2x between runs even on an idle box (JIT state + neighbor
+        # noise); the first rep doubles as the codegen warmup.
+        q_reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
         for name in BENCH_QUERIES:
             fn = QUERIES[name]
-            t0 = time.monotonic()
-            # count() is the driver-independent "run it" action; queries
-            # whose payload matters were validated in the correctness gate.
-            fn(spark, sf_dir).count()
-            queries[name] = round(time.monotonic() - t0, 2)
+            best = None
+            for _ in range(q_reps):
+                t0 = time.monotonic()
+                # count() is the driver-independent "run it" action; query
+                # payloads were validated in the correctness gate.
+                fn(spark, sf_dir).count()
+                dt = time.monotonic() - t0
+                best = dt if best is None or dt < best else best
+            queries[name] = round(best, 2)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

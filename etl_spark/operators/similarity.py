@@ -286,6 +286,9 @@ def ivf_ann_topk(
         .orderBy(F.col("__h").asc(), F.col(c_id).asc())
         .limit(n_centroids)
         .select(F.col(c_id).alias("__cent_id"), F.col(c_vec).alias("__cent_vec"))
+        # materialized once: the selection (corpus scan + top-C) feeds BOTH
+        # the assignment and the probe subplans — without this each re-runs it
+        .localCheckpoint(eager=True)
     )
     csim = F.round(cosine(F.col(c_vec), F.col("__cent_vec")), 4)
     assign = (
