@@ -66,14 +66,34 @@ def sync_changes(
     ``dst`` and advance the cursor — all in one atomic commit. Returns the
     merge stats, or ``None`` when the destination is already caught up.
 
-    ``full_refresh=True`` restarts the feed from version 0 (bootstrap, or
-    recovery after the consumer fell past ``src``'s snapshot-retention
-    horizon); LWW makes the re-merge of already-applied rows a semantic
+    A first sync (no cursor) or ``full_refresh=True`` BOOTSTRAPS by copying
+    the upstream snapshot state itself — per-key LWW winners INCLUDING
+    tombstones, which must keep suppressing late events in future
+    incremental rounds — rather than replaying the feed from version 0:
+    smaller input, and it works even after early upstream snapshots
+    expired. LWW makes any re-merge of already-applied rows a semantic
     no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.lake.table import META_DELETED
+
     cursor = None if full_refresh else last_synced_version(dst, prefix)
-    start = cursor if cursor is not None else 0
     end = src.current_version() if end_version is None else end_version
-    if not full_refresh and end <= start:
+    if cursor is None:
+        state = src.read(version=end, with_meta=True, include_deleted=True)
+        feed = state.withColumn(
+            "op",
+            F.when(F.col(META_DELETED), F.lit("D")).otherwise(F.lit("U")),
+        ).drop(META_DELETED)
+        return dst.merge(feed, manifest_key=f"{prefix}:{end}")
+    if end <= cursor:
         return None
-    feed = src.changes(start, end).withColumnRenamed("_op", "op")
+    if cursor not in set(src.versions()):
+        raise RuntimeError(
+            f"sync cursor v{cursor} fell past the upstream snapshot-retention "
+            f"horizon (oldest kept: v{min(src.versions())}); the incremental "
+            f"feed can no longer start there — re-bootstrap with "
+            f"sync_changes(..., full_refresh=True)"
+        )
+    feed = src.changes(cursor, end).withColumnRenamed("_op", "op")
     return dst.merge(feed, manifest_key=f"{prefix}:{end}")

@@ -97,3 +97,53 @@ def test_sync_full_refresh_bootstraps(spark, tmp_root):
     dst = _mk(spark, tmp_root, "dst3", props={"cursor_prefixes": "sync"})
     assert sync_changes(src, dst, full_refresh=True).applied
     assert dst.read().count() == 1
+
+
+def test_sync_propagates_schema_evolution(spark, tmp_root):
+    """A late upstream batch adds a column; the next sync round must evolve
+    the destination schema additively and null-fill old rows — the
+    reference's *_ADICIONAIS contract riding the change feed."""
+    src = _mk(spark, tmp_root, "src4")
+    dst = _mk(spark, tmp_root, "dst4", props={"cursor_prefixes": "sync"})
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "v1", "I")])
+    assert sync_changes(src, dst).applied
+
+    src.merge(spark.createDataFrame(
+        [(2, T0 + dt.timedelta(minutes=1), "r", "b", "v1", "py", "I")],
+        SCHEMA + ", lang string, op string"), "e:1")
+    assert sync_changes(src, dst).applied
+
+    assert "lang" in dst.current_snapshot().schema.fieldNames()
+    got = {r["path"]: r["lang"] for r in dst.read().collect()}
+    assert got == {"a": None, "b": "py"}
+
+
+def test_sync_raises_past_retention_horizon_and_recovers(spark, tmp_root):
+    """A consumer that lapsed past the upstream snapshot-retention horizon
+    must get a loud error (its incremental range is gone), and
+    full_refresh must recover it — including tombstones, so later late
+    events stay suppressed downstream."""
+    import pytest
+
+    src = _mk(spark, tmp_root, "src5", props={"compact_threshold": "999"})
+    dst = _mk(spark, tmp_root, "dst5", props={"cursor_prefixes": "sync"})
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "v1", "I"),
+                               (2, T0, "r", "b", "v1", "I")])
+    assert sync_changes(src, dst).applied
+
+    _merge(spark, src, "e:1", [(3, T0 + dt.timedelta(minutes=1), "r", "b", None, "D")])
+    _merge(spark, src, "e:2", [(4, T0 + dt.timedelta(minutes=2), "r", "c", "v1", "I")])
+    src.expire_snapshots(keep_last=1)          # cursor version is gone
+
+    with pytest.raises(RuntimeError, match="retention horizon"):
+        sync_changes(src, dst)
+
+    st = sync_changes(src, dst, full_refresh=True)
+    assert st.applied
+    assert {r["path"] for r in dst.read().collect()} == {"a", "c"}
+    # the bootstrap carried b's tombstone: a LATE event older than the
+    # delete must stay suppressed downstream
+    dst.merge(spark.createDataFrame(
+        [(0, T0 - dt.timedelta(minutes=1), "r", "b", "stale", "U")],
+        SCHEMA + ", op string"), "late:0")
+    assert {r["path"] for r in dst.read().collect()} == {"a", "c"}
