@@ -41,6 +41,8 @@ def last_synced_version(dst: LakeTable, prefix: str = "sync") -> int | None:
     a previous sync commit — from the folded watermark (cursor folding
     keeps the max) and any keys still verbatim in the bounded window.
     ``None`` if never synced."""
+    from etl_spark.lake.table import _is_canonical_seq
+
     snap = dst.current_snapshot()
     best: int | None = None
     rng = snap.applied_watermarks.get(prefix)
@@ -48,7 +50,7 @@ def last_synced_version(dst: LakeTable, prefix: str = "sync") -> int | None:
         best = int(rng[1])
     for key in snap.applied:
         p, _, seq = key.rpartition(":")
-        if p == prefix and seq.isdigit() and str(int(seq)) == seq:
+        if p == prefix and _is_canonical_seq(seq):
             v = int(seq)
             if best is None or v > best:
                 best = v
@@ -77,9 +79,30 @@ def sync_changes(
 
     from etl_spark.lake.table import META_DELETED
 
-    cursor = None if full_refresh else last_synced_version(dst, prefix)
+    recorded = last_synced_version(dst, prefix)
     end = src.current_version() if end_version is None else end_version
+    if recorded is not None and end < recorded:
+        # upstream versions are monotone for one table: a lower current
+        # version means the table at src's path was reset/recreated — a
+        # silent "caught up" here would starve the destination forever
+        raise RuntimeError(
+            f"upstream version regressed (cursor v{recorded}, upstream now "
+            f"v{end}): the source table was reset or replaced — point the "
+            f"sync at the right table, or recreate the destination and "
+            f"re-bootstrap"
+        )
+    cursor = None if full_refresh else recorded
     if cursor is None:
+        if recorded is not None and end <= recorded:
+            # the bootstrap merge's manifest key would hit the cursor
+            # dedup (seq ≤ hi ⇒ applied) and silently copy nothing
+            raise RuntimeError(
+                f"full_refresh at v{end} would be a manifest no-op: the "
+                f"destination already recorded sync through v{recorded}. "
+                f"For divergence repair, recreate the destination and "
+                f"bootstrap fresh; to pick up new data just call "
+                f"sync_changes without full_refresh"
+            )
         state = src.read(version=end, with_meta=True, include_deleted=True)
         feed = state.withColumn(
             "op",

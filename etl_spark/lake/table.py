@@ -843,11 +843,7 @@ class LakeTable:
             kept: list[str] = []
             overflow = len(applied) - window
             folded = 0
-            cursor_pfx = {
-                p.strip()
-                for p in snap.props.get("cursor_prefixes", "").split(",")
-                if p.strip()
-            }
+            cursor_pfx = snap.cursor_prefixes()
             for key in applied:  # oldest first
                 if folded < overflow:
                     prefix, _, seq = key.rpartition(":")
@@ -971,7 +967,8 @@ class LakeTable:
             F.when(F.col(META_DELETED), F.lit("D")).otherwise(F.lit("U")).alias("_op"),
         )
 
-    def vacuum(self, older_than_sec: float = 600.0) -> list[str]:
+    def vacuum(self, older_than_sec: float = 600.0,
+               reclaim_staging: bool = False) -> list[str]:
         """Delete data files referenced by no remaining snapshot (run after
         ``expire_snapshots``; compaction and CoW merges leave such
         orphans). Returns deleted table-relative paths.
@@ -980,7 +977,16 @@ class LakeTable:
         ``remove_orphan_files`` retention): a file a concurrent writer just
         staged is unreferenced only until that writer publishes, so only
         files whose mtime is older than the window are reclaimed. Pass 0
-        only when no writer can be in flight."""
+        only when no writer can be in flight.
+
+        ``reclaim_staging`` additionally removes whole ``.stage`` trees
+        older (by NEWEST inner mtime) than the window — crashed writers'
+        leftovers. OFF by default because no mtime heuristic can fully
+        distinguish a crashed stage from a live writer stalled in a long
+        shuffle/sort phase (it writes nothing into staging while working):
+        reclaiming a live stage would silently drop that merge's finished
+        task outputs. Enable it from a scheduled maintenance job with a
+        window comfortably above the longest plausible merge."""
         import time
 
         referenced: set[str] = set()
@@ -998,17 +1004,18 @@ class LakeTable:
         removed = []
         # Walk the segment layout (data/<segment>/bNNNNN/*.parquet); flat
         # files from the pre-segment layout are covered by the same walk.
-        # A crashed writer's abandoned `.stage` tree is reclaimed wholesale
-        # once it ages past the grace window (a live writer renames it away
-        # within one commit).
+        # `.stage` trees belong to writers (live or crashed) and are never
+        # descended into; with ``reclaim_staging`` an aged tree is removed
+        # wholesale.
         for dirpath, dirnames, filenames in os.walk(data_dir, topdown=True):
             for d in list(dirnames):
                 if d.endswith(".stage"):
+                    dirnames.remove(d)  # never walk inside a stage tree
+                    if not reclaim_staging:
+                        continue
                     full = os.path.join(dirpath, d)
-                    # a LIVE writer touches the stage root early but keeps
-                    # writing inside it — age by the NEWEST mtime in the
-                    # tree, or a merge outlasting the grace window would
-                    # have its staging reclaimed mid-write
+                    # age by the NEWEST mtime in the tree: a live writer
+                    # touches the root early but keeps writing inside it
                     try:
                         newest = os.stat(full).st_mtime
                         for sub, _dn, fn in os.walk(full):
@@ -1018,12 +1025,10 @@ class LakeTable:
                             ))
                     except OSError:
                         # racing writer just published/removed it: not ours
-                        dirnames.remove(d)
                         continue
                     if newest <= cutoff:
                         shutil.rmtree(full, ignore_errors=True)
                         removed.append(os.path.relpath(full, self.path))
-                    dirnames.remove(d)
             for name in sorted(filenames):
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.path)
@@ -1031,11 +1036,18 @@ class LakeTable:
                     os.unlink(full)
                     removed.append(rel)
         # prune segment/bucket dirs emptied by the deletes (bottom-up;
-        # re-listdir because the walk snapshot predates child removals)
-        for dirpath, _dirnames, _filenames in os.walk(data_dir, topdown=False):
+        # re-listdir because the walk snapshot predates child removals).
+        # Only dirs older than the grace window are pruned: a concurrent
+        # writer's just-created segment dir is empty until its first bucket
+        # rename lands, and rmdir'ing it would crash that merge. Stage
+        # trees are writer-owned — skipped entirely.
+        for dirpath, dirnames, _filenames in os.walk(data_dir, topdown=False):
+            if ".stage" in dirpath:
+                continue
             if dirpath != data_dir and not os.listdir(dirpath):
                 try:
-                    os.rmdir(dirpath)
+                    if os.stat(dirpath).st_mtime <= cutoff:
+                        os.rmdir(dirpath)
                 except OSError:
                     pass
         return removed

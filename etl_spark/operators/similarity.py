@@ -296,9 +296,12 @@ def ivf_ann_topk(
         .select(F.col(c_id), F.col(c_vec), F.col("__cent_id"), csim.alias("__s"))
         .groupBy(c_id)
         .agg(
-            F.max_by(
+            # min over (-sim, cent_id) = max sim with ascending-id tiebreak;
+            # min_by keeps the id un-negated so string centroid ids work
+            # (every sibling LSH operator supports them)
+            F.min_by(
                 F.col("__cent_id"),
-                F.struct(F.col("__s"), (-F.col("__cent_id")).alias("__nid")),
+                F.struct((-F.col("__s")).alias("__ns"), F.col("__cent_id")),
             ).alias("__cell"),
             F.any_value(F.col(c_vec)).alias(c_vec),
         )

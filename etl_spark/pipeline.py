@@ -182,10 +182,11 @@ def pending_scan(
         )
         out = out.join(F.broadcast(window_df), key_col, "left_anti")
     if snap.applied_watermarks:
+        cursor_pfx = snap.cursor_prefixes()
         wm_df = spark.createDataFrame(
-            [(p, int(lo), int(hi))
+            [(p, int(lo), int(hi), p in cursor_pfx)
              for p, (lo, hi) in snap.applied_watermarks.items()],
-            "__prefix string, __lo bigint, __hi bigint",
+            "__prefix string, __lo bigint, __hi bigint, __cursor boolean",
         )
         key = F.col(key_col)
         suffix = F.regexp_extract(key, _KEY_SPLIT_RE, 2)
@@ -193,13 +194,21 @@ def pending_scan(
             out.withColumn("__p", F.regexp_extract(key, _KEY_SPLIT_RE, 1))
             .withColumn(
                 "__s",
-                F.when(suffix.rlike(_CANONICAL_SEQ_RE), suffix.cast("long")),
+                # try_cast: a canonical decimal can still overflow bigint
+                # under ANSI mode — such a key is simply not watermark-
+                # covered (has_applied's Python bigints agree: it can never
+                # fold into an int-ranged watermark), never a scan crash
+                F.when(suffix.rlike(_CANONICAL_SEQ_RE),
+                       suffix.try_cast("long")),
             )
             .join(
                 F.broadcast(wm_df),
                 (F.col("__p") == F.col("__prefix"))
                 & F.col("__s").isNotNull()
-                & (F.col("__s") >= F.col("__lo"))
+                # cursor prefixes (monotone positions): applied ⇔ seq ≤ hi,
+                # mirroring Snapshot.has_applied; work-unit prefixes need
+                # the full contiguous range
+                & (F.col("__cursor") | (F.col("__s") >= F.col("__lo")))
                 & (F.col("__s") <= F.col("__hi")),
                 "left_anti",
             )

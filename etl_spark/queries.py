@@ -1819,13 +1819,17 @@ def q_cdc_incremental_sync(spark, sf_dir):
         key_cols=["user_id"], version_cols=["ts", "event_id"],
         n_buckets=4, props={"cursor_prefixes": "sync"},
     )
-    assert sync_changes(src, dst).applied          # wave 1
+    # side effects outside asserts: the gate must run identically under -O
+    round1 = sync_changes(src, dst)                # wave 1 (bootstrap)
     src, _ = replay_events(                        # wave 2 (+compaction)
         spark, waves[1], src_path,
         key_cols=["user_id"], version_cols=["ts", "event_id"],
     )
-    assert sync_changes(src, dst).applied
-    assert sync_changes(src, dst) is None          # caught up: no-op
+    round2 = sync_changes(src, dst)
+    round3 = sync_changes(src, dst)                # caught up: no-op
+    if not (round1.applied and round2.applied and round3 is None):
+        raise AssertionError("sync rounds deviated from the expected "
+                             "applied/applied/caught-up sequence")
     return dst.read().select(
         "user_id", "event_id", "ts", "event_type", "value", "props"
     )

@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--vacuum-older-than-sec", type=float, default=None,
                     help="delete unreferenced data files older than this "
                          "grace window (e.g. 3600)")
+    ap.add_argument("--reclaim-staging", action="store_true",
+                    help="also remove crashed writers' .stage trees older "
+                         "than the window (use a window above the longest "
+                         "plausible merge)")
     ap.add_argument("--rebucket", type=int, default=None,
                     help="rewrite the table into this bucket count "
                          "(O(table); layout evolution)")
@@ -65,7 +69,8 @@ def main() -> None:
             table.expire_snapshots(keep_last=args.expire_keep_last))
     if args.vacuum_older_than_sec is not None:
         report["vacuumed_files"] = len(
-            table.vacuum(older_than_sec=args.vacuum_older_than_sec))
+            table.vacuum(older_than_sec=args.vacuum_older_than_sec,
+                         reclaim_staging=args.reclaim_staging))
 
     report["version_after"] = table.current_version()
     print(json.dumps(report))

@@ -31,8 +31,12 @@ def main() -> None:
     ap.add_argument("--prefix", default="sync",
                     help="cursor manifest-key prefix")
     ap.add_argument("--full-refresh", action="store_true",
-                    help="replay the feed from version 0 (bootstrap / "
-                         "recovery past the snapshot-retention horizon)")
+                    help="bootstrap from the upstream snapshot state "
+                         "(recovery past the snapshot-retention horizon)")
+    ap.add_argument("--count-rows", action="store_true",
+                    help="also report the destination's live row count — "
+                         "an O(table) scan, off by default so a scheduled "
+                         "incremental round stays O(changed rows)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,15 +60,18 @@ def main() -> None:
 
     stats = sync_changes(src, dst, prefix=args.prefix,
                          full_refresh=args.full_refresh)
-    print(json.dumps({
+    report = {
         "src": args.src_path,
         "dst": args.dst_path,
         "src_version": src.current_version(),
         "cursor": last_synced_version(dst, args.prefix),
         "applied": stats.applied if stats is not None else False,
         "caught_up": stats is None,
-        "rows": dst.read().count(),
-    }))
+        "rows_written": stats.rows_written if stats is not None else 0,
+    }
+    if args.count_rows:
+        report["rows"] = dst.read().count()
+    print(json.dumps(report))
     spark.stop()
 
 

@@ -295,8 +295,10 @@ def test_vacuum_reclaims_abandoned_staging_dirs(spark, tmp_root):
     os.makedirs(os.path.join(stage, "__bucket=0"))
     with open(os.path.join(stage, "__bucket=0", "part-0.parquet"), "wb") as fh:
         fh.write(b"partial")
-    assert t.vacuum() == []                      # fresh: protected
+    assert t.vacuum(reclaim_staging=True) == []  # fresh: protected
     assert os.path.isdir(stage)
-    removed = t.vacuum(older_than_sec=0)
+    assert t.vacuum(older_than_sec=0) == []      # default: never touched
+    assert os.path.isdir(stage)
+    removed = t.vacuum(older_than_sec=0, reclaim_staging=True)
     assert any(r.endswith(".stage") for r in removed)
     assert not os.path.exists(stage)

@@ -82,11 +82,11 @@ def test_spark_submit_replay_and_maintenance(spark, tmp_root):
     # downstream sync job: bootstrap + catch-up across driver processes
     dst = os.path.join(tmp_root, "dst")
     out4 = _submit("sync_job.py", "--src-path", tbl, "--dst-path", dst,
-                   "--n-buckets", "2", zip_path=zip_path)
+                   "--n-buckets", "2", "--count-rows", zip_path=zip_path)
     sreport = json.loads(out4.strip().splitlines()[-1])
     assert sreport["applied"] and sreport["rows"] == report["rows"]
     assert sreport["cursor"] == sreport["src_version"]
     out5 = _submit("sync_job.py", "--src-path", tbl, "--dst-path", dst,
                    zip_path=zip_path)
     sreport2 = json.loads(out5.strip().splitlines()[-1])
-    assert sreport2["caught_up"] and sreport2["rows"] == report["rows"]
+    assert sreport2["caught_up"] and sreport2["cursor"] == sreport["cursor"]
