@@ -19,6 +19,12 @@ from etl_spark.operators.reshape import (
     melt,
     param_fanout,
 )
+from etl_spark.operators.sampling import (
+    hash_permille,
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
 from etl_spark.operators.similarity import (
     bounded_topk,
     brute_force_topk,
@@ -33,4 +39,5 @@ __all__ = [
     "exact_dedup_groups", "lsh_buckets", "lsh_candidate_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "simhash", "simhash_groups",
     "bounded_topk", "brute_force_topk", "cosine", "hyperplane_bucket", "lsh_ann_topk",
+    "hash_permille", "hash_sample", "hash_split", "stratified_sample",
 ]

@@ -48,12 +48,15 @@ from etl_spark.operators import (
     group_nest_sorted,
     lsh_ann_topk,
     lsh_buckets,
+    hash_split,
     melt,
     minhash_signature,
     ngram_jaccard_pairs,
     range_join,
     simhash_groups,
+    stratified_sample,
 )
+from etl_spark.operators.sampling import hash_permille_sql
 from etl_spark.plans import apply_de_para, impose_types, with_additive_columns
 
 __all__ = ["QUERIES", "ORACLES", "flagship"]
@@ -1944,6 +1947,107 @@ def q_lww_compact_parity(spark, sf_dir):
 SQL_LWW_COMPACT_PARITY = SQL_CDC_LWW
 
 
+def q_cdc_time_travel(spark, sf_dir):
+    """Snapshot time travel (SURVEY §1.1: the reference's per-row
+    change-tracking intent — ``%s_versoes`` history tables with
+    transaction ids, bd.py:77-84 / sisab/modelos.py:29 — realized as
+    snapshot reads): replay four epochs as four commits, then read the
+    table AS OF the snapshot the epoch-2 merge committed. Epoch-3 events
+    must be invisible; delete winners inside the range stay filtered.
+    Robust to any later maintenance commits by construction (the mid
+    version is taken from the merge's own MergeStats, and historical
+    snapshots are immutable)."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 5)
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_spark_tt_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, stats = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=8,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+    )
+    v_mid = stats[2].version  # the snapshot the epoch-2 merge committed
+    return table.read(version=v_mid).select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+SQL_CDC_TIME_TRAVEL = """
+SELECT user_id, event_id, ts, event_type, value, props
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id % 10 = 5 AND event_id % 4 < 3
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic class-balanced downsampling (pretraining-mix
+    curation): cut 'en' to 25% and 'zh' to 50% while keeping every other
+    language, with membership a pure function of (salt, doc_id) — replay-
+    stable, resumable, zero-shuffle (single codegen'd scan). The RNG-free
+    analogue of the reference's per-UF work splitting
+    (utilitarios/repetidores.py:23-87)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, key="doc_id", strata="lang",
+        rates_permille={"en": 250, "zh": 500},
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {hash_permille_sql('doc_id', 'strat')}
+      < (CASE WHEN lang = 'en' THEN 250
+              WHEN lang = 'zh' THEN 500
+              ELSE 1000 END)
+"""
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by key hash —
+    every row lands in exactly one split, independent of the sampling
+    draw (distinct salt), reproducible across engines and re-runs.
+    Returns the per-(lang, split) document and character counts a
+    training-data pipeline reports as its mix manifest."""
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id",
+                     [("train", 800), ("val", 100), ("test", 100)])
+    return out.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_TRAIN_TEST_SPLIT = f"""
+SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT lang, n_chars,
+         CASE WHEN draw < 800 THEN 'train'
+              WHEN draw < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT lang, n_chars, {hash_permille_sql('doc_id', 'split')} AS draw
+    FROM documents
+  )
+) GROUP BY lang, split
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2000,6 +2104,9 @@ QUERIES = {
     "period_lead": q_period_lead,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_incremental_sync": q_cdc_incremental_sync,
+    "cdc_time_travel": q_cdc_time_travel,
+    "stratified_sample": q_stratified_sample,
+    "train_test_split": q_train_test_split,
     "pending_capture_scan": q_pending_capture_scan,
     "value_percentiles_approx": q_value_percentiles_approx,
     "lww_compact_parity": q_lww_compact_parity,
@@ -2059,6 +2166,9 @@ ORACLES = {
     "period_lead": SQL_PERIOD_LEAD,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_incremental_sync": SQL_CDC_SYNC,
+    "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "train_test_split": SQL_TRAIN_TEST_SPLIT,
     "pending_capture_scan": SQL_PENDING_SCAN,
     # value_percentiles_approx: t-digest sketch, not DuckDB-reproducible —
     # no oracle by design (bounded-error pytest gates it instead)

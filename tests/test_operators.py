@@ -221,3 +221,65 @@ def test_multiprobe_resolves_vectors_without_corpus_broadcast(spark):
     df = lsh_ann_topk_multiprobe(queries, corpus, k=3, n_bits=4, seeds=(7, 8))
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "ShuffledHashJoin [c_id" in plan, plan[:2000]
+
+
+# ------------------------------------------------------- sampling / splits
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    from etl_spark.operators import hash_sample
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    a = hash_sample(df, "doc_id", 300)
+    b = hash_sample(df, "doc_id", 300)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())  # replay-stable
+    assert 0.25 < len(ra) / 4000 < 0.35  # ~30% within tolerance
+    # a lower rate selects a strict subset (threshold semantics)
+    sub = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 100).collect())
+    assert set(sub) <= set(ra)
+
+
+def test_stratified_sample_rates_and_default(spark):
+    from etl_spark.operators import stratified_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "zh")
+        .otherwise("sw").alias("lang"),
+    )
+    out = stratified_sample(df, "doc_id", "lang", {"en": 200, "zh": 500})
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.13 < got["en"] / 1000 < 0.27
+    assert 0.42 < got["zh"] / 1000 < 0.58
+    assert got["sw"] == 1000  # default keeps everything
+
+
+def test_hash_split_total_and_disjoint(spark):
+    from etl_spark.operators import hash_split
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = hash_split(df, "doc_id", [("train", 800), ("val", 100), ("test", 100)])
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 5000  # total assignment, no row dropped
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    assert 0.07 < counts["val"] / 5000 < 0.13
+    assert 0.07 < counts["test"] / 5000 < 0.13
+    # independent of the sampling draw: correlation between "sampled" and
+    # "test" membership stays near the product of their rates
+    from etl_spark.operators import hash_sample
+
+    sampled_test = hash_sample(
+        out.filter(F.col("split") == "test"), "doc_id", 300
+    ).count()
+    assert 0.2 < sampled_test / counts["test"] < 0.4
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    from etl_spark.operators import hash_split
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", [("a", 500), ("b", 400)])
