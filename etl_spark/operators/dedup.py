@@ -26,7 +26,8 @@ from etl_spark.functions.text import tokens, word_shingles
 
 __all__ = [
     "exact_dedup_groups", "minhash_signature", "lsh_buckets",
-    "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash", "simhash_groups",
+    "lsh_candidate_pairs", "ngram_jaccard_pairs",
+    "eval_contamination", "simhash", "simhash_groups",
     "connected_components", "connected_components_star",
 ]
 
@@ -398,4 +399,41 @@ def simhash_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 16) ->
     return (
         withfp.groupBy(F.col("simhash"))
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+def eval_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    k-word shingle with an evaluation set, with the count of distinct
+    overlapping shingles per flagged doc (``n_hits``).
+
+    Scale shape: the eval side of the join is the *benchmark suite* —
+    thousands of documents, millions of shingles at worst — so its
+    distinct shingle set is broadcast; the training corpus streams
+    through one codegen'd explode + broadcast semi-join + combinable
+    groupBy. The corpus is never shuffled by shingle, so a hot shingle
+    ('the end of') cannot skew the join. For an eval set too large to
+    broadcast, drop the explicit hint and let AQE pick the join side.
+    """
+    from etl_spark.functions.text import word_shingles
+
+    keep = keep_cols or []
+    ev = (
+        eval_df.select(F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"))
+        .distinct()
+    )
+    tr = train.select(
+        id_col, *keep, F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s")
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy(id_col, *keep)
+        .agg(F.count_distinct(F.col("s")).alias("n_hits"))
     )

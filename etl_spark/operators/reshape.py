@@ -16,7 +16,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["melt", "group_nest_sorted", "param_fanout"]
+__all__ = ["melt", "group_nest_sorted", "param_fanout", "pack_budget"]
 
 
 def melt(
@@ -84,3 +84,41 @@ def _sql_type(values: list) -> str:
     if isinstance(x, float):
         return "double"
     return "string"
+
+
+def pack_budget(
+    df: DataFrame,
+    key: str,
+    size_col: str,
+    budget: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed-budget
+    shards (e.g. ~budget tokens of training data per shard file).
+
+    Rows are hashed into ``n_buckets`` independent streams
+    (engine-portable ``stable_bucket``), ordered by key within each, and
+    cut greedily: a row joins shard ``floor(cum_size_before / budget)``
+    of its bucket, so every shard holds ≥ budget-worth of rows except
+    possibly the bucket's last (a shard may overshoot by at most one
+    row — the standard streaming-packing contract).
+
+    Scale shape: ONE shuffle into ``n_buckets`` sort partitions; there
+    is no global order, so packing 100 TB is embarrassingly parallel
+    across buckets — size ``n_buckets`` so a bucket's rows fit an
+    executor's spill budget. Output adds ``pack_bucket``/``pack_shard``.
+    """
+    from pyspark.sql import Window
+
+    from etl_spark.functions.hashing import stable_bucket
+
+    out = df.withColumn("pack_bucket", stable_bucket(n_buckets, key))
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return out.withColumn(
+        "pack_shard", F.floor(cum_before / F.lit(budget)).cast("long")
+    )

@@ -2048,6 +2048,65 @@ FROM (
 """
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (the curation step between dedup and
+    training): flag training documents sharing any 3-word shingle with a
+    deterministic held-out eval slice (doc_id % 97 == 0), returning the
+    distinct overlapping-shingle count per flagged doc. The eval shingle
+    set is broadcast (a benchmark suite stays broadcast-sized at any
+    corpus scale); the training corpus streams through one explode +
+    broadcast semi-join + combinable groupBy — never shuffled by
+    shingle, so hot shingles cannot skew."""
+    from etl_spark.operators.dedup import eval_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return eval_contamination(tr, ev, "doc_id", "text",
+                              shingle_k=3, keep_cols=["lang"])
+
+
+SQL_DECONTAMINATION = f"""
+WITH sh AS ({_SQL_SHINGLE3}),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, d.lang, COUNT(DISTINCT t.s) AS n_hits
+FROM tr t JOIN ev USING (s) JOIN documents d ON d.doc_id = t.doc_id
+GROUP BY t.doc_id, d.lang
+"""
+
+
+def q_pack_budget(spark, sf_dir):
+    """Deterministic sequence packing for training-shard assembly: hash
+    documents into 8 independent streams, order by doc_id within each,
+    and cut greedily into ~20k-char shards (a shard may overshoot by at
+    most one document — the streaming-packing contract). One shuffle
+    into n_buckets sort partitions; no global order, so packing is
+    embarrassingly parallel across buckets at any scale."""
+    from etl_spark.operators.reshape import pack_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_budget(docs, "doc_id", "n_chars", budget=20000, n_buckets=8)
+    return out.select("doc_id", "pack_bucket", "pack_shard")
+
+
+SQL_PACK_BUDGET = f"""
+SELECT doc_id, pack_bucket, CAST(floor(cum0 / 20000) AS BIGINT) AS pack_shard
+FROM (
+  SELECT doc_id, pack_bucket,
+         COALESCE(SUM(n_chars) OVER (
+           PARTITION BY pack_bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+  FROM (
+    SELECT doc_id, n_chars,
+           CAST({portable_hash60_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+             AS pack_bucket
+    FROM documents
+  )
+)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2107,6 +2166,8 @@ QUERIES = {
     "cdc_time_travel": q_cdc_time_travel,
     "stratified_sample": q_stratified_sample,
     "train_test_split": q_train_test_split,
+    "decontamination": q_decontamination,
+    "pack_budget": q_pack_budget,
     "pending_capture_scan": q_pending_capture_scan,
     "value_percentiles_approx": q_value_percentiles_approx,
     "lww_compact_parity": q_lww_compact_parity,
@@ -2169,6 +2230,8 @@ ORACLES = {
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
+    "decontamination": SQL_DECONTAMINATION,
+    "pack_budget": SQL_PACK_BUDGET,
     "pending_capture_scan": SQL_PENDING_SCAN,
     # value_percentiles_approx: t-digest sketch, not DuckDB-reproducible —
     # no oracle by design (bounded-error pytest gates it instead)

@@ -283,3 +283,61 @@ def test_hash_split_rejects_bad_weights(spark):
     df = spark.range(10).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         hash_split(df, "doc_id", [("a", 500), ("b", 400)])
+
+
+# --------------------------------------------- decontamination / packing
+
+def test_eval_contamination_flags_shared_shingles(spark):
+    from etl_spark.operators.dedup import eval_contamination
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words here nothing shared at all"),
+         (3, "quick brown fox appears in this one too")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps today")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in
+           eval_contamination(train, ev, "doc_id", "text").collect()}
+    # doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps";
+    # doc 3 shares "quick brown fox"; doc 2 is clean (absent)
+    assert got == {1: 3, 3: 1}
+
+
+def test_pack_budget_contract(spark):
+    from etl_spark.operators.reshape import pack_budget
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 * 100 + 50).alias("sz"),
+    )
+    out = pack_budget(df, "doc_id", "sz", budget=1000, n_buckets=4).collect()
+    by_bucket: dict = {}
+    for r in sorted(out, key=lambda r: (r["pack_bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["pack_bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3}
+    for rows in by_bucket.values():
+        cum = 0
+        shards = []
+        for r in rows:
+            assert r["pack_shard"] == cum // 1000  # greedy cut by cum-before
+            cum += r["sz"]
+            shards.append(r["pack_shard"])
+        # shards are non-decreasing and start at 0
+        assert shards[0] == 0 and shards == sorted(shards)
+        # cumulative contract: shards 0..s together hold >= (s+1)*budget
+        # for every non-final shard s (a shard may undershoot only because
+        # its predecessor overshot past the boundary)
+        import collections
+
+        sums = collections.Counter()
+        for r in rows:
+            sums[r["pack_shard"]] += r["sz"]
+        last = max(sums)
+        running = 0
+        for s in sorted(sums):
+            running += sums[s]
+            if s != last:
+                assert running >= 1000 * (s + 1)
