@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_multiprobe",
     "ann_ivf",
+    "decontamination",
+    "pack_budget",
 ]
 
 

@@ -432,8 +432,13 @@ def eval_contamination(
     tr = train.select(
         id_col, *keep, F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s")
     )
+    # plain count == count(distinct s) here: word_shingles is
+    # array_distinct per document and the eval side is distinct, so the
+    # join cannot duplicate a (doc, shingle) pair — and count is purely
+    # combinable (map-side partials), avoiding the extra dedup exchange
+    # a count_distinct plan inserts.
     return (
         tr.join(F.broadcast(ev), "s")
         .groupBy(id_col, *keep)
-        .agg(F.count_distinct(F.col("s")).alias("n_hits"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
