@@ -1,4 +1,5 @@
 from etl_spark.operators.dedup import (
+    eval_contamination,
     exact_dedup_groups,
     lsh_buckets,
     lsh_candidate_pairs,
@@ -17,6 +18,7 @@ from etl_spark.operators.joins import (
 from etl_spark.operators.reshape import (
     group_nest_sorted,
     melt,
+    pack_budget,
     param_fanout,
 )
 from etl_spark.operators.sampling import (
@@ -35,8 +37,8 @@ from etl_spark.operators.similarity import (
 
 __all__ = [
     "anti_join_fill", "asof_join", "broadcast_lookup", "period_lead", "range_join",
-    "group_nest_sorted", "melt", "param_fanout",
-    "exact_dedup_groups", "lsh_buckets", "lsh_candidate_pairs",
+    "group_nest_sorted", "melt", "pack_budget", "param_fanout",
+    "eval_contamination", "exact_dedup_groups", "lsh_buckets", "lsh_candidate_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "simhash", "simhash_groups",
     "bounded_topk", "brute_force_topk", "cosine", "hyperplane_bucket", "lsh_ann_topk",
     "hash_permille", "hash_sample", "hash_split", "stratified_sample",

@@ -26,7 +26,7 @@ from etl_spark.functions.text import tokens, word_shingles
 
 __all__ = [
     "exact_dedup_groups", "minhash_signature", "lsh_buckets",
-    "lsh_candidate_pairs", "ngram_jaccard_pairs",
+    "lsh_candidate_pairs", "incremental_lsh_matches", "ngram_jaccard_pairs",
     "eval_contamination", "simhash", "simhash_groups",
     "connected_components", "connected_components_star",
 ]
@@ -148,6 +148,48 @@ def lsh_candidate_pairs(
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
+        .distinct()
+    )
+
+
+def incremental_lsh_matches(
+    new_buckets: DataFrame,
+    corpus_buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup candidates of an incoming batch against the already-ingested
+    corpus — the CDC-flavored dedup gate. The corpus's LSH bucket rows
+    ``(band, bucket, id)`` are *state* (reference analogue: the capture
+    ledger that makes re-ingest incremental, scripts/geral.py:92-109):
+    computed once per document at ingest time and stored in a lake table
+    bucketed by ``(band, bucket)``, so at 100 TB an incremental batch never
+    re-shingles or re-scans the corpus — it joins its own banded keys
+    (per-row, no shuffle to produce) against the co-located state.
+
+    Returns distinct ``(new_id, dup_id)`` pairs where ``dup_id`` is a
+    corpus doc sharing at least one band bucket with the new doc. The
+    ``max_bucket`` guard bounds degenerate (boilerplate) corpus buckets:
+    bucket membership is collected per key with one combinable count, so a
+    viral bucket caps at ``max_bucket`` ids instead of exploding the join
+    (same contract as :func:`lsh_candidate_pairs`; at corpus scale the
+    sizes are cached per vintage alongside the bucket table itself).
+    """
+    agg = (
+        corpus_buckets.groupBy("band", "bucket")
+        .agg(
+            F.collect_list(id_col).alias("__ids"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") <= max_bucket)
+    )
+    nb = new_buckets.select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    return (
+        nb.join(agg, ["band", "bucket"])
+        .select("new_id", F.explode("__ids").alias("dup_id"))
+        .filter(F.col("new_id") != F.col("dup_id"))
         .distinct()
     )
 
@@ -422,8 +464,6 @@ def eval_contamination(
     ('the end of') cannot skew the join. For an eval set too large to
     broadcast, drop the explicit hint and let AQE pick the join side.
     """
-    from etl_spark.functions.text import word_shingles
-
     keep = keep_cols or []
     ev = (
         eval_df.select(F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"))

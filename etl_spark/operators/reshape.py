@@ -103,6 +103,12 @@ def pack_budget(
     possibly the bucket's last (a shard may overshoot by at most one
     row — the standard streaming-packing contract).
 
+    ``key`` must be unique (a doc id / content key): it is the only sort
+    column inside a bucket, so duplicate key values would make the
+    cumulative cut — and therefore ``pack_shard`` — nondeterministic
+    across runs. Pack by a content-derived key, never by a grouping
+    column like ``repo``.
+
     Scale shape: ONE shuffle into ``n_buckets`` sort partitions; there
     is no global order, so packing 100 TB is embarrassingly parallel
     across buckets — size ``n_buckets`` so a bucket's rows fit an

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_spark.functions.hashing import portable_hash60
+from etl_spark.functions.hashing import portable_hash60, portable_hash60_sql
 
 __all__ = ["hash_permille", "hash_sample", "stratified_sample", "hash_split"]
 
@@ -41,8 +41,9 @@ def hash_permille(key: Column | str, salt: str) -> Column:
 
 def hash_permille_sql(key_expr: str, salt: str) -> str:
     """DuckDB SQL computing the same draw as :func:`hash_permille`."""
-    e = f"concat('{salt}|', CAST({key_expr} AS VARCHAR))"
-    return f"(CAST(concat('0x', substr(md5({e}), 1, 15)) AS BIGINT) % 1000)"
+    lit = salt.replace("'", "''")
+    e = f"concat('{lit}|', CAST({key_expr} AS VARCHAR))"
+    return f"({portable_hash60_sql(e)} % 1000)"
 
 
 def hash_sample(df: DataFrame, key: str, rate_permille: int,
@@ -82,6 +83,9 @@ def hash_split(
     total = sum(w for _, w in splits)
     if total != 1000:
         raise ValueError(f"split weights must sum to 1000, got {total}")
+    bad = [(n, w) for n, w in splits if w <= 0]
+    if bad:
+        raise ValueError(f"split weights must be positive, got {bad}")
     draw = hash_permille(key, salt)
     expr: Column | None = None
     hi = 0

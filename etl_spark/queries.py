@@ -2107,6 +2107,95 @@ FROM (
 """
 
 
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality gate: per-document duplicate-line
+    fraction, duplicate-line character fraction, and top-bigram
+    occupancy, plus the keep verdict. Two word-count-shaped
+    aggregations; map-side combine absorbs the repetition itself (the
+    more repetitive a document, the fewer distinct keys it shuffles)."""
+    from etl_spark.operators.quality import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text")
+
+
+SQL_QUALITY_REPETITION = f"""
+WITH lines AS (
+  SELECT doc_id, l AS line
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\n')) AS l
+        FROM documents)
+  WHERE l <> ''
+),
+lc AS (
+  SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY doc_id, line
+),
+ls AS (
+  SELECT doc_id,
+         SUM(c) AS n_lines,
+         round(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6)
+           AS dup_line_frac,
+         round(SUM(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END)
+               / CAST(SUM(length(line) * c) AS DOUBLE), 6)
+           AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, concat(toks[i], ' ', toks[i + 1]) AS b
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) t,
+       LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+bs AS (
+  SELECT doc_id,
+         round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac
+  FROM bc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+       COALESCE(ls.dup_line_frac, 0.0) AS dup_line_frac,
+       COALESCE(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       COALESCE(bs.top_bigram_frac, 0.0) AS top_bigram_frac,
+       (COALESCE(ls.dup_line_frac, 0.0) <= 0.30
+        AND COALESCE(bs.top_bigram_frac, 0.0) <= 0.20) AS keep
+FROM documents d
+LEFT JOIN ls ON d.doc_id = ls.doc_id
+LEFT JOIN bs ON d.doc_id = bs.doc_id
+"""
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup gate (the CDC-flavored dedup): candidates of
+    an incoming batch (doc_id % 5 == 0) against the already-ingested
+    corpus via stored LSH bucket state — at 100 TB the batch joins its
+    own per-row banded keys against a (band, bucket)-bucketed state
+    table and never re-scans or re-shingles the corpus."""
+    from etl_spark.operators.dedup import incremental_lsh_matches
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "text", num_hashes=16, shingle_k=3)
+    buckets = lsh_buckets(sig, "doc_id", bands=4, rows_per_band=4)
+    newb = buckets.filter(F.col("doc_id") % 5 == 0)
+    corpus = buckets.filter(F.col("doc_id") % 5 != 0)
+    return incremental_lsh_matches(newb, corpus, "doc_id", max_bucket=1000)
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH mh AS ({_minhash_sql(16)}),
+lsh AS ({_lsh_union_sql(4, 4)}),
+corpus AS (SELECT * FROM lsh WHERE doc_id % 5 <> 0),
+newb AS (SELECT * FROM lsh WHERE doc_id % 5 = 0),
+sized AS (
+  SELECT band, bucket FROM corpus
+  GROUP BY band, bucket HAVING COUNT(*) <= 1000
+)
+SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_id
+FROM newb n
+JOIN corpus c ON n.band = c.band AND n.bucket = c.bucket
+JOIN sized s ON n.band = s.band AND n.bucket = s.bucket
+WHERE n.doc_id <> c.doc_id
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2168,6 +2257,8 @@ QUERIES = {
     "train_test_split": q_train_test_split,
     "decontamination": q_decontamination,
     "pack_budget": q_pack_budget,
+    "quality_repetition": q_quality_repetition,
+    "incremental_dedup": q_incremental_dedup,
     "pending_capture_scan": q_pending_capture_scan,
     "value_percentiles_approx": q_value_percentiles_approx,
     "lww_compact_parity": q_lww_compact_parity,
@@ -2232,6 +2323,8 @@ ORACLES = {
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
     "decontamination": SQL_DECONTAMINATION,
     "pack_budget": SQL_PACK_BUDGET,
+    "quality_repetition": SQL_QUALITY_REPETITION,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "pending_capture_scan": SQL_PENDING_SCAN,
     # value_percentiles_approx: t-digest sketch, not DuckDB-reproducible —
     # no oracle by design (bounded-error pytest gates it instead)

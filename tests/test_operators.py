@@ -341,3 +341,61 @@ def test_pack_budget_contract(spark):
             running += sums[s]
             if s != last:
                 assert running >= 1000 * (s + 1)
+
+
+# ------------------------------------------- repetition / incremental dedup
+
+def test_repetition_signals_known_values(spark):
+    from etl_spark.operators.quality import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            # 4 lines, "dup dup" twice -> dup_line_frac 0.5; dup chars
+            # 14 of 21; 7 tokens -> 6 bigrams, top (dup,dup) x2 -> 2/6
+            (1, "dup dup\nab cd\ndup dup\nxy"),
+            (2, "one two three four five six"),  # all-distinct bigrams
+            (3, ""),                        # empty doc: zeros, keep
+            (4, "go go go go go go"),       # one bigram repeated 5x
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           repetition_signals(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == 0.25  # 4 lines, 3 distinct
+    assert r1["dup_line_char_frac"] == round(14 / 21, 6)
+    assert r1["top_bigram_frac"] == round(2 / 6, 6)
+    r2 = got[2]
+    # 5 distinct bigrams -> top occupancy 1/5, exactly at the 0.20 gate
+    assert (r2["dup_line_frac"], r2["top_bigram_frac"]) == (0.0, 0.2)
+    assert r2["keep"] is True
+    r3 = got[3]
+    assert (r3["n_lines"], r3["dup_line_frac"], r3["keep"]) == (0, 0.0, True)
+    r4 = got[4]
+    assert r4["top_bigram_frac"] == 1.0 and r4["keep"] is False
+
+
+def test_incremental_lsh_matches_batch_vs_corpus(spark):
+    from etl_spark.operators.dedup import incremental_lsh_matches
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the wide open field all day")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tonight"),   # near-dups of each other
+         (3, "completely different content with no shared shingles here "
+             "at all in any window of three words")],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signature(docs, "text", num_hashes=16, shingle_k=3)
+    buckets = lsh_buckets(sig, "doc_id", bands=4, rows_per_band=4)
+    newb = buckets.filter(F.col("doc_id") == 2)
+    corpus = buckets.filter(F.col("doc_id") != 2)
+    got = incremental_lsh_matches(newb, corpus, "doc_id").collect()
+    assert {(r["new_id"], r["dup_id"]) for r in got} == {(2, 1)}
+
+    # max_bucket guard: cap of 1 excludes every corpus bucket with >1 member
+    # (here all corpus buckets have 1 member, so the match survives); cap 0
+    # excludes everything
+    none = incremental_lsh_matches(newb, corpus, "doc_id", max_bucket=0)
+    assert none.count() == 0
