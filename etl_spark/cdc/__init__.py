@@ -8,12 +8,22 @@ epochs (micro-batches) into a :class:`etl_spark.lake.LakeTable` with
 exactly-once manifests.
 """
 
+from etl_spark.cdc.dedup_ingest import (
+    DedupIngestStats,
+    create_dedup_state,
+    dedup_gated_merge,
+    minhash_sketch,
+)
 from etl_spark.cdc.events import EVENT_SCHEMA, synth_events, write_event_epochs
 from etl_spark.cdc.lww import lww_dedup
 from etl_spark.cdc.replay import replay_batches, replay_events
 from etl_spark.cdc.sync import last_synced_version, sync_changes
 
 __all__ = [
+    "DedupIngestStats",
+    "create_dedup_state",
+    "dedup_gated_merge",
+    "minhash_sketch",
     "EVENT_SCHEMA",
     "synth_events",
     "write_event_epochs",

@@ -2107,6 +2107,122 @@ FROM (
 """
 
 
+def q_cdc_dedup_ingest(spark, sf_dir):
+    """Dedup-gated CDC ingest (the engine's two halves fused): documents
+    arrive in three batches (doc_id % 3, in order); each batch passes
+    exact dedup, LSH-candidate + Jaccard-verified within-batch dedup,
+    and a verified near-dup check against the stored sketch state of
+    everything ingested so far — survivors merge exactly-once into the
+    docs table, their sketches into the state table, under one manifest
+    key. Returns the final docs table. The corpus text is never
+    re-scanned: cross-batch candidates come from band keys derived from
+    stored signatures, verification from stored shingle-hash sets."""
+    from pyspark.sql.types import StructType
+
+    from etl_spark.cdc.dedup_ingest import (create_dedup_state,
+                                            dedup_gated_merge)
+    from etl_spark.lake import LakeTable
+
+    src = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="etl_spark_dedup_ingest_")
+    docs = LakeTable.create(
+        spark, os.path.join(tmp, "docs"),
+        StructType.fromDDL("doc_id bigint, text string, n_chars bigint, v bigint"),
+        key_cols=["doc_id"], version_cols=["v"], n_buckets=8,
+    )
+    state = create_dedup_state(spark, os.path.join(tmp, "state"), n_buckets=8)
+    for k in range(3):
+        batch = src.filter(F.pmod(F.col("doc_id"), F.lit(3)) == k).select(
+            "doc_id", "text", "n_chars",
+            F.lit(k).cast("long").alias("v"), F.lit("I").alias("op"),
+        )
+        dedup_gated_merge(docs, state, batch, f"ingest:{k}",
+                          threshold=0.5, collect_stats=False)
+    return docs.read().select("doc_id", "v", "n_chars")
+
+
+# the same decision function DuckDB-side: |∩| / |∪| of the shingle-hash
+# sets, one double division (bit-identical to _jaccard_ok)
+def _jac_sql(a: str, b: str) -> str:
+    return (f"CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+            f" / len(list_distinct(list_concat({a}, {b})))")
+
+
+def _cross_drop_sql(batch: int, st: str, sz: str) -> str:
+    """One unrolled round of the incremental gate: batch ``batch``'s
+    within-survivor bucket rows vs corpus state ``st`` (guarded by
+    ``sz``), Jaccard-verified."""
+    return f"""
+  SELECT DISTINCT n.doc_id
+  FROM (SELECT lx.doc_id, lx.band, lx.bucket
+        FROM lshx lx JOIN w ON w.doc_id = lx.doc_id AND w.b = {batch}) n
+  JOIN {st} c ON n.band = c.band AND n.bucket = c.bucket
+  JOIN {sz} z ON z.band = n.band AND z.bucket = n.bucket
+  JOIN shs sa ON sa.doc_id = n.doc_id
+  JOIN shs sb ON sb.doc_id = c.doc_id
+  WHERE z.n <= 1000 AND n.doc_id <> c.doc_id
+    AND {_jac_sql('sa.sh', 'sb.sh')} >= 0.5
+"""
+
+
+SQL_CDC_DEDUP_INGEST = f"""
+WITH mh AS ({_minhash_sql(16)}),
+lsh AS ({_lsh_union_sql(4, 4)}),
+shs AS (
+  SELECT doc_id, list_distinct(list({_h60('s')})) AS sh
+  FROM ({_SQL_SHINGLE3}) g GROUP BY doc_id
+),
+ex AS (
+  SELECT doc_id, doc_id % 3 AS b FROM (
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY doc_id % 3, md5(text)) AS m
+    FROM documents
+  ) WHERE doc_id = m
+),
+lshx AS (
+  SELECT l.doc_id, e.b, l.band, l.bucket
+  FROM lsh l JOIN ex e ON l.doc_id = e.doc_id
+),
+szw AS (
+  SELECT b, band, bucket, COUNT(*) AS n FROM lshx GROUP BY b, band, bucket
+),
+wdrop AS (
+  SELECT DISTINCT y.doc_id
+  FROM lshx x
+  JOIN lshx y ON x.b = y.b AND x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id
+  JOIN szw s ON s.b = x.b AND s.band = x.band AND s.bucket = x.bucket
+  JOIN shs sa ON sa.doc_id = x.doc_id
+  JOIN shs sb ON sb.doc_id = y.doc_id
+  WHERE s.n BETWEEN 2 AND 1000
+    AND {_jac_sql('sa.sh', 'sb.sh')} >= 0.5
+),
+w AS (
+  SELECT e.doc_id, e.b FROM ex e
+  WHERE e.doc_id NOT IN (SELECT doc_id FROM wdrop)
+),
+k0 AS (SELECT doc_id FROM w WHERE b = 0),
+st1 AS (SELECT l.band, l.bucket, l.doc_id FROM lsh l JOIN k0 USING (doc_id)),
+sz1 AS (SELECT band, bucket, COUNT(*) AS n FROM st1 GROUP BY band, bucket),
+x1 AS ({_cross_drop_sql(1, 'st1', 'sz1')}),
+k1 AS (SELECT doc_id FROM w
+       WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM x1)),
+st2 AS (SELECT * FROM st1 UNION ALL
+        SELECT l.band, l.bucket, l.doc_id FROM lsh l JOIN k1 USING (doc_id)),
+sz2 AS (SELECT band, bucket, COUNT(*) AS n FROM st2 GROUP BY band, bucket),
+x2 AS ({_cross_drop_sql(2, 'st2', 'sz2')}),
+k2 AS (SELECT doc_id FROM w
+       WHERE b = 2 AND doc_id NOT IN (SELECT doc_id FROM x2)),
+kept AS (
+  SELECT doc_id, 0 AS b FROM k0
+  UNION ALL SELECT doc_id, 1 FROM k1
+  UNION ALL SELECT doc_id, 2 FROM k2
+)
+SELECT d.doc_id, CAST(k.b AS BIGINT) AS v, d.n_chars
+FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+"""
+
+
 def q_quality_repetition(spark, sf_dir):
     """Gopher-style repetition quality gate: per-document duplicate-line
     fraction, duplicate-line character fraction, and top-bigram
@@ -2257,6 +2373,7 @@ QUERIES = {
     "train_test_split": q_train_test_split,
     "decontamination": q_decontamination,
     "pack_budget": q_pack_budget,
+    "cdc_dedup_ingest": q_cdc_dedup_ingest,
     "quality_repetition": q_quality_repetition,
     "incremental_dedup": q_incremental_dedup,
     "pending_capture_scan": q_pending_capture_scan,
@@ -2323,6 +2440,7 @@ ORACLES = {
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
     "decontamination": SQL_DECONTAMINATION,
     "pack_budget": SQL_PACK_BUDGET,
+    "cdc_dedup_ingest": SQL_CDC_DEDUP_INGEST,
     "quality_repetition": SQL_QUALITY_REPETITION,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "pending_capture_scan": SQL_PENDING_SCAN,
