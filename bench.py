@@ -116,6 +116,13 @@ BENCH_QUERIES = [
     "ann_ivf",
     "decontamination",
     "pack_budget",
+    "quality_repetition",
+    "incremental_dedup",
+    "salient_terms",
+    "mix_sample",
+    # cdc_dedup_ingest (the 3-batch composite) is deliberately absent: its
+    # wall time is 3 sequential lake merges' fixed costs, not operator
+    # throughput — correctness-gated instead (oracle + test_dedup_ingest)
 ]
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from etl_spark.functions.text import tokens
 
-__all__ = ["repetition_signals"]
+__all__ = ["repetition_signals", "topk_salient_terms"]
 
 
 def _lines(text_col: str):
@@ -110,5 +110,54 @@ def repetition_signals(
                 (dup_line <= F.lit(max_dup_line_frac))
                 & (top_bg <= F.lit(max_top_bigram_frac))
             ).alias("keep"),
+        )
+    )
+
+
+def topk_salient_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5,
+) -> DataFrame:
+    """Top-k salient terms per document — the tf-idf-style topic profile a
+    curation pipeline uses for domain tagging and mix audits (the
+    reference profiles batches by coded dimensions instead,
+    sisab/relatorio_validacao_producao/verificacao.py:15-44; free text
+    needs the term-level analogue).
+
+    Output: ``(id_col, term, rank, tf, doc_freq, score)`` with ``rank`` 1..k.
+    Ranking is INTEGER-deterministic — ``tf`` desc (salience within the
+    doc), then ``doc_freq`` asc (rarer corpus-wide first), then term asc — so
+    the DuckDB oracle reproduces row selection bit-for-bit; the smooth
+    tf-idf ``score = tf * ln(N / doc_freq)`` (rounded) rides along as the
+    conventional weight. This is tf-idf order whenever tf ties, and
+    avoids float comparisons deciding WHICH rows survive.
+
+    Scale shape: two word-count aggregations (per-(doc,term) tf and
+    per-term df, both with map-side combine), one shuffle join on term
+    (df side has one row per term — hot stopword terms imbalance
+    partitions but never explode; AQE splits them), then the bounded
+    per-doc top-k (WindowGroupLimit: partial per-partition limit before
+    the final rank)."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # control-plane scalar (one combinable count)
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", "rank", "tf", "doc_freq",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+                4,
+            ).alias("score"),
         )
     )

@@ -96,3 +96,52 @@ def hash_split(
     last = F.lit(splits[-1][0])
     assigned = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, assigned)
+
+
+def mix_rates_permille(
+    counts: dict[str, int], shares: dict[str, float],
+) -> dict[str, int]:
+    """Per-group keep rates (permille) that rebalance observed group
+    ``counts`` toward target mix ``shares`` without upsampling: the
+    binding group (smallest ``count/share``) keeps everything; every
+    other group downsamples to match. Pure float arithmetic in a fixed
+    expression shape (``1000.0 * share * t / count``, left-associative)
+    so the DuckDB oracle reproduces the rates bit-for-bit."""
+    import math
+
+    missing = [g for g in shares if g not in counts]
+    if missing:
+        raise ValueError(f"shares reference absent groups: {missing}")
+    t = min(counts[g] / s for g, s in shares.items() if s > 0)
+    return {
+        g: min(1000, math.floor(1000.0 * s * t / counts[g]))
+        for g, s in shares.items() if s > 0
+    }
+
+
+def mix_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    shares: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Training-mix rebalancing: deterministically downsample each group
+    so the expected output follows the target ``shares`` distribution
+    (e.g. rebalance a language- or domain-skewed crawl before packing a
+    pretraining mix). Groups absent from ``shares`` are dropped.
+
+    Group counts are a control-plane aggregate (one combinable count per
+    group, collected — #groups is mix-config-sized); membership is then
+    a pure per-row filter ``hash_permille(key) < rate[group]`` — zero
+    additional shuffles, replay-stable, and exact in the DuckDB oracle
+    (:func:`mix_rates_permille` + :func:`hash_permille_sql`)."""
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[group_col] in shares
+    }
+    rates = mix_rates_permille(counts, shares)
+    return stratified_sample(
+        df, key, group_col, rates, default_permille=0, salt=salt,
+    )

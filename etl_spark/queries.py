@@ -2312,6 +2312,79 @@ WHERE n.doc_id <> c.doc_id
 """
 
 
+def q_salient_terms(spark, sf_dir):
+    """Top-5 salient terms per document (tf-idf topic profile). Row
+    selection is integer-deterministic (tf desc, corpus doc-frequency
+    asc, term asc); the conventional smooth tf*ln(N/df) score rides
+    along rounded."""
+    from etl_spark.operators.quality import topk_salient_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return topk_salient_terms(d, "doc_id", "text", k=5)
+
+
+SQL_SALIENT_TERMS = f"""
+WITH tf AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfq.doc_freq ASC, tf.term ASC
+         ) AS "rank"
+  FROM tf JOIN dfq USING (term)
+)
+SELECT doc_id, term, "rank", tf, doc_freq,
+       round(tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                     / doc_freq), 4) AS score
+FROM ranked WHERE "rank" <= 5
+"""
+
+
+#: target mix for the sampler gate (lang -> share); en is cut hardest,
+#: de is the binding group (smallest count/share => keeps 100%)
+_MIX_SHARES = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def q_mix_sample(spark, sf_dir):
+    """Training-mix rebalancing: deterministically downsample each
+    language toward the target share distribution. Group counts are
+    control-plane; membership is a pure hash-threshold filter — zero
+    data-plane shuffles."""
+    from etl_spark.operators.sampling import mix_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_sample(d, "doc_id", "lang", _MIX_SHARES, salt="mix") \
+        .select("doc_id", "lang")
+
+
+def _mix_share_case() -> str:
+    whens = " ".join(
+        f"WHEN '{g}' THEN CAST({s} AS DOUBLE)" for g, s in _MIX_SHARES.items()
+    )
+    return f"CASE lang {whens} END"
+
+
+SQL_MIX_SAMPLE = f"""
+WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+s AS (SELECT lang, n, {_mix_share_case()} AS share FROM n),
+tm AS (SELECT MIN(n / share) AS t FROM s WHERE share IS NOT NULL),
+r AS (
+  SELECT lang,
+         LEAST(1000, CAST(floor(CAST(1000.0 AS DOUBLE) * share
+                                * (SELECT t FROM tm) / n) AS BIGINT)) AS pm
+  FROM s WHERE share IS NOT NULL
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE {hash_permille_sql('d.doc_id', 'mix')} < r.pm
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2374,6 +2447,8 @@ QUERIES = {
     "decontamination": q_decontamination,
     "pack_budget": q_pack_budget,
     "cdc_dedup_ingest": q_cdc_dedup_ingest,
+    "salient_terms": q_salient_terms,
+    "mix_sample": q_mix_sample,
     "quality_repetition": q_quality_repetition,
     "incremental_dedup": q_incremental_dedup,
     "pending_capture_scan": q_pending_capture_scan,
@@ -2441,6 +2516,8 @@ ORACLES = {
     "decontamination": SQL_DECONTAMINATION,
     "pack_budget": SQL_PACK_BUDGET,
     "cdc_dedup_ingest": SQL_CDC_DEDUP_INGEST,
+    "salient_terms": SQL_SALIENT_TERMS,
+    "mix_sample": SQL_MIX_SAMPLE,
     "quality_repetition": SQL_QUALITY_REPETITION,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "pending_capture_scan": SQL_PENDING_SCAN,

@@ -399,3 +399,59 @@ def test_incremental_lsh_matches_batch_vs_corpus(spark):
     # excludes everything
     none = incremental_lsh_matches(newb, corpus, "doc_id", max_bucket=0)
     assert none.count() == 0
+
+
+# ----------------------------------------------- salient terms / mix sample
+
+def test_topk_salient_terms_ranking(spark):
+    from etl_spark.operators.quality import topk_salient_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana cherry"), (2, "banana cherry cherry date")],
+        ["doc_id", "text"],
+    )
+    out = topk_salient_terms(df, "doc_id", "text", k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["doc_freq"])
+           for r in out}
+    # d1: apple wins on tf; banana beats cherry on term asc (doc_freq tied)
+    assert got[(1, 1)] == ("apple", 2, 1)
+    assert got[(1, 2)] == ("banana", 1, 2)
+    # d2: cherry wins on tf; date (doc_freq 1) beats banana (doc_freq 2)
+    assert got[(2, 1)] == ("cherry", 2, 2)
+    assert got[(2, 2)] == ("date", 1, 1)
+    import math
+    apple = [r for r in out if r["term"] == "apple"][0]
+    assert apple["score"] == round(2 * math.log(2 / 1), 4)
+
+
+def test_mix_rates_permille():
+    from etl_spark.operators.sampling import mix_rates_permille
+
+    # b is binding (50/0.5=100 < 100/0.5=200): keeps all; a halves
+    assert mix_rates_permille({"a": 100, "b": 50}, {"a": 0.5, "b": 0.5}) \
+        == {"a": 500, "b": 1000}
+    # missing group in counts -> loud failure
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mix_rates_permille({"a": 10}, {"a": 0.5, "zz": 0.5})
+
+
+def test_mix_sample_deterministic_and_scoped(spark):
+    from etl_spark.operators.sampling import mix_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "fr").otherwise("en").alias("lang"),
+    )
+    shares = {"en": 0.5, "fr": 0.5}
+    a = {r["doc_id"] for r in
+         mix_sample(df, "doc_id", "lang", shares).collect()}
+    b = {r["doc_id"] for r in
+         mix_sample(df, "doc_id", "lang", shares).collect()}
+    assert a == b                       # replay-stable membership
+    out = mix_sample(df, "doc_id", "lang", shares)
+    by = {r["lang"]: r["n"] for r in
+          out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # fr (250 rows) binds at share .5 -> keeps all; en downsamples to ~250
+    assert by["fr"] == 250
+    assert abs(by["en"] - 250) < 50     # hash-uniform within tolerance
