@@ -137,13 +137,21 @@ def lsh_candidate_pairs(
 
     ``max_bucket`` drops degenerate buckets (boilerplate that hashes half the
     corpus together) — the skew guard that keeps the within-bucket self-join
-    quadratic blowup bounded; dropped buckets should be logged upstream."""
-    sized = buckets.groupBy("band", "bucket").agg(
-        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n")
+    quadratic blowup bounded; dropped buckets should be logged upstream.
+
+    The guard is a COUNT-ONLY aggregate (combinable partials) followed by
+    a semi-join — never a ``collect_list``: a viral bucket must be
+    droppable without ever materializing its member list in an
+    aggregation buffer (at corpus scale that buffer is the OOM)."""
+    ok = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band", "bucket")
     )
-    ok = sized.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
-    a = ok.select(F.explode("ids").alias("a"), "band", "bucket")
-    b = ok.select(F.explode("ids").alias("b"), "band", "bucket")
+    guarded = buckets.join(ok, ["band", "bucket"])
+    a = guarded.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = guarded.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
@@ -169,27 +177,29 @@ def incremental_lsh_matches(
 
     Returns distinct ``(new_id, dup_id)`` pairs where ``dup_id`` is a
     corpus doc sharing at least one band bucket with the new doc. The
-    ``max_bucket`` guard bounds degenerate (boilerplate) corpus buckets:
-    bucket membership is collected per key with one combinable count, so a
-    viral bucket caps at ``max_bucket`` ids instead of exploding the join
-    (same contract as :func:`lsh_candidate_pairs`; at corpus scale the
-    sizes are cached per vintage alongside the bucket table itself).
+    ``max_bucket`` guard bounds degenerate (boilerplate) corpus buckets
+    with a COUNT-ONLY aggregate (combinable partials) and a semi-join —
+    a viral bucket is dropped without ever materializing its member list
+    in an aggregation buffer (same contract as
+    :func:`lsh_candidate_pairs`; at corpus scale the sizes are cached
+    per vintage alongside the bucket table itself).
     """
-    agg = (
+    ok = (
         corpus_buckets.groupBy("band", "bucket")
-        .agg(
-            F.collect_list(id_col).alias("__ids"),
-            F.count(F.lit(1)).alias("__n"),
-        )
+        .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") <= max_bucket)
+        .select("band", "bucket")
     )
     nb = new_buckets.select(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )
+    cb = corpus_buckets.join(ok, ["band", "bucket"]).select(
+        F.col(id_col).alias("dup_id"), "band", "bucket"
+    )
     return (
-        nb.join(agg, ["band", "bucket"])
-        .select("new_id", F.explode("__ids").alias("dup_id"))
+        nb.join(cb, ["band", "bucket"])
         .filter(F.col("new_id") != F.col("dup_id"))
+        .select("new_id", "dup_id")
         .distinct()
     )
 
