@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "salient_terms",
     "mix_sample",
+    "chunk_documents",
     # cdc_dedup_ingest (the 3-batch composite) is deliberately absent: its
     # wall time is 3 sequential lake merges' fixed costs, not operator
     # throughput — correctness-gated instead (oracle + test_dedup_ingest)

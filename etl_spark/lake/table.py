@@ -153,6 +153,10 @@ class Snapshot:
     #   is not adjacent stays in the window instead. A false negative is
     #   merely wasteful: re-merging an applied batch is LWW-idempotent.
     applied_count: int = 0          # total manifest keys ever applied
+    rollback_of: int | None = None  # set on rollback commits: the restored
+    #   snapshot version. changes() refuses to cross such a commit —
+    #   an incremental feed cannot replay a rollback (the restored rows'
+    #   old LWW versions would lose downstream); consumers re-bootstrap.
 
     def cursor_prefixes(self) -> set[str]:
         """Manifest-key prefixes declared MONOTONE CURSORS via the
@@ -199,6 +203,7 @@ class Snapshot:
                 "added": self.added,
                 "applied_watermarks": self.applied_watermarks,
                 "applied_count": self.applied_count,
+                "rollback_of": self.rollback_of,
             },
             indent=1,
             sort_keys=True,
@@ -226,6 +231,7 @@ class Snapshot:
                 for k, v in d.get("applied_watermarks", {}).items()
             },
             applied_count=d.get("applied_count", len(d["applied"])),
+            rollback_of=d.get("rollback_of"),
         )
 
 
@@ -687,6 +693,59 @@ class LakeTable:
         self._publish(self._child(snap, snap.schema, merged, None, added=[]))
         return len(target)
 
+    def rollback(self, to_version: int) -> int:
+        """Restore the table's DATA to snapshot ``to_version`` as a NEW
+        commit (Iceberg ``rollback_to_snapshot``): the target's schema,
+        bucket layout and file references are republished as a child of
+        the current snapshot — history is preserved, and the restored
+        files become vacuum-protected again through the new reference.
+        The target must still be within the retention horizon
+        (``expire_snapshots`` bounds how far back a rollback can reach).
+
+        Two deliberate semantics:
+
+        - the exactly-once ledger is NOT rolled back: epochs applied
+          after ``to_version`` stay recorded, so an upstream re-delivery
+          of the bad batch remains a no-op — corrected data must
+          re-ingest under NEW manifest keys;
+        - the change feed does not silently replay the restored state
+          (its old LWW versions would lose against a downstream that
+          already applied the rolled-back rows): :meth:`changes` raises
+          when its range crosses a rollback commit, forcing consumers to
+          re-bootstrap onto a fresh destination.
+
+        Returns the new snapshot version. Reference analogue: the
+        test-mode rollback that aborts a capture instead of committing it
+        (scripts/geral.py:80-90) — this is the post-commit undo.
+        """
+        snap = self.current_snapshot()
+        if to_version >= snap.version:
+            raise ValueError(
+                f"rollback target v{to_version} is not an ancestor of "
+                f"current v{snap.version}"
+            )
+        target = self.snapshot(to_version)  # raises past retention horizon
+        child = Snapshot(
+            version=snap.version + 1,
+            parent=snap.version,
+            schema=target.schema,
+            key_cols=target.key_cols,
+            version_cols=target.version_cols,
+            n_buckets=target.n_buckets,
+            buckets={b: list(fl) for b, fl in target.buckets.items()},
+            applied=list(snap.applied),
+            props=snap.props,
+            nonunique=list(target.nonunique),
+            added=[],
+            applied_watermarks={
+                k: list(v) for k, v in snap.applied_watermarks.items()
+            },
+            applied_count=snap.applied_count,
+            rollback_of=to_version,
+        )
+        self._publish(child)
+        return child.version
+
     def rebucket(self, new_n_buckets: int) -> int:
         """Rewrite the table into a different bucket count — the growth
         path when a layout chosen at creation stops fitting the data
@@ -948,6 +1007,16 @@ class LakeTable:
         }
         for v in [x for x in self.versions() if from_version < x <= to_version]:
             snap_v = self.snapshot(v)
+            if snap_v.rollback_of is not None:
+                raise ValueError(
+                    f"changes({from_version}, {to_version}) crosses rollback "
+                    f"commit v{v} (restored v{snap_v.rollback_of}); an "
+                    "incremental feed cannot replay a rollback (the restored "
+                    "rows' old LWW versions would lose against already-"
+                    "applied state) — re-bootstrap the consumer onto a FRESH "
+                    "destination (a full_refresh into the existing one would "
+                    "be absorbed by its newer rolled-back rows)"
+                )
             if snap_v.added is not None:
                 batch = snap_v.added
             else:

@@ -16,7 +16,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["melt", "group_nest_sorted", "param_fanout", "pack_budget"]
+__all__ = ["chunk_documents", "melt", "group_nest_sorted", "param_fanout",
+           "pack_budget"]
 
 
 def melt(
@@ -127,4 +128,68 @@ def pack_budget(
     cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
     return out.withColumn(
         "pack_shard", F.floor(cum_before / F.lit(budget)).cast("long")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window token chunking — the sequence-prep step between
+    curation and training/RAG indexing (the wide→long reshape for text:
+    one row per chunk). Chunk i covers tokens ``[1 + i*step, … + size)``
+    with ``step = size - overlap``; the last chunk may be shorter; docs
+    with no tokens emit no chunks.
+
+    Output: ``(id_col, chunk_id, n_tokens, chunk_text)``.
+
+    Pure per-row expression work — no shuffle, embarrassingly parallel.
+    The token array is materialized ONCE through a generator stage and
+    the window slices reference that attribute: a bare alias would be
+    inlined into the per-chunk lambda and re-tokenize the document per
+    chunk (the ``element_at``-in-lambda quadratic trap)."""
+    from etl_spark.functions.text import tokens
+
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    tok_col = "__ck_toks"
+    while tok_col in df.columns:
+        tok_col += "_"
+    # only the id rides through the generator — packing the whole row
+    # would defeat column pruning at the scan
+    packed = df.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.col(id_col).alias(id_col),
+                    tokens(text_col).alias(tok_col),
+                )
+            )
+        )
+    )
+    ts = F.col(tok_col)
+    n = F.size(ts)
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(1), n, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _chunk(start, i):
+        return F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.least(F.lit(size), n - start + 1).cast("long").alias("n_tokens"),
+            F.array_join(F.slice(ts, start, size), " ").alias("chunk_text"),
+        )
+
+    return packed.select(
+        F.col(id_col),
+        F.explode(F.transform(starts, _chunk)).alias("__c"),
+    ).select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+        F.col("__c.chunk_text").alias("chunk_text"),
     )

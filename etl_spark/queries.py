@@ -2345,6 +2345,31 @@ FROM ranked WHERE "rank" <= 5
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window token chunking (64-token chunks, 8-token overlap):
+    one output row per chunk — pure per-row expression work, zero
+    shuffles, with the token array materialized once per document."""
+    from etl_spark.operators.reshape import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", size=64, overlap=8)
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+st AS (
+  SELECT doc_id, toks, CAST(s AS BIGINT) AS start
+  FROM tk, LATERAL (SELECT unnest(range(1, len(toks) + 1, 56)) AS s) r
+)
+SELECT doc_id,
+       (start - 1) // 56 AS chunk_id,
+       CAST(least(64, len(toks) - start + 1) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start : least(start + 63, len(toks))], ' ')
+         AS chunk_text
+FROM st
+"""
+
+
 #: target mix for the sampler gate (lang -> share); en is cut hardest,
 #: de is the binding group (smallest count/share => keeps 100%)
 _MIX_SHARES = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
@@ -2449,6 +2474,7 @@ QUERIES = {
     "cdc_dedup_ingest": q_cdc_dedup_ingest,
     "salient_terms": q_salient_terms,
     "mix_sample": q_mix_sample,
+    "chunk_documents": q_chunk_documents,
     "quality_repetition": q_quality_repetition,
     "incremental_dedup": q_incremental_dedup,
     "pending_capture_scan": q_pending_capture_scan,
@@ -2518,6 +2544,7 @@ ORACLES = {
     "cdc_dedup_ingest": SQL_CDC_DEDUP_INGEST,
     "salient_terms": SQL_SALIENT_TERMS,
     "mix_sample": SQL_MIX_SAMPLE,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "quality_repetition": SQL_QUALITY_REPETITION,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "pending_capture_scan": SQL_PENDING_SCAN,

@@ -423,3 +423,72 @@ def test_publish_is_one_rename_per_bucket_not_per_file(spark, tmp_root, monkeypa
     assert len(data_renames) == len(snap.buckets) == 2
     assert stats.rows_written == 400
     assert t.read().count() == 400
+
+
+def test_rollback_restores_state_and_guards_the_feed(spark, tmp_root):
+    """Iceberg-style rollback_to_snapshot: data restored as a new commit,
+    the exactly-once ledger preserved, the change feed refusing to cross."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(
+        "event_id bigint, op_ts timestamp, repo string, path string, "
+        "content string")
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "rb"), schema,
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=2,
+    )
+    import datetime as dt
+    T0 = dt.datetime(2024, 1, 1)
+
+    ddl = ("event_id bigint, op_ts timestamp, repo string, path string, "
+           "content string, op string")
+
+    def _merge(key, rows):
+        return t.merge(spark.createDataFrame(rows, ddl), key)
+
+    def rows(table):
+        return {(r["repo"], r["path"]): (r["content"], r["event_id"])
+                for r in table.read().collect()}
+
+    _merge("e:1", [(1, T0, "r", "a", "good-a", "I"),
+                   (2, T0, "r", "b", "good-b", "I")])
+    v_good = t.current_version()
+    good = rows(t)
+
+    # a bad batch lands (wrong content, a spurious delete)
+    _merge("e:2", [(3, T0.replace(day=2), "r", "a", "BAD", "U"),
+                   (4, T0.replace(day=2), "r", "b", "", "D")])
+    assert rows(t) != good
+
+    v_rb = t.rollback(v_good)
+    assert v_rb == t.current_version()
+    assert rows(t) == good                       # data restored
+    assert t.snapshot(v_rb).rollback_of == v_good
+
+    # ledger preserved: re-delivering the bad epoch is a no-op
+    s = _merge("e:2", [(3, T0.replace(day=2), "r", "a", "BAD", "U")])
+    assert not s.applied and rows(t) == good
+
+    # corrected re-ingest under a NEW key builds on the restored state
+    _merge("e:3", [(5, T0.replace(day=3), "r", "a", "fixed-a", "U")])
+    assert rows(t)[("r", "a")] == ("fixed-a", 5)
+
+    # the feed refuses to cross the rollback commit...
+    with pytest.raises(ValueError, match="rollback"):
+        t.changes(v_good).count()
+    # ...but ranges strictly after it still work
+    assert set(
+        r["path"] for r in t.changes(v_rb).collect()
+    ) == {"a"}
+
+    # rollback target must be a real ancestor
+    with pytest.raises(ValueError):
+        t.rollback(t.current_version())
+
+    # retention: expiring pre-rollback snapshots + vacuum must not break
+    # the restored data (files re-referenced by the rollback commit)
+    t.expire_snapshots(keep_last=2)
+    t.vacuum(older_than_sec=0.0)
+    assert rows(t)[("r", "b")] == ("good-b", 2)

@@ -455,3 +455,29 @@ def test_mix_sample_deterministic_and_scoped(spark):
     # fr (250 rows) binds at share .5 -> keeps all; en downsamples to ~250
     assert by["fr"] == 250
     assert abs(by["en"] - 250) < 50     # hash-uniform within tolerance
+
+
+def test_chunk_documents_windows(spark):
+    from etl_spark.operators.reshape import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(1, 11))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, "")], ["doc_id", "text"])
+    out = chunk_documents(df, "doc_id", "text", size=8, overlap=4).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 1,5,9 (step 4) -> 3 chunks of 8,6,2 tokens
+    c1 = sorted(by[1], key=lambda r: r["chunk_id"])
+    assert [(r["chunk_id"], r["n_tokens"]) for r in c1] == [(0, 8), (1, 6), (2, 2)]
+    assert c1[0]["chunk_text"].split() == [f"w{i}" for i in range(1, 9)]
+    assert c1[1]["chunk_text"].split() == [f"w{i}" for i in range(5, 11)]
+    assert c1[2]["chunk_text"].split() == ["w9", "w10"]
+    # short doc: one partial chunk; empty doc: none
+    assert [(r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in by[2]] \
+        == [(0, 2, "a b")]
+    assert 3 not in by
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", size=4, overlap=4)

@@ -90,3 +90,60 @@ def test_spark_submit_replay_and_maintenance(spark, tmp_root):
                    zip_path=zip_path)
     sreport2 = json.loads(out5.strip().splitlines()[-1])
     assert sreport2["caught_up"] and sreport2["cursor"] == sreport["cursor"]
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on this machine")
+def test_spark_submit_dedup_ingest(spark, tmp_root):
+    import glob
+    import shutil
+
+    land = os.path.join(tmp_root, "land")
+    os.makedirs(land, exist_ok=True)
+    A = ("the quick brown fox jumps over the lazy dog and keeps running "
+         "through the wide open field all day")
+
+    def _land(name, rows, v):
+        df = spark.createDataFrame(
+            [(i, t, v, "I") for i, t in rows],
+            "doc_id bigint, text string, v bigint, op string")
+        stage = os.path.join(tmp_root, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(land, f"{name}.parquet"))
+
+    _land("b1", [(1, A), (2, "totally different words about rivers and "
+                             "boats at dawn under a pale morning sky")], 1)
+    _land("b2", [(11, A + " tonight"),
+                 (3, "gardening tomatoes in clay pots on a small balcony "
+                     "during early spring months this year")], 2)
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "package.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+
+    docs = os.path.join(tmp_root, "docs")
+    state = os.path.join(tmp_root, "state")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    out = _submit("dedup_ingest_job.py", "--docs-dir", land,
+                  "--docs-path", docs, "--state-path", state,
+                  "--checkpoint", ckpt, "--n-buckets", "2",
+                  "--max-files-per-trigger", "1", zip_path=zip_path)
+    report = json.loads(out.strip().splitlines()[-1])
+    assert len(report["batches"]) == 2
+    assert all(b["applied"] for b in report["batches"])
+    # the near-dup pair {1, 11} collapsed to one survivor
+    assert sum(b["n_kept"] for b in report["batches"]) == 3
+
+    # separate driver: nothing pending, no re-apply, state unchanged
+    out2 = _submit("dedup_ingest_job.py", "--docs-dir", land,
+                   "--docs-path", docs, "--state-path", state,
+                   "--checkpoint", ckpt, zip_path=zip_path)
+    report2 = json.loads(out2.strip().splitlines()[-1])
+    assert report2["batches"] == []
+    assert report2["docs_version"] == report["docs_version"]
+
+    from etl_spark.lake import LakeTable
+    kept = {r["doc_id"] for r in LakeTable.load(spark, docs).read().collect()}
+    assert len(kept) == 3 and len(kept & {1, 11}) == 1 and {2, 3} <= kept
