@@ -98,7 +98,9 @@ def run_replay_bench(spark, n_events: int, n_buckets: int, parallelism: int,
 BENCH_QUERIES = [
     "cdc_lww_latest_state",
     "cdc_replay_final_state",
-    "cdc_change_feed",
+    # cdc_change_feed and cdc_dedup_ingest are deliberately absent: their
+    # wall time is dominated by building a multi-merge LakeTable fixture,
+    # not by the operator under measurement — both are correctness-gated
     "depara_projection",
     "dim_broadcast_enrich",
     "asof_join_rules",
@@ -121,9 +123,6 @@ BENCH_QUERIES = [
     "salient_terms",
     "mix_sample",
     "chunk_documents",
-    # cdc_dedup_ingest (the 3-batch composite) is deliberately absent: its
-    # wall time is 3 sequential lake merges' fixed costs, not operator
-    # throughput — correctness-gated instead (oracle + test_dedup_ingest)
 ]
 
 
@@ -185,6 +184,8 @@ def main() -> None:
         "bench_events": n_events,
     }
     print(json.dumps(out))
+    from etl_spark.queries import cleanup_scratch
+    cleanup_scratch()  # table-building queries leave lazy-read scratch dirs
     spark.stop()
     if shuffle_dir:
         # tmpfs scratch is RAM: leaking it across runs starves later jobs

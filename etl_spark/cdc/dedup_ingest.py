@@ -255,8 +255,16 @@ def dedup_gated_merge(
 
     # -- 4. exactly-once dual merge (docs BEFORE state) -----------------
     d_stats = docs.merge(kept.drop("sig", "sh"), manifest_key, op_col=op_col)
+    # State rows version with the docs commit version (monotone across
+    # batches): a same-id re-delivery with CHANGED text is an update — its
+    # new sketch must WIN the state LWW, not tie with the stale one. (On a
+    # crash-window rerun d_stats.version is the already-committed current
+    # version; the sketch content is identical either way, so the higher
+    # v only re-asserts the same winner. Callers serialize batches — the
+    # streaming face does by construction.)
     s_stats = state.merge(
-        kept.select(F.col(id_col), "sig", "sh", F.lit(0).alias("v"),
+        kept.select(F.col(id_col), "sig", "sh",
+                    F.lit(d_stats.version).cast("long").alias("v"),
                     F.lit("I").alias(op_col)),
         manifest_key, op_col=op_col,
     )

@@ -79,6 +79,17 @@ def sync_changes(
 
     from etl_spark.lake.table import META_DELETED
 
+    if prefix not in dst.current_snapshot().cursor_prefixes():
+        # without the declaration, sync keys ({prefix}:{upstream_version})
+        # have sparse seqs that never contiguously fold — the applied
+        # ledger would grow by one key per round forever, silently losing
+        # the bounded-metadata property this module promises
+        raise ValueError(
+            f"destination does not declare {prefix!r} a cursor prefix: "
+            f"create it with props={{'cursor_prefixes': {prefix!r}}} (or "
+            f"add {prefix!r} to the comma-separated prop) so sync cursor "
+            f"metadata stays bounded"
+        )
     recorded = last_synced_version(dst, prefix)
     end = src.current_version() if end_version is None else end_version
     if recorded is not None and end < recorded:
@@ -91,6 +102,28 @@ def sync_changes(
             f"sync at the right table, or recreate the destination and "
             f"re-bootstrap"
         )
+    if recorded is not None:
+        # A rollback between the cursor and the sync end means the
+        # destination has already applied rows the upstream took back;
+        # NEITHER path can repair that in place — the incremental feed
+        # would raise inside changes(), and a full_refresh bootstrap
+        # would be silently absorbed (the restored rows' old LWW
+        # versions lose to the destination's newer rolled-back rows)
+        # while still advancing the cursor. Fail loudly on both.
+        rolled = [
+            v for v in src.versions()
+            if recorded < v <= end
+            and src.snapshot(v).rollback_of is not None
+        ]
+        if rolled:
+            raise RuntimeError(
+                f"upstream rolled back (commit v{rolled[0]}) after this "
+                f"destination's cursor (v{recorded}): the destination has "
+                f"applied rows the upstream took back, and neither the "
+                f"incremental feed nor full_refresh can repair that in "
+                f"place (LWW keeps the newer rolled-back rows) — recreate "
+                f"the destination and bootstrap fresh"
+            )
     cursor = None if full_refresh else recorded
     if cursor is None:
         if recorded is not None and end <= recorded:

@@ -1,6 +1,7 @@
 from etl_spark.operators.dedup import (
     eval_contamination,
     exact_dedup_groups,
+    incremental_lsh_matches,
     lsh_buckets,
     lsh_candidate_pairs,
     minhash_signature,
@@ -15,7 +16,12 @@ from etl_spark.operators.joins import (
     period_lead,
     range_join,
 )
+from etl_spark.operators.quality import (
+    repetition_signals,
+    topk_salient_terms,
+)
 from etl_spark.operators.reshape import (
+    chunk_documents,
     group_nest_sorted,
     melt,
     pack_budget,
@@ -25,6 +31,8 @@ from etl_spark.operators.sampling import (
     hash_permille,
     hash_sample,
     hash_split,
+    mix_rates_permille,
+    mix_sample,
     stratified_sample,
 )
 from etl_spark.operators.similarity import (
@@ -37,9 +45,12 @@ from etl_spark.operators.similarity import (
 
 __all__ = [
     "anti_join_fill", "asof_join", "broadcast_lookup", "period_lead", "range_join",
-    "group_nest_sorted", "melt", "pack_budget", "param_fanout",
-    "eval_contamination", "exact_dedup_groups", "lsh_buckets", "lsh_candidate_pairs",
+    "chunk_documents", "group_nest_sorted", "melt", "pack_budget", "param_fanout",
+    "eval_contamination", "exact_dedup_groups", "incremental_lsh_matches",
+    "lsh_buckets", "lsh_candidate_pairs",
     "minhash_signature", "ngram_jaccard_pairs", "simhash", "simhash_groups",
+    "repetition_signals", "topk_salient_terms",
     "bounded_topk", "brute_force_topk", "cosine", "hyperplane_bucket", "lsh_ann_topk",
-    "hash_permille", "hash_sample", "hash_split", "stratified_sample",
+    "hash_permille", "hash_sample", "hash_split",
+    "mix_rates_permille", "mix_sample", "stratified_sample",
 ]

@@ -100,9 +100,12 @@ def pack_budget(
     Rows are hashed into ``n_buckets`` independent streams
     (engine-portable ``stable_bucket``), ordered by key within each, and
     cut greedily: a row joins shard ``floor(cum_size_before / budget)``
-    of its bucket, so every shard holds ≥ budget-worth of rows except
-    possibly the bucket's last (a shard may overshoot by at most one
-    row — the standard streaming-packing contract).
+    of its bucket. The guarantee is CUMULATIVE: shards ``0..s`` together
+    hold ≥ ``(s+1) * budget`` for every non-final shard ``s`` — an
+    individual shard can undershoot when its predecessor overshot past a
+    boundary (one oversized row can span several budgets), and the
+    bucket's last shard may be short. This is the standard
+    streaming-packing contract (see ``test_pack_budget_contract``).
 
     ``key`` must be unique (a doc id / content key): it is the only sort
     column inside a bucket, so duplicate key values would make the
@@ -142,7 +145,10 @@ def chunk_documents(
     curation and training/RAG indexing (the wide→long reshape for text:
     one row per chunk). Chunk i covers tokens ``[1 + i*step, … + size)``
     with ``step = size - overlap``; the last chunk may be shorter; docs
-    with no tokens emit no chunks.
+    with no tokens emit no chunks. A trailing window whose content is
+    wholly contained in the previous chunk is NOT emitted (starts stop
+    at ``n - overlap``), so no pure-duplicate chunk rows enter a
+    training shard or index.
 
     Output: ``(id_col, chunk_id, n_tokens, chunk_text)``.
 
@@ -173,8 +179,12 @@ def chunk_documents(
     )
     ts = F.col(tok_col)
     n = F.size(ts)
+    # last useful start is n - overlap: a later window only re-covers the
+    # previous chunk's tail (its whole content would be a duplicate)
     starts = F.when(
-        n >= 1, F.sequence(F.lit(1), n, F.lit(step))
+        n >= 1,
+        F.sequence(F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)),
+                   F.lit(step)),
     ).otherwise(F.array().cast("array<int>"))
 
     def _chunk(start, i):

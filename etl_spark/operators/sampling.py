@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from etl_spark.functions.hashing import portable_hash60, portable_hash60_sql
 
-__all__ = ["hash_permille", "hash_sample", "stratified_sample", "hash_split"]
+__all__ = ["hash_permille", "hash_permille_sql", "hash_sample", "hash_split",
+           "mix_rates_permille", "mix_sample", "stratified_sample"]
 
 
 def hash_permille(key: Column | str, salt: str) -> Column:

@@ -183,6 +183,20 @@ def pending_scan(
         out = out.join(F.broadcast(window_df), key_col, "left_anti")
     if snap.applied_watermarks:
         cursor_pfx = snap.cursor_prefixes()
+        # collision-proof helper names: the schedule carries arbitrary
+        # user payload columns, which must never be clobbered or dropped
+        pc, sc = "__p", "__s"
+        while pc in out.columns:
+            pc += "_"
+        while sc in out.columns:
+            sc += "_"
+        wm_names = ["__prefix", "__lo", "__hi", "__cursor"]
+        clash = [c for c in wm_names if c in out.columns]
+        if clash:
+            raise ValueError(
+                f"schedule columns collide with pending_scan internals: "
+                f"{clash}; rename them"
+            )
         wm_df = spark.createDataFrame(
             [(p, int(lo), int(hi), p in cursor_pfx)
              for p, (lo, hi) in snap.applied_watermarks.items()],
@@ -191,9 +205,9 @@ def pending_scan(
         key = F.col(key_col)
         suffix = F.regexp_extract(key, _KEY_SPLIT_RE, 2)
         out = (
-            out.withColumn("__p", F.regexp_extract(key, _KEY_SPLIT_RE, 1))
+            out.withColumn(pc, F.regexp_extract(key, _KEY_SPLIT_RE, 1))
             .withColumn(
-                "__s",
+                sc,
                 # try_cast: a canonical decimal can still overflow bigint
                 # under ANSI mode — such a key is simply not watermark-
                 # covered (has_applied's Python bigints agree: it can never
@@ -203,15 +217,15 @@ def pending_scan(
             )
             .join(
                 F.broadcast(wm_df),
-                (F.col("__p") == F.col("__prefix"))
-                & F.col("__s").isNotNull()
+                (F.col(pc) == F.col("__prefix"))
+                & F.col(sc).isNotNull()
                 # cursor prefixes (monotone positions): applied ⇔ seq ≤ hi,
                 # mirroring Snapshot.has_applied; work-unit prefixes need
                 # the full contiguous range
-                & (F.col("__cursor") | (F.col("__s") >= F.col("__lo")))
-                & (F.col("__s") <= F.col("__hi")),
+                & (F.col("__cursor") | (F.col(sc) >= F.col("__lo")))
+                & (F.col(sc) <= F.col("__hi")),
                 "left_anti",
             )
-            .drop("__p", "__s")
+            .drop(pc, sc)
         )
     return out

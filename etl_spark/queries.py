@@ -66,6 +66,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: scratch dirs created by table-building queries this process. The
+#: returned DataFrames read these paths LAZILY, so the query functions
+#: cannot clean up themselves — harnesses (bench.py, check_correctness)
+#: call :func:`cleanup_scratch` once all result actions are done.
+_SCRATCH_DIRS: list[str] = []
+
+
+def _tmpdir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+def cleanup_scratch() -> int:
+    """Remove every scratch dir created by query functions in this
+    process; returns how many were removed. Call after the last action
+    on any returned DataFrame."""
+    import shutil
+
+    n = 0
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+        n += 1
+    return n
+
+
 def _h60(expr: str) -> str:
     return portable_hash60_sql(expr)
 
@@ -109,7 +135,7 @@ def q_cdc_replay_final_state(spark, sf_dir):
         "ts", "user_id", "event_type", "value", "props",
         F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
     )
-    tmp = tempfile.mkdtemp(prefix="etl_spark_replay_")
+    tmp = _tmpdir("etl_spark_replay_")
     wal_dir = os.path.join(tmp, "wal")
     write_event_epochs(wal, wal_dir)
     table, _ = replay_events(
@@ -155,7 +181,7 @@ def q_cdc_point_lookup(spark, sf_dir):
         "ts", "user_id", "event_type", "value", "props",
         F.pmod(F.col("event_id"), F.lit(2)).cast("long").alias("epoch"),
     )
-    tmp = tempfile.mkdtemp(prefix="etl_spark_lookup_")
+    tmp = _tmpdir("etl_spark_lookup_")
     wal_dir = os.path.join(tmp, "wal")
     write_event_epochs(wal, wal_dir)
     table, _ = replay_events(
@@ -1486,7 +1512,7 @@ def q_csv_report_ingest(spark, sf_dir):
             f"{cents // 100},{cents % 100:02d}"
         )
     lines.append("Fonte: Ministério da Saúde")
-    d = tempfile.mkdtemp(prefix="etl_spark_csv_")
+    d = _tmpdir("etl_spark_csv_")
     path = os.path.join(d, "report.csv")
     with open(path, "w", encoding="ISO-8859-1") as fh:
         fh.write("\n".join(lines) + "\n")
@@ -1527,7 +1553,7 @@ def q_json_flatten_ingest(spark, sf_dir):
         }
         for r in rows
     ]
-    d = tempfile.mkdtemp(prefix="etl_spark_json_")
+    d = _tmpdir("etl_spark_json_")
     path = os.path.join(d, "records.json")
     with open(path, "w") as fh:
         fh.write(_json.dumps(records))
@@ -1755,7 +1781,7 @@ def q_cdc_change_feed(spark, sf_dir):
         "ts", "user_id", "event_type", "value", "props",
         F.pmod(F.col("event_id"), F.lit(6)).cast("long").alias("epoch"),
     )
-    tmp = tempfile.mkdtemp(prefix="etl_spark_feed_")
+    tmp = _tmpdir("etl_spark_feed_")
     wal_dir = os.path.join(tmp, "wal")
     write_event_epochs(wal, wal_dir)
     table, _ = replay_events(
@@ -1806,7 +1832,7 @@ def q_cdc_incremental_sync(spark, sf_dir):
         "ts", "user_id", "event_type", "value", "props",
         F.pmod(F.col("event_id"), F.lit(6)).cast("long").alias("epoch"),
     )
-    tmp = tempfile.mkdtemp(prefix="etl_spark_sync_")
+    tmp = _tmpdir("etl_spark_sync_")
     waves = [os.path.join(tmp, "w0"), os.path.join(tmp, "w1")]
     write_event_epochs(wal.filter(F.col("epoch") < 3), waves[0])
     write_event_epochs(wal.filter(F.col("epoch") >= 3), waves[1])
@@ -1859,7 +1885,7 @@ def q_pending_capture_scan(spark, sf_dir):
         "ts", "user_id", "event_type", "value", "props",
         F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
     )
-    tmp = tempfile.mkdtemp(prefix="etl_spark_pend_")
+    tmp = _tmpdir("etl_spark_pend_")
     wal_dir = os.path.join(tmp, "wal")
     write_event_epochs(wal, wal_dir)
     table, _ = replay_events(
@@ -1920,7 +1946,7 @@ def q_lww_compact_parity(spark, sf_dir):
     # the file streaming source wants a directory: expose the events file
     # through a temp dir (symlink = zero copy)
     src = os.path.join(sf_dir, "events.parquet")
-    stream_dir = tempfile.mkdtemp(prefix="etl_spark_lwwc_src_")
+    stream_dir = _tmpdir("etl_spark_lwwc_src_")
     try:
         os.symlink(src, os.path.join(stream_dir, "events.parquet"))
     except OSError:
@@ -1935,7 +1961,7 @@ def q_lww_compact_parity(spark, sf_dir):
     q = (
         compacted.writeStream.format("memory").queryName(name)
         .option("checkpointLocation",
-                tempfile.mkdtemp(prefix="etl_spark_lwwc_"))
+                _tmpdir("etl_spark_lwwc_"))
         .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination(300)
@@ -1970,7 +1996,7 @@ def q_cdc_time_travel(spark, sf_dir):
         "ts", "user_id", "event_type", "value", "props",
         F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
     )
-    tmp = tempfile.mkdtemp(prefix="etl_spark_tt_")
+    tmp = _tmpdir("etl_spark_tt_")
     wal_dir = os.path.join(tmp, "wal")
     write_event_epochs(wal, wal_dir)
     table, stats = replay_events(
@@ -2124,7 +2150,7 @@ def q_cdc_dedup_ingest(spark, sf_dir):
     from etl_spark.lake import LakeTable
 
     src = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="etl_spark_dedup_ingest_")
+    tmp = _tmpdir("etl_spark_dedup_ingest_")
     docs = LakeTable.create(
         spark, os.path.join(tmp, "docs"),
         StructType.fromDDL("doc_id bigint, text string, n_chars bigint, v bigint"),
@@ -2359,7 +2385,9 @@ SQL_CHUNK_DOCUMENTS = f"""
 WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 st AS (
   SELECT doc_id, toks, CAST(s AS BIGINT) AS start
-  FROM tk, LATERAL (SELECT unnest(range(1, len(toks) + 1, 56)) AS s) r
+  FROM tk,
+       LATERAL (SELECT unnest(range(1, greatest(len(toks) - 8, 1) + 1, 56))
+                AS s) r
 )
 SELECT doc_id,
        (start - 1) // 56 AS chunk_id,

@@ -125,3 +125,25 @@ def test_redelivery_under_new_key_is_absorbed(spark, tmp_path):
     s3 = dedup_gated_merge(docs, state, b2, "ingest:2")
     assert s3.n_kept == 1
     assert {r["doc_id"] for r in docs.read().collect()} == {1, 2, 3, 13}
+
+
+def test_same_id_update_refreshes_state_sketch(spark, tmp_path):
+    """A same-id re-delivery with CHANGED text is an update: its sketch
+    must WIN the state LWW (monotone docs-version), so future batches
+    dedup against the doc's current text, not its original."""
+    docs, state = _mk(spark, str(tmp_path))
+    dedup_gated_merge(docs, state,
+                      _batch(spark, [(1, LONG_A)], v=1), "ingest:1")
+    # doc 1 edited to LONG_B (passes the gate: id match = update)
+    dedup_gated_merge(docs, state,
+                      _batch(spark, [(1, LONG_B)], v=2), "ingest:2")
+
+    s3 = dedup_gated_merge(docs, state, _batch(spark, [
+        (30, LONG_B + " again"),   # near-dup of doc 1's CURRENT text -> drop
+        (31, LONG_A + " again"),   # near-dup only of the long-gone text -> keep
+    ], v=3), "ingest:3")
+    assert s3.n_kept == 1
+    kept = {r["doc_id"] for r in docs.read().collect()}
+    assert 31 in kept and 30 not in kept
+    # state carries exactly one (winning) sketch per doc
+    assert state.read().filter("doc_id = 1").count() == 1

@@ -467,12 +467,14 @@ def test_chunk_documents_windows(spark):
     by = {}
     for r in out:
         by.setdefault(r["doc_id"], []).append(r)
-    # doc 1: starts 1,5,9 (step 4) -> 3 chunks of 8,6,2 tokens
+    # doc 1: starts 1,5 (step 4; start 9 would be wholly inside chunk 1's
+    # coverage 5-10, so it is NOT emitted) -> chunks of 8 and 6 tokens
     c1 = sorted(by[1], key=lambda r: r["chunk_id"])
-    assert [(r["chunk_id"], r["n_tokens"]) for r in c1] == [(0, 8), (1, 6), (2, 2)]
+    assert [(r["chunk_id"], r["n_tokens"]) for r in c1] == [(0, 8), (1, 6)]
     assert c1[0]["chunk_text"].split() == [f"w{i}" for i in range(1, 9)]
     assert c1[1]["chunk_text"].split() == [f"w{i}" for i in range(5, 11)]
-    assert c1[2]["chunk_text"].split() == ["w9", "w10"]
+    # coverage reaches the last token with no pure-duplicate tail chunk
+    assert c1[-1]["chunk_text"].split()[-1] == "w10"
     # short doc: one partial chunk; empty doc: none
     assert [(r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in by[2]] \
         == [(0, 2, "a b")]

@@ -147,3 +147,40 @@ def test_sync_raises_past_retention_horizon_and_recovers(spark, tmp_root):
         [(0, T0 - dt.timedelta(minutes=1), "r", "b", "stale", "U")],
         SCHEMA + ", op string"), "late:0")
     assert {r["path"] for r in dst.read().collect()} == {"a", "c"}
+
+
+def test_sync_refuses_to_cross_an_upstream_rollback(spark, tmp_root):
+    import pytest
+
+    src = _mk(spark, tmp_root, "src_rb")
+    dst = _mk(spark, tmp_root, "dst_rb", props={"cursor_prefixes": "sync"})
+    _merge(spark, src, "e:1", [(1, T0, "r", "a", "good", "I")])
+    v_good = src.current_version()
+    sync_changes(src, dst)                       # cursor at v_good
+    _merge(spark, src, "e:2",
+           [(2, T0.replace(day=2), "r", "a", "BAD", "U")])
+    sync_changes(src, dst)                       # bad rows now downstream
+    src.rollback(v_good)
+
+    # neither the incremental feed nor full_refresh may silently absorb
+    # the divergence — both must fail loudly
+    with pytest.raises(RuntimeError, match="rolled back"):
+        sync_changes(src, dst)
+    with pytest.raises(RuntimeError, match="rolled back"):
+        sync_changes(src, dst, full_refresh=True)
+
+    # a FRESH destination bootstraps the restored state cleanly
+    dst2 = _mk(spark, tmp_root, "dst_rb2", props={"cursor_prefixes": "sync"})
+    sync_changes(src, dst2)
+    assert [(r["path"], r["content"]) for r in dst2.read().collect()] \
+        == [("a", "good")]
+
+
+def test_sync_requires_cursor_prefix_declaration(spark, tmp_root):
+    import pytest
+
+    src = _mk(spark, tmp_root, "src_np")
+    _merge(spark, src, "e:1", [(1, T0, "r", "a", "x", "I")])
+    dst = _mk(spark, tmp_root, "dst_np")         # prop missing
+    with pytest.raises(ValueError, match="cursor prefix"):
+        sync_changes(src, dst)

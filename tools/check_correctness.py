@@ -102,6 +102,8 @@ def main() -> int:
                 print(f"   {c}[{idx}]: spark={g[c][idx]!r} duckdb={w[c][idx]!r}")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    from etl_spark.queries import cleanup_scratch
+    cleanup_scratch()  # table-building queries leave lazy-read scratch dirs
     spark.stop()
     return 1 if n_fail else 0
 
