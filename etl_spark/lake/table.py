@@ -157,6 +157,12 @@ class Snapshot:
     #   snapshot version. changes() refuses to cross such a commit —
     #   an incremental feed cannot replay a rollback (the restored rows'
     #   old LWW versions would lose downstream); consumers re-bootstrap.
+    file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
+    #   data-skipping zone maps: rel_path -> {col: [enc_min, enc_max]}
+    #   for the columns in props["stats_cols"] (see lake/stats.py).
+    #   Entries live exactly as long as their file is referenced, so the
+    #   metadata bound is O(files x stats_cols) — same order as the
+    #   bucket file lists themselves.
 
     def cursor_prefixes(self) -> set[str]:
         """Manifest-key prefixes declared MONOTONE CURSORS via the
@@ -169,6 +175,12 @@ class Snapshot:
         every seq ≤ hi as applied."""
         raw = self.props.get("cursor_prefixes", "")
         return {p.strip() for p in raw.split(",") if p.strip()}
+
+    def stats_cols(self) -> list[str]:
+        """Columns with per-file zone maps (``stats_cols`` table prop,
+        comma-separated). Empty = data skipping dormant."""
+        raw = self.props.get("stats_cols", "")
+        return [c.strip() for c in raw.split(",") if c.strip()]
 
     def has_applied(self, manifest_key: str) -> bool:
         """Exactly-once membership: the bounded recent window, then the
@@ -204,6 +216,7 @@ class Snapshot:
                 "applied_watermarks": self.applied_watermarks,
                 "applied_count": self.applied_count,
                 "rollback_of": self.rollback_of,
+                "file_stats": self.file_stats,
             },
             indent=1,
             sort_keys=True,
@@ -232,6 +245,7 @@ class Snapshot:
             },
             applied_count=d.get("applied_count", len(d["applied"])),
             rollback_of=d.get("rollback_of"),
+            file_stats=d.get("file_stats", {}),
         )
 
 
@@ -365,12 +379,60 @@ class LakeTable:
         # surface them as NULL (additive schema evolution on read).
         return self.spark.read.schema(full).parquet(*paths)
 
+    def _plan_scan(
+        self, snap: Snapshot, sel: dict[int, list[str]], preds: list
+    ) -> tuple[list[str], list[str], int]:
+        """Split selected buckets into (clean_files, mor_files) and apply
+        zone-map file pruning. Which predicates may prune which file is a
+        merge-on-read soundness question — see
+        :func:`etl_spark.lake.stats.prunable_predicates`. Returns
+        ``(clean, mor, n_pruned)``."""
+        from etl_spark.lake import stats as _st
+
+        nonuniq = set(snap.nonunique)
+        clean: list[str] = []
+        mor: list[str] = []
+        pruned = 0
+        for fl in sel.values():
+            is_mor = len(fl) > 1 or any(f in nonuniq for f in fl)
+            use = _st.prunable_predicates(
+                preds, snap.key_cols, snap.version_cols, not is_mor
+            ) if preds else []
+            for f in fl:
+                if use and not _st.file_matches(snap.file_stats.get(f), use):
+                    pruned += 1
+                    continue
+                (mor if is_mor else clean).append(f)
+        return clean, mor, pruned
+
+    def scan_counts(
+        self,
+        where: list | None = None,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> dict[str, int]:
+        """Plan-only diagnostics for ``read(where=...)``: how many data
+        files the snapshot holds vs how many the pruned scan touches."""
+        snap = self.snapshot(version)
+        sel = snap.buckets if buckets is None else {
+            b: snap.buckets.get(b, []) for b in buckets
+        }
+        preds = list(where or [])
+        if preds:
+            from etl_spark.lake.stats import validate_predicates
+            validate_predicates(preds, [f.name for f in snap.schema.fields])
+        clean, mor, pruned = self._plan_scan(snap, sel, preds)
+        return {"files_total": len(clean) + len(mor) + pruned,
+                "files_read": len(clean) + len(mor),
+                "files_pruned": pruned}
+
     def read(
         self,
         version: int | None = None,
         with_meta: bool = False,
         buckets: list[int] | None = None,
         include_deleted: bool = False,
+        where: list | None = None,
     ) -> DataFrame:
         """Read live rows (tombstones filtered) at a snapshot version.
 
@@ -382,22 +444,25 @@ class LakeTable:
         construction — they were produced by an LWW aggregate) are unioned
         around it untouched, so one straggler delta file never drags the
         whole table through the SortAggregate. Buckets are disjoint key
-        spaces, so the union is exact."""
+        spaces, so the union is exact.
+
+        ``where`` — optional conjunctive predicates
+        ``[(col, op, value[, value2]), ...]`` with op in
+        ``> >= < <= = in between``. Semantics: filter on the FINAL table
+        state (the per-key LWW winner), exactly ``read().filter(...)``.
+        With the ``stats_cols`` table prop set, per-file zone maps skip
+        files the predicates refute before any data I/O — sound pruning
+        rules per file in lake/stats.py — and the residual filter lands
+        on the parquet scans for row-group-level pushdown besides."""
         snap = self.snapshot(version)
         sel = snap.buckets if buckets is None else {
             b: snap.buckets.get(b, []) for b in buckets
         }
-        nonuniq = set(snap.nonunique)
-        agg_files = [
-            f for fl in sel.values()
-            if len(fl) > 1 or any(f in nonuniq for f in fl)
-            for f in fl
-        ]
-        clean_files = [
-            f for fl in sel.values()
-            if not (len(fl) > 1 or any(f in nonuniq for f in fl))
-            for f in fl
-        ]
+        preds = list(where or [])
+        if preds:
+            from etl_spark.lake.stats import validate_predicates
+            validate_predicates(preds, [f.name for f in snap.schema.fields])
+        clean_files, agg_files, _ = self._plan_scan(snap, sel, preds)
         df = self._read_files(snap, clean_files)
         if agg_files:
             user_cols = [f.name for f in snap.schema.fields]
@@ -408,6 +473,11 @@ class LakeTable:
                 snap.key_cols, snap.version_cols, user_cols, types,
             )
             df = resolved if not clean_files else df.unionByName(resolved)
+        if preds:
+            from etl_spark.lake.stats import predicate_column
+            # residual filter AFTER read-time LWW: predicates select on
+            # the winner row (final state), never on stale candidates
+            df = df.filter(predicate_column(preds))
         if not include_deleted:
             df = df.filter(~F.col(META_DELETED))
         if not with_meta:
@@ -437,14 +507,20 @@ class LakeTable:
             r["__b"] for r in key_rows.select(
                 self.bucket_expr(snap).alias("__b")).collect()
         })
-        df = self.read(version=version, buckets=want_buckets)
-        # Per-column IN-list predicate (a superset of the exact key set):
-        # pushes to the parquet scan, where the key-sorted file layout
-        # compaction/rebucket produce lets row-group min/max stats skip
-        # most of each bucket. The exact match is the semi join below.
+        # Per-column IN-list predicate (a superset of the exact key set),
+        # routed through read(where=...): with stats_cols covering key
+        # columns it prunes whole FILES from footer zone maps (sound on
+        # key columns even under merge-on-read), and as the residual
+        # filter it pushes to the parquet scan, where the key-sorted
+        # layout compaction/rebucket produce lets row-group min/max stats
+        # skip most of each bucket. The exact match is the semi join.
+        where = None
         if keys and len(keys) <= 1000:
-            for i, c in enumerate(snap.key_cols):
-                df = df.filter(F.col(c).isin([k[i] for k in keys]))
+            where = [
+                (c, "in", [k[i] for k in keys])
+                for i, c in enumerate(snap.key_cols)
+            ]
+        df = self.read(version=version, buckets=want_buckets, where=where)
         return df.join(F.broadcast(key_rows), snap.key_cols, "left_semi")
 
     # ---------------------------------------------------------------- MERGE
@@ -595,7 +671,8 @@ class LakeTable:
         # every change feed (changes() provenance = the `added` list).
         added_files = [f for fl in new_files.values() for f in fl]
         new_snap = self._child(snap, evolved_schema, buckets, manifest_key,
-                               add_nonunique=add_nonunique, added=added_files)
+                               add_nonunique=add_nonunique, added=added_files,
+                               new_stats=self._harvest_stats(snap, new_files))
         self._publish(new_snap)
 
         if mode != "cow":
@@ -690,7 +767,8 @@ class LakeTable:
         # change feed must not re-emit its output. manifest_key=None:
         # maintenance commits stay out of the exactly-once ledger (see
         # _child) — a redundant re-compaction is wasteful, never wrong.
-        self._publish(self._child(snap, snap.schema, merged, None, added=[]))
+        self._publish(self._child(snap, snap.schema, merged, None, added=[],
+                                  new_stats=self._harvest_stats(snap, cfiles)))
         return len(target)
 
     def rollback(self, to_version: int) -> int:
@@ -742,6 +820,7 @@ class LakeTable:
             },
             applied_count=snap.applied_count,
             rollback_of=to_version,
+            file_stats={f: s for f, s in target.file_stats.items()},
         )
         self._publish(child)
         return child.version
@@ -779,7 +858,8 @@ class LakeTable:
             resolved, snap.version + 1, tag="r", coarse_metrics=coarse,
             sort_cols=snap.key_cols,
         )
-        child = self._child(snap, snap.schema, new_files, None, added=[])
+        child = self._child(snap, snap.schema, new_files, None, added=[],
+                            new_stats=self._harvest_stats(snap, new_files))
         child.n_buckets = new_n_buckets
         self._publish(child)
         return child.version
@@ -867,6 +947,24 @@ class LakeTable:
             rows_written = -1
         return new_files, rows_written, lineage
 
+    def _harvest_stats(
+        self, snap: Snapshot, new_files: dict[int, list[str]]
+    ) -> dict[str, dict[str, list]]:
+        """Zone maps for freshly-written files (``stats_cols`` prop; one
+        distributed footer-only job — see lake/stats.py). Best-effort:
+        a failed harvest must never fail the committed write, it only
+        costs pruning."""
+        cols = snap.stats_cols()
+        if not cols or not new_files:
+            return {}
+        from etl_spark.lake.stats import harvest_file_stats
+
+        try:
+            rels = [f for fl in new_files.values() for f in fl]
+            return harvest_file_stats(self.spark, self.path, rels, cols)
+        except Exception:  # noqa: BLE001 — stats are an optimization
+            return {}
+
     def _child(
         self,
         snap: Snapshot,
@@ -875,11 +973,19 @@ class LakeTable:
         manifest_key: str | None,
         add_nonunique: list[str] = (),
         added: list[str] | None = None,
+        new_stats: dict[str, dict[str, list]] | None = None,
     ) -> Snapshot:
         referenced = {f for fl in buckets.values() for f in fl}
         nonunique = sorted(
             (set(snap.nonunique) | set(add_nonunique)) & referenced
         )
+        # zone maps follow their files: parent entries for still-referenced
+        # files carry over, de-referenced entries drop (bounded metadata)
+        file_stats = {
+            f: s
+            for f, s in {**snap.file_stats, **(new_stats or {})}.items()
+            if f in referenced
+        }
         # Bounded exactly-once metadata: the applied ledger keeps only the
         # most recent `manifest_window` keys verbatim; older sequence-shaped
         # keys ("prefix:123") fold into a per-prefix high-watermark on
@@ -944,9 +1050,69 @@ class LakeTable:
             added=sorted(added) if added is not None else None,
             applied_watermarks=watermarks,
             applied_count=snap.applied_count + (1 if manifest_key is not None else 0),
+            file_stats=file_stats,
         )
 
     # --------------------------------------------------------------- utils
+
+    def alter_props(self, updates: dict[str, str | None],
+                    max_retries: int = 3) -> int:
+        """Update table properties as a metadata-only commit (Iceberg
+        ``ALTER TABLE ... SET TBLPROPERTIES``). A ``None`` value unsets
+        the key. The migration path for settings that newer features
+        require at runtime — e.g. declaring a sync ``cursor_prefixes``
+        on an existing destination, enabling ``stats_cols`` (follow with
+        :meth:`backfill_stats` to cover pre-existing files), or retuning
+        ``compact_threshold`` / ``manifest_window``. Returns the new
+        snapshot version.
+
+        Caution: adding a prefix to ``cursor_prefixes`` retroactively
+        reinterprets that prefix's already-folded watermark range from
+        contiguous ``[lo, hi]`` to ``≤ hi`` — sound only for prefixes
+        whose seqs are genuinely monotone positions (a sync cursor),
+        never for work-unit prefixes that may have gap seqs (a gapped
+        epoch would be falsely claimed applied and silently dropped)."""
+        for attempt in range(max_retries + 1):
+            snap = self.current_snapshot()
+            props = dict(snap.props)
+            for k, v in updates.items():
+                if v is None:
+                    props.pop(k, None)
+                else:
+                    props[k] = str(v)
+            child = self._child(snap, snap.schema, snap.buckets, None,
+                                added=[])
+            child.props = props
+            try:
+                self._publish(child)
+                return child.version
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def backfill_stats(self) -> int:
+        """Harvest zone maps for referenced files that predate
+        ``stats_cols`` (or were written while it was unset) and commit
+        them as a metadata-only child. One distributed footer-only job;
+        returns how many files gained stats. No-op without the prop."""
+        snap = self.current_snapshot()
+        cols = snap.stats_cols()
+        missing = [
+            f for fl in snap.buckets.values() for f in fl
+            if f not in snap.file_stats
+        ]
+        if not cols or not missing:
+            return 0
+        from etl_spark.lake.stats import harvest_file_stats
+
+        got = harvest_file_stats(self.spark, self.path, missing, cols)
+        if not got:
+            return 0
+        child = self._child(snap, snap.schema, snap.buckets, None,
+                            added=[], new_stats=got)
+        self._publish(child)
+        return len(got)
 
     def applied_manifests(self) -> set[str]:
         """The bounded RECENT WINDOW of applied manifest keys — NOT the

@@ -2019,6 +2019,65 @@ FROM (
 """
 
 
+def q_cdc_state_range_read(spark, sf_dir):
+    """Zone-map data skipping (Iceberg per-file min/max stats analogue,
+    lake/stats.py): the WAL replays into a stats-enabled LakeTable as
+    five week-partitioned epoch merges — five un-compacted delta files
+    per bucket with disjoint ``ts`` ranges — then the read applies an
+    upward-closed ``ts >= cutoff`` predicate. File pruning refutes ~3/5
+    of the files from footer stats before any data I/O (sound under
+    merge-on-read because the predicate is upward-closed on the LWW
+    version column — see ``stats.prunable_predicates``); the residual
+    filter selects on the per-key winner, so the result is exactly
+    ``final state WHERE ts >= cutoff``. Reference analogue: re-reading
+    only the periods a re-capture touched (scripts/geral.py:61-65)."""
+    import datetime as dt
+
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        # week-of-month epochs: each delta wave covers a disjoint ts range,
+        # so per-file [min,max] bounds are actually selective
+        F.floor((F.dayofmonth("ts") - 1) / 7).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_prune_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, _ = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=8,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        # high threshold keeps every delta un-compacted: the read exercises
+        # the HARD (merge-on-read) pruning-soundness path, not the easy
+        # compacted one
+        table_props={"stats_cols": "ts", "compact_threshold": "100"},
+    )
+    cut = dt.datetime(2024, 1, 22)
+    plan = table.scan_counts(where=[("ts", ">=", cut)])
+    assert plan["files_pruned"] > 0, f"zone maps did not prune: {plan}"
+    return table.read(where=[("ts", ">=", cut)]).select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+SQL_CDC_RANGE_READ = """
+SELECT user_id, event_id, ts, event_type, value, props
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+  AND ts >= TIMESTAMP '2024-01-22'
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic class-balanced downsampling (pretraining-mix
     curation): cut 'en' to 25% and 'zh' to 50% while keeping every other
@@ -2495,6 +2554,7 @@ QUERIES = {
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_incremental_sync": q_cdc_incremental_sync,
     "cdc_time_travel": q_cdc_time_travel,
+    "cdc_state_range_read": q_cdc_state_range_read,
     "stratified_sample": q_stratified_sample,
     "train_test_split": q_train_test_split,
     "decontamination": q_decontamination,
@@ -2565,6 +2625,7 @@ ORACLES = {
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_incremental_sync": SQL_CDC_SYNC,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
+    "cdc_state_range_read": SQL_CDC_RANGE_READ,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
     "decontamination": SQL_DECONTAMINATION,

@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # int64-micros timestamps (Iceberg's mandated physical type), not
+        # legacy INT96: INT96 columns carry no usable parquet min/max
+        # statistics, which would blind both row-group pushdown and the
+        # LakeTable zone-map file pruning (lake/stats.py)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
