@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from etl_spark.functions.hashing import portable_hash60
 
 __all__ = ["cosine", "bounded_topk", "brute_force_topk", "hyperplane_bucket",
-           "lsh_ann_topk", "lsh_ann_topk_multiprobe", "ivf_ann_topk"]
+           "lsh_ann_topk", "lsh_ann_topk_multiprobe", "ivf_ann_topk",
+           "kmeans_spherical"]
 
 
 def cosine(a, b):
@@ -335,3 +336,83 @@ def ivf_ann_topk(
     sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4)
     cand = joined.select(F.col(q_id), F.col(c_id), sim.alias("sim"))
     return bounded_topk(cand, q_id, c_id, k, fanout)
+
+
+def kmeans_spherical(
+    points: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "c_id",
+    vec_col: str = "c_vec",
+    seed: int = 23,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's on cosine similarity) over an embedding
+    column — the corpus-clustering step of a training-data pipeline
+    (domain discovery, cluster-balanced mixing, IVF index builds).
+    Deterministic end to end, so a SQL oracle replays it exactly:
+
+    - **init** = the ``k`` vectors with the smallest portable hash of
+      their id (the random-sample init every k-means build starts from,
+      made replay-stable); the seed row's id IS its cluster id;
+    - **assignment** = argmax cosine (rounded 4 dp, ascending-cluster-id
+      tiebreak) against the broadcast centroid set;
+    - **update** = element-wise mean of member vectors, rounded 6 dp so
+      the next round's similarities are bit-identical in any engine
+      (cosine normalizes, so the mean needs no re-normalization). A
+      cluster that loses every member drops out — deterministically in
+      both engines.
+
+    Scale shape per iteration: one broadcast of k·dim doubles, a
+    corpus × k crossJoin reduced by a combinable ``min_by`` argmax (per-row
+    work — the corpus is never shuffled), and a (cluster, dim)-keyed
+    average whose group count is the constant k·dim (``posexplode`` →
+    partial-aggregating ``avg`` → re-assembled array). Centroids are
+    ``localCheckpoint``-ed per round: k rows, cuts the re-execution
+    lineage that would otherwise re-run every prior round per subplan.
+
+    Returns one row per point: ``(id_col, cluster, sim)`` for the final
+    assignment.
+    """
+    pts = points.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    h = portable_hash60(F.col(id_col).cast("string"), salt=seed)
+    rnd6 = lambda x: F.round(x, 6)  # noqa: E731 — one-arg HOF closure
+    cents = (
+        pts.select(F.col(id_col).alias("__cl"), F.col("__v"), h.alias("__h"))
+        .orderBy(F.col("__h").asc(), F.col("__cl").asc())
+        .limit(k)
+        .select("__cl", F.transform("__v", rnd6).alias("__cv"))
+        .localCheckpoint(eager=True)
+    )
+    assign = None
+    for it in range(iters):
+        sim = F.round(cosine(F.col("__v"), F.col("__cv")), 4)
+        assign = (
+            pts.crossJoin(F.broadcast(cents))
+            .select(F.col(id_col), F.col("__v"), F.col("__cl"), sim.alias("__s"))
+            .groupBy(id_col)
+            .agg(
+                # min over (-sim, cl) = max sim, ascending-cluster tiebreak
+                F.min_by(
+                    F.col("__cl"),
+                    F.struct((-F.col("__s")).alias("__ns"), F.col("__cl")),
+                ).alias("cluster"),
+                F.max("__s").alias("sim"),  # ties share the same sim
+                F.any_value("__v").alias("__v"),
+            )
+        )
+        if it < iters - 1:
+            cents = (
+                assign.select("cluster", F.posexplode("__v").alias("__d", "__x"))
+                .groupBy("cluster", "__d")
+                .agg(rnd6(F.avg("__x")).alias("__m"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("__d", "__m"))).alias("__p"))
+                .select(
+                    F.col("cluster").alias("__cl"),
+                    F.transform("__p", lambda s: s["__m"]).alias("__cv"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return assign.select(F.col(id_col), F.col("cluster"), F.col("sim"))

@@ -2497,6 +2497,190 @@ WHERE {hash_permille_sql('d.doc_id', 'mix')} < r.pm
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction gate (training-data curation): scrub emails / IPv4s /
+    long digit runs and emit per-category hit counts beside the cleaned
+    text. PII is injected deterministically from doc_id first (the
+    synthetic corpus carries none), so the scrubber has real work to
+    verify. Pure per-row regexp work — zero shuffles, whole-stage
+    codegen'd; patterns live in the Java∩RE2 regex intersection so the
+    oracle replays the scrub exactly."""
+    from etl_spark.functions.pii import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" at 10."), (F.col("doc_id") % 200).cast("string"),
+                     F.lit(".0."), (F.col("doc_id") % 250).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" card 4111222233"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", scrub_pii(injected).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.n_email").alias("n_email"),
+            F.col("p.n_ipv4").alias("n_ipv4"),
+            F.col("p.n_longnum").alias("n_longnum"),
+            F.md5(F.col("p.clean")).alias("clean_md5"),
+            F.length(F.col("p.clean")).cast("bigint").alias("clean_len"),
+        )
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from etl_spark.functions.pii import PII_PATTERNS
+
+    (_, em, emt), (_, ip, ipt), (_, num, numt) = PII_PATTERNS
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' at 10.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' card 4111222233'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{em}')) AS INTEGER) AS n_email,
+         regexp_replace(t, '{em}', '{emt}', 'g') AS t
+  FROM inj
+), s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '{ip}')) AS INTEGER) AS n_ipv4,
+         regexp_replace(t, '{ip}', '{ipt}', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(t, '{num}')) AS INTEGER) AS n_longnum,
+         regexp_replace(t, '{num}', '{numt}', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_email, n_ipv4, n_longnum,
+       md5(t) AS clean_md5, CAST(length(t) AS BIGINT) AS clean_len
+FROM s3
+"""
+
+
+SQL_PII_SCRUB = _pii_scrub_sql()
+
+
+_KMEANS_K = 8
+_KMEANS_SEED = 23
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Spherical k-means corpus clustering (2 Lloyd iterations, k=8,
+    deterministic smallest-hash init) — the domain-discovery /
+    cluster-balanced-mixing step of a training pipeline. Per iteration the
+    corpus is never shuffled: broadcast centroids, combinable argmax,
+    constant-size (cluster, dim) centroid update."""
+    from etl_spark.operators.similarity import kmeans_spherical
+
+    e = _t(spark, sf_dir, "embeddings")
+    pts = e.select(F.col("vec_id"), F.col("embedding"))
+    return kmeans_spherical(pts, k=_KMEANS_K, iters=2,
+                            id_col="vec_id", vec_col="embedding",
+                            seed=_KMEANS_SEED)
+
+
+SQL_KMEANS = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+seeds AS (
+  SELECT vec_id AS cl, list_transform(e, x -> round(x, 6)) AS cv
+  FROM (SELECT vec_id, e,
+               {portable_hash60_sql("CAST(vec_id AS VARCHAR)", salt=_KMEANS_SEED)} AS h
+        FROM v ORDER BY h, vec_id LIMIT {_KMEANS_K})
+), a1 AS (
+  SELECT vec_id, cl, e FROM (
+    SELECT p.vec_id, s.cl, p.e,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY round(list_cosine_similarity(p.e, s.cv), 4) DESC, s.cl
+           ) AS rn
+    FROM v p CROSS JOIN seeds s) WHERE rn = 1
+), c1 AS (
+  SELECT cl, list(m ORDER BY d) AS cv FROM (
+    SELECT cl, d, round(avg(x), 6) AS m FROM (
+      SELECT cl, unnest(e) AS x, generate_subscripts(e, 1) AS d FROM a1)
+    GROUP BY cl, d) GROUP BY cl
+)
+SELECT vec_id, cl AS cluster, s AS sim FROM (
+  SELECT p.vec_id, c.cl,
+         round(list_cosine_similarity(p.e, c.cv), 4) AS s,
+         row_number() OVER (PARTITION BY p.vec_id
+           ORDER BY round(list_cosine_similarity(p.e, c.cv), 4) DESC, c.cl
+         ) AS rn
+  FROM v p CROSS JOIN c1 c) WHERE rn = 1
+"""
+
+
+def q_order_revenue_topk(spark, sf_dir):
+    """Fact⋈fact⋈dim join with per-group top-k — the one query shape the
+    registry lacked: two large tables equi-joined on their key (shuffle
+    join; AQE picks broadcast only when a side measures small), revenue in
+    exact integer cent math (engine-portable, no float-sum drift), then
+    top-3 orders per market segment. The rank<=k filter compiles to
+    WindowGroupLimit: each task keeps a running top-k per group BEFORE the
+    per-segment shuffle, so a segment with a billion orders never
+    materializes in one sort."""
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    per_order = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderkey")
+        .agg(F.sum(rev).alias("revenue_c4"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue_c4").desc(), F.col("o_orderkey").asc())
+    return (
+        per_order.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "revenue_c4",
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+SQL_ORDER_REVENUE_TOPK = """
+SELECT c_mktsegment, o_orderkey, revenue_c4, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT c_mktsegment, o_orderkey, revenue_c4,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY revenue_c4 DESC, o_orderkey) AS rnk
+  FROM (
+    SELECT c.c_mktsegment, o.o_orderkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2))
+WHERE rnk <= 3
+"""
+
+
 # ------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2566,6 +2750,9 @@ QUERIES = {
     "quality_repetition": q_quality_repetition,
     "incremental_dedup": q_incremental_dedup,
     "pending_capture_scan": q_pending_capture_scan,
+    "pii_scrub": q_pii_scrub,
+    "kmeans_clusters": q_kmeans_clusters,
+    "order_revenue_topk": q_order_revenue_topk,
     "value_percentiles_approx": q_value_percentiles_approx,
     "lww_compact_parity": q_lww_compact_parity,
 }
@@ -2637,6 +2824,9 @@ ORACLES = {
     "quality_repetition": SQL_QUALITY_REPETITION,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "pending_capture_scan": SQL_PENDING_SCAN,
+    "pii_scrub": SQL_PII_SCRUB,
+    "kmeans_clusters": SQL_KMEANS,
+    "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     # value_percentiles_approx: t-digest sketch, not DuckDB-reproducible —
     # no oracle by design (bounded-error pytest gates it instead)
     "lww_compact_parity": SQL_LWW_COMPACT_PARITY,

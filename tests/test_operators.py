@@ -483,3 +483,53 @@ def test_chunk_documents_windows(spark):
     import pytest as _p
     with _p.raises(ValueError):
         chunk_documents(df, "doc_id", "text", size=4, overlap=4)
+
+
+def test_kmeans_spherical_contract(spark):
+    # two well-separated groups on orthogonal axes: k=2 must split them
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        axis = i % 2
+        v = [rng.uniform(0.8, 1.0) if d == axis else rng.uniform(0.0, 0.05)
+             for d in range(8)]
+        rows.append((i, v))
+    from etl_spark.operators.similarity import kmeans_spherical
+
+    df = spark.createDataFrame(rows, ["c_id", "c_vec"])
+    out = kmeans_spherical(df, k=2, iters=3).collect()
+    assert len(out) == 40                      # every point assigned once
+    by_axis = {0: set(), 1: set()}
+    for r in out:
+        by_axis[r["c_id"] % 2].add(r["cluster"])
+    # each geometric group lands in exactly one cluster, and they differ
+    assert len(by_axis[0]) == 1 and len(by_axis[1]) == 1
+    assert by_axis[0] != by_axis[1]
+    assert all(r["sim"] > 0.9 for r in out)    # tight, well-separated groups
+    # deterministic: a rerun yields the identical assignment
+    again = kmeans_spherical(df, k=2, iters=3).collect()
+    assert sorted((r["c_id"], r["cluster"]) for r in out) == \
+        sorted((r["c_id"], r["cluster"]) for r in again)
+
+
+def test_scrub_pii_patterns(spark):
+    from etl_spark.functions.pii import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex.org and 10.1.2.3 then 123456789 end"),
+         (2, "no pii here"),
+         (3, "x@y.io x@y.io 1.2.3.4 ip inside num 1234567890123456")],
+        ["id", "t"],
+    )
+    got = {r["id"]: r for r in
+           df.select("id", scrub_pii("t").alias("p")).select("id", "p.*").collect()}
+    assert got[1]["clean"] == "mail <EMAIL> and <IP> then <NUM> end"
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_longnum"]) == (1, 1, 1)
+    assert got[2]["clean"] == "no pii here"
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_longnum"]) == (0, 0, 0)
+    # two emails counted; the 16-digit run is a number, not an IP; and a
+    # replaced <IP> token never merges with neighbours into a false <NUM>
+    assert got[3]["clean"] == "<EMAIL> <EMAIL> <IP> ip inside num <NUM>"
+    assert (got[3]["n_email"], got[3]["n_ipv4"], got[3]["n_longnum"]) == (2, 1, 1)
