@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "salient_terms",
     "mix_sample",
     "chunk_documents",
+    "pii_scrub",
+    "kmeans_clusters",
+    "order_revenue_topk",
 ]
 
 

@@ -8,6 +8,7 @@ epochs (micro-batches) into a :class:`etl_spark.lake.LakeTable` with
 exactly-once manifests.
 """
 
+from etl_spark.cdc.agg_sync import create_aggregate_table, sync_aggregate
 from etl_spark.cdc.dedup_ingest import (
     DedupIngestStats,
     create_dedup_state,
@@ -32,4 +33,6 @@ __all__ = [
     "replay_events",
     "last_synced_version",
     "sync_changes",
+    "create_aggregate_table",
+    "sync_aggregate",
 ]

@@ -36,6 +36,36 @@ from etl_spark.lake import LakeTable, MergeStats
 __all__ = ["last_synced_version", "sync_changes"]
 
 
+def _guard_upstream(src: LakeTable, recorded: int | None, end: int) -> None:
+    """Shared cursor sanity checks for incremental consumers (row sync and
+    aggregate sync): a regressed upstream version means the source table
+    was reset; a rollback commit between the cursor and the sync end means
+    the destination holds rows/contributions the upstream took back, which
+    no in-place replay can repair (LWW keeps the newer rolled-back rows)."""
+    if recorded is None:
+        return
+    if end < recorded:
+        raise RuntimeError(
+            f"upstream version regressed (cursor v{recorded}, upstream now "
+            f"v{end}): the source table was reset or replaced — point the "
+            f"sync at the right table, or recreate the destination and "
+            f"re-bootstrap"
+        )
+    rolled = [
+        v for v in src.versions()
+        if recorded < v <= end and src.snapshot(v).rollback_of is not None
+    ]
+    if rolled:
+        raise RuntimeError(
+            f"upstream rolled back (commit v{rolled[0]}) after this "
+            f"destination's cursor (v{recorded}): the destination has "
+            f"applied rows the upstream took back, and neither the "
+            f"incremental feed nor full_refresh can repair that in "
+            f"place (LWW keeps the newer rolled-back rows) — recreate "
+            f"the destination and bootstrap fresh"
+        )
+
+
 def last_synced_version(dst: LakeTable, prefix: str = "sync") -> int | None:
     """The destination's cursor: the highest upstream version recorded by
     a previous sync commit — from the folded watermark (cursor folding
@@ -92,38 +122,7 @@ def sync_changes(
         )
     recorded = last_synced_version(dst, prefix)
     end = src.current_version() if end_version is None else end_version
-    if recorded is not None and end < recorded:
-        # upstream versions are monotone for one table: a lower current
-        # version means the table at src's path was reset/recreated — a
-        # silent "caught up" here would starve the destination forever
-        raise RuntimeError(
-            f"upstream version regressed (cursor v{recorded}, upstream now "
-            f"v{end}): the source table was reset or replaced — point the "
-            f"sync at the right table, or recreate the destination and "
-            f"re-bootstrap"
-        )
-    if recorded is not None:
-        # A rollback between the cursor and the sync end means the
-        # destination has already applied rows the upstream took back;
-        # NEITHER path can repair that in place — the incremental feed
-        # would raise inside changes(), and a full_refresh bootstrap
-        # would be silently absorbed (the restored rows' old LWW
-        # versions lose to the destination's newer rolled-back rows)
-        # while still advancing the cursor. Fail loudly on both.
-        rolled = [
-            v for v in src.versions()
-            if recorded < v <= end
-            and src.snapshot(v).rollback_of is not None
-        ]
-        if rolled:
-            raise RuntimeError(
-                f"upstream rolled back (commit v{rolled[0]}) after this "
-                f"destination's cursor (v{recorded}): the destination has "
-                f"applied rows the upstream took back, and neither the "
-                f"incremental feed nor full_refresh can repair that in "
-                f"place (LWW keeps the newer rolled-back rows) — recreate "
-                f"the destination and bootstrap fresh"
-            )
+    _guard_upstream(src, recorded, end)
     cursor = None if full_refresh else recorded
     if cursor is None:
         if recorded is not None and end <= recorded:

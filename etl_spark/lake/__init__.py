@@ -19,6 +19,7 @@ semaphores (utilitarios/semaforos.py:26-119) and the versioned-table intent
 (bd.py:77-84).
 """
 
+from etl_spark.lake.purge import purge_keys
 from etl_spark.lake.table import CommitConflict, LakeTable, MergeStats, Snapshot
 
-__all__ = ["LakeTable", "Snapshot", "MergeStats", "CommitConflict"]
+__all__ = ["LakeTable", "Snapshot", "MergeStats", "CommitConflict", "purge_keys"]

@@ -1867,6 +1867,119 @@ def q_cdc_incremental_sync(spark, sf_dir):
 SQL_CDC_SYNC = SQL_CDC_REPLAY  # destination == full LWW replay, live rows
 
 
+def q_incremental_agg_sync(spark, sf_dir):
+    """Incremental aggregate maintenance (materialized-view sync): a
+    per-event-type rollup (count + cent-exact value sum) kept equal to
+    GROUP BY over upstream state using ONLY the change feed — changed keys
+    resolved against the old and new snapshots via bucket-pruned reads,
+    signed integer deltas, affected-group read-modify-write, cursor
+    advanced in the same atomic commit. Two waves with auto-compaction in
+    between; final rollup must equal the one-shot aggregate — the DuckDB
+    oracle. Reference: aggregated QA tables re-derived per capture slice
+    (scripts/geral.py:92-109, sisab/relatorio_validacao_producao)."""
+    from etl_spark.cdc.agg_sync import create_aggregate_table, sync_aggregate
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(6)).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_aggsync_")
+    waves = [os.path.join(tmp, "w0"), os.path.join(tmp, "w1")]
+    write_event_epochs(wal.filter(F.col("epoch") < 3), waves[0])
+    write_event_epochs(wal.filter(F.col("epoch") >= 3), waves[1])
+
+    src_path = os.path.join(tmp, "src")
+    src, _ = replay_events(
+        spark, waves[0], src_path, n_buckets=8,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        table_props={"compact_threshold": "2"},
+    )
+    dst = create_aggregate_table(
+        spark, os.path.join(tmp, "dst"), src,
+        group_cols=["event_type"], sum_names=["sum_value_c2"], n_buckets=4,
+    )
+    sums = {"sum_value_c2": F.round(F.col("value") * 100).cast("bigint")}
+    r1 = sync_aggregate(src, dst, ["event_type"], sums)  # bootstrap
+    src, _ = replay_events(                              # wave 2 (+compaction)
+        spark, waves[1], src_path,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+    )
+    r2 = sync_aggregate(src, dst, ["event_type"], sums)  # incremental
+    r3 = sync_aggregate(src, dst, ["event_type"], sums)  # caught up
+    if not (r1.applied and r2.applied and r3 is None):
+        raise AssertionError("aggregate-sync rounds deviated from the "
+                             "expected applied/applied/caught-up sequence")
+    return dst.read().select("event_type", "n_rows", "sum_value_c2")
+
+
+SQL_INCREMENTAL_AGG_SYNC = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c2
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
+def q_cdc_purge_erasure(spark, sf_dir):
+    """Right-to-erasure purge (LGPD/GDPR; the deletion side of the §1.1
+    versioned-table intent, bd.py:77-84): tombstone a key set through the
+    normal MERGE (version-bumped, change-feed-visible), compact ONLY the
+    affected buckets, expire snapshots, vacuum — then the final table
+    state must equal the LWW replay minus the purged subjects. The purge
+    tombstones keep suppressing late duplicates of the erased data."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+    from etl_spark.lake import purge_keys
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_purge_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, _ = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=8,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+    )
+    subjects = ev.select("user_id").filter(
+        F.col("user_id") % 97 == 0).distinct()
+    report = purge_keys(table, subjects, manifest_key="purge:gate",
+                        vacuum_grace_sec=0.0)
+    if report["residual_live"] != 0:
+        raise AssertionError(f"purge left live residual rows: {report}")
+    return table.read().select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+SQL_CDC_PURGE = """
+SELECT user_id, event_id, ts, event_type, value, props
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error' AND user_id % 97 <> 0
+"""
+
+
 def q_pending_capture_scan(spark, sf_dir):
     """Distributed pending-work discovery (scripts/geral.py:61-65:
     ``capturas_agendamentos`` minus ``capturas_historico``): schedule
@@ -2750,6 +2863,8 @@ QUERIES = {
     "quality_repetition": q_quality_repetition,
     "incremental_dedup": q_incremental_dedup,
     "pending_capture_scan": q_pending_capture_scan,
+    "incremental_agg_sync": q_incremental_agg_sync,
+    "cdc_purge_erasure": q_cdc_purge_erasure,
     "pii_scrub": q_pii_scrub,
     "kmeans_clusters": q_kmeans_clusters,
     "order_revenue_topk": q_order_revenue_topk,
@@ -2824,6 +2939,8 @@ ORACLES = {
     "quality_repetition": SQL_QUALITY_REPETITION,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "pending_capture_scan": SQL_PENDING_SCAN,
+    "incremental_agg_sync": SQL_INCREMENTAL_AGG_SYNC,
+    "cdc_purge_erasure": SQL_CDC_PURGE,
     "pii_scrub": SQL_PII_SCRUB,
     "kmeans_clusters": SQL_KMEANS,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,

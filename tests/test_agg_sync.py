@@ -1,0 +1,156 @@
+"""Incremental aggregate maintenance: change feed → materialized rollup
+kept exactly equal to GROUP BY over upstream state (reference: aggregated
+QA/summary tables re-derived per capture slice,
+scripts/geral.py:92-109 + sisab/relatorio_validacao_producao/verificacao.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from etl_spark.cdc.agg_sync import create_aggregate_table, sync_aggregate
+from etl_spark.lake import LakeTable
+
+SCHEMA = ("event_id bigint, op_ts timestamp, repo string, path string, "
+          "lang string, size bigint")
+T0 = dt.datetime(2024, 1, 1)
+def _sums():
+    # Column construction needs an active SparkContext — build per test
+    return {"sum_size": F.col("size")}
+
+
+def _mk_src(spark, root, name="src", props=None):
+    return LakeTable.create(
+        spark, os.path.join(root, name), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=4, props=props,
+    )
+
+
+def _merge(spark, t, key, rows):
+    t.merge(spark.createDataFrame(rows, SCHEMA + ", op string"), key)
+
+
+def _expected(src):
+    return {
+        r["lang"]: (r["n"], r["s"])
+        for r in src.read().groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("size").alias("s")).collect()
+    }
+
+
+def _got(dst):
+    return {
+        r["lang"]: (r["n_rows"], r["sum_size"])
+        for r in dst.read().collect()
+    }
+
+
+def test_agg_sync_bootstrap_incremental_moves_and_deletes(spark, tmp_root):
+    src = _mk_src(spark, tmp_root, props={"compact_threshold": "2"})
+    dst = create_aggregate_table(
+        spark, os.path.join(tmp_root, "dst"), src,
+        group_cols=["lang"], sum_names=["sum_size"], n_buckets=2,
+    )
+
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "py", 10, "I"),
+                               (2, T0, "r", "b", "py", 20, "I"),
+                               (3, T0, "r", "c", "go", 5, "I")])
+    st = sync_aggregate(src, dst, ["lang"], _sums())
+    assert st.applied
+    assert _got(dst) == _expected(src) == {"py": (2, 30), "go": (1, 5)}
+
+    # caught up: no-op
+    assert sync_aggregate(src, dst, ["lang"], _sums()) is None
+
+    # update moves a key BETWEEN groups (py→rs) and resizes another;
+    # a delete empties the 'go' group entirely
+    _merge(spark, src, "e:1",
+           [(4, T0 + dt.timedelta(minutes=1), "r", "a", "rs", 11, "U"),
+            (5, T0 + dt.timedelta(minutes=1), "r", "b", "py", 25, "U"),
+            (6, T0 + dt.timedelta(minutes=1), "r", "c", None, None, "D")])
+    st2 = sync_aggregate(src, dst, ["lang"], _sums())
+    assert st2.applied
+    assert _got(dst) == _expected(src) == {"py": (1, 25), "rs": (1, 11)}
+    # the emptied group is GONE (tombstoned), not a zero row
+    assert "go" not in _got(dst)
+
+    # crash-replay: re-merging the same round is a metadata no-op
+    assert not dst.merge(
+        spark.createDataFrame([], "lang string, n_rows bigint, "
+                              "sum_size bigint, _src_version bigint, op string"),
+        manifest_key=f"aggsync:{src.current_version()}").applied
+
+
+def test_agg_sync_late_lww_loser_is_a_net_zero(spark, tmp_root):
+    """A late event that LOSES the LWW race lands in the change feed but
+    must not change the rollup: old and new snapshot reads see the same
+    winner, so the contribution cancels exactly — while the cursor still
+    advances (otherwise it would stall behind no-op commits forever)."""
+    src = _mk_src(spark, tmp_root)
+    dst = create_aggregate_table(
+        spark, os.path.join(tmp_root, "dst"), src,
+        group_cols=["lang"], sum_names=["sum_size"], n_buckets=2,
+    )
+    _merge(spark, src, "e:0",
+           [(10, T0 + dt.timedelta(hours=1), "r", "a", "py", 10, "I")])
+    assert sync_aggregate(src, dst, ["lang"], _sums()).applied
+
+    _merge(spark, src, "e:1", [(1, T0, "r", "a", "go", 99, "U")])  # stale
+    st = sync_aggregate(src, dst, ["lang"], _sums())
+    assert st.applied                       # cursor advanced
+    assert _got(dst) == {"py": (1, 10)}     # value untouched
+    assert sync_aggregate(src, dst, ["lang"], _sums()) is None
+
+
+def test_agg_sync_full_refresh_recovers_and_retracts_stale_groups(
+        spark, tmp_root):
+    src = _mk_src(spark, tmp_root, props={"compact_threshold": "999"})
+    dst = create_aggregate_table(
+        spark, os.path.join(tmp_root, "dst"), src,
+        group_cols=["lang"], sum_names=["sum_size"], n_buckets=2,
+    )
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "py", 10, "I"),
+                               (2, T0, "r", "b", "go", 5, "I")])
+    assert sync_aggregate(src, dst, ["lang"], _sums()).applied
+
+    # upstream deletes 'go' and inserts 'rs'; retention then drops the
+    # cursor snapshot → incremental raises, full_refresh repairs — and
+    # must RETRACT the now-empty 'go' group, not just upsert fresh ones
+    _merge(spark, src, "e:1",
+           [(3, T0 + dt.timedelta(minutes=1), "r", "b", None, None, "D"),
+            (4, T0 + dt.timedelta(minutes=2), "r", "d", "rs", 7, "I")])
+    src.expire_snapshots(keep_last=1)
+    with pytest.raises(RuntimeError, match="retention horizon"):
+        sync_aggregate(src, dst, ["lang"], _sums())
+    st = sync_aggregate(src, dst, ["lang"], _sums(), full_refresh=True)
+    assert st.applied
+    assert _got(dst) == _expected(src) == {"py": (1, 10), "rs": (1, 7)}
+
+
+def test_agg_sync_negative_count_guard_fires(spark, tmp_root):
+    """Out-of-band destination edits break the maintenance invariant; the
+    next round that would drive a count negative must fail loudly, not
+    publish a corrupt rollup."""
+    src = _mk_src(spark, tmp_root)
+    dst = create_aggregate_table(
+        spark, os.path.join(tmp_root, "dst"), src,
+        group_cols=["lang"], sum_names=["sum_size"], n_buckets=2,
+    )
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "py", 10, "I")])
+    assert sync_aggregate(src, dst, ["lang"], _sums()).applied
+
+    # out-of-band edit: zero out the maintained count behind sync's back
+    dst.merge(spark.createDataFrame(
+        [("py", 0, 0, 10_000)],
+        "lang string, n_rows bigint, sum_size bigint, _src_version bigint")
+        .withColumn("op", F.lit("U")), "oob:1")
+
+    _merge(spark, src, "e:1",
+           [(2, T0 + dt.timedelta(minutes=1), "r", "a", None, None, "D")])
+    with pytest.raises(Exception, match="negative|ASSERT"):
+        sync_aggregate(src, dst, ["lang"], _sums())

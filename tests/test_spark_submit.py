@@ -91,6 +91,22 @@ def test_spark_submit_replay_and_maintenance(spark, tmp_root):
     sreport2 = json.loads(out5.strip().splitlines()[-1])
     assert sreport2["caught_up"] and sreport2["cursor"] == sreport["cursor"]
 
+    # aggregate-maintenance job: bootstrap + catch-up, rollup equals a
+    # direct GROUP BY over upstream state
+    agg = os.path.join(tmp_root, "agg")
+    out6 = _submit("agg_sync_job.py", "--src-path", tbl, "--dst-path", agg,
+                   "--group-cols", "lang", "--n-buckets", "2",
+                   zip_path=zip_path)
+    areport = json.loads(out6.strip().splitlines()[-1])
+    assert areport["applied"] and areport["cursor"] == areport["src_version"]
+    out7 = _submit("agg_sync_job.py", "--src-path", tbl, "--dst-path", agg,
+                   "--group-cols", "lang", zip_path=zip_path)
+    assert json.loads(out7.strip().splitlines()[-1])["caught_up"]
+    expected = {r["lang"]: r["count"] for r in t.read().groupBy("lang").count().collect()}
+    rollup = {r["lang"]: r["n_rows"]
+              for r in LakeTable.load(spark, agg).read().collect()}
+    assert rollup == expected
+
 
 @pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
                     reason="spark-submit not on this machine")
