@@ -8,7 +8,12 @@ epochs (micro-batches) into a :class:`etl_spark.lake.LakeTable` with
 exactly-once manifests.
 """
 
-from etl_spark.cdc.agg_sync import create_aggregate_table, sync_aggregate
+from etl_spark.cdc.agg_sync import (
+    create_aggregate_table,
+    create_rollup_table,
+    sync_aggregate,
+    sync_aggregate_recompute,
+)
 from etl_spark.cdc.dedup_ingest import (
     DedupIngestStats,
     create_dedup_state,
@@ -34,5 +39,7 @@ __all__ = [
     "last_synced_version",
     "sync_changes",
     "create_aggregate_table",
+    "create_rollup_table",
     "sync_aggregate",
+    "sync_aggregate_recompute",
 ]

@@ -36,7 +36,13 @@ Supported aggregates: ``COUNT(*)`` plus any integral ``SUM`` (AVG derives
 as sum/count at query time). MIN/MAX are deliberately out: they are not
 subtractable — maintaining them incrementally requires re-aggregating a
 group when its extremum leaves, i.e. the recompute-affected-groups plan,
-which this module's O(changed keys) contract refuses to hide.
+which this module's O(changed keys) contract refuses to hide. That plan
+IS available, priced honestly, as :func:`sync_aggregate_recompute`: any
+Spark aggregate (MIN/MAX/countDistinct/...), cost O(rows of affected
+groups) instead of O(changed keys) — affected groups found from the
+feed exactly like the delta path, then recomputed wholesale from the new
+snapshot (zone-map + parquet pushdown via an IN-list when the affected
+group set is small; null-safe semi-join fallback otherwise).
 """
 
 from __future__ import annotations
@@ -48,9 +54,67 @@ from pyspark.sql.types import LongType, StructField, StructType
 from etl_spark.cdc.sync import _guard_upstream, last_synced_version
 from etl_spark.lake import LakeTable, MergeStats
 
-__all__ = ["create_aggregate_table", "sync_aggregate"]
+__all__ = [
+    "create_aggregate_table",
+    "create_rollup_table",
+    "sync_aggregate",
+    "sync_aggregate_recompute",
+]
 
 SRC_VERSION_COL = "_src_version"
+
+
+def _nullsafe_on(left: str, right: str, cols: list[str]) -> Column:
+    """Join condition matching GROUP BY semantics: SQL groups NULLs
+    together, but a plain equi-join drops them — every join that aligns
+    rollup rows by group value must use ``<=>``. Spark still plans these
+    as hash joins (EqualNullSafe is a supported equi-join key)."""
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}"))
+    return cond
+
+
+def _with_cursor_prefix(props: dict | None, prefix: str) -> dict:
+    merged = dict(props or {})
+    pfx = merged.get("cursor_prefixes", "")
+    merged["cursor_prefixes"] = f"{pfx},{prefix}" if pfx else prefix
+    return merged
+
+
+def _publish_refresh(
+    dst: LakeTable,
+    fresh: DataFrame,
+    group_cols: list[str],
+    measure_names: list[str],
+    end: int,
+    prefix: str,
+    retract: bool,
+) -> MergeStats:
+    """Publish a full recomputation: upsert every fresh group and (when the
+    destination already holds state) retract groups that vanished upstream.
+    The anti join is null-safe — a NULL group value is an ordinary GROUP BY
+    group, and a plain anti join would double-publish it as both 'U' and
+    'D' under the same version."""
+    types = {f.name: f.dataType for f in dst.current_snapshot().schema.fields}
+    batch = (
+        fresh.withColumn(SRC_VERSION_COL, F.lit(end).cast("long"))
+        .withColumn("op", F.lit("U"))
+    )
+    if retract:
+        stale = (
+            dst.read().select(*group_cols).alias("c")
+            .join(fresh.select(*group_cols).alias("f"),
+                  _nullsafe_on("c", "f", group_cols), "left_anti")
+            .select(
+                *[F.col(f"c.{c}").alias(c) for c in group_cols],
+                *[F.lit(None).cast(types[n]).alias(n) for n in measure_names],
+                F.lit(end).cast("long").alias(SRC_VERSION_COL),
+                F.lit("D").alias("op"),
+            )
+        )
+        batch = batch.unionByName(stale)
+    return dst.merge(batch, manifest_key=f"{prefix}:{end}")
 
 
 def create_aggregate_table(
@@ -77,13 +141,43 @@ def create_aggregate_table(
     fields.append(StructField(count_col, LongType(), True))
     fields.extend(StructField(s, LongType(), True) for s in sum_names)
     fields.append(StructField(SRC_VERSION_COL, LongType(), True))
-    merged_props = dict(props or {})
-    pfx = merged_props.get("cursor_prefixes", "")
-    merged_props["cursor_prefixes"] = f"{pfx},{prefix}" if pfx else prefix
     return LakeTable.create(
         spark, path, StructType(fields), key_cols=list(group_cols),
         version_cols=[SRC_VERSION_COL], n_buckets=n_buckets,
-        props=merged_props,
+        props=_with_cursor_prefix(props, prefix),
+    )
+
+
+def create_rollup_table(
+    spark: SparkSession,
+    path: str,
+    src: LakeTable,
+    group_cols: list[str],
+    agg_exprs: dict[str, Column],
+    n_buckets: int = 16,
+    prefix: str = "aggsync",
+    props: dict | None = None,
+) -> LakeTable:
+    """Destination for :func:`sync_aggregate_recompute`: measure names and
+    types are inferred by PLANNING (never running) the caller's aggregate
+    over an empty slice of the upstream — Catalyst resolves the output
+    types, so any aggregate expression yields a matching destination
+    schema. Keyed by ``group_cols``, versioned by the upstream snapshot
+    version, with ``prefix`` pre-declared as a monotone cursor."""
+    src_fields = [f.name for f in src.current_snapshot().schema.fields]
+    missing = [c for c in group_cols if c not in src_fields]
+    if missing:
+        raise ValueError(f"group columns {missing} not in upstream schema")
+    probe = (
+        src.read().limit(0).groupBy(*group_cols)
+        .agg(*[expr.alias(n) for n, expr in agg_exprs.items()])
+    )
+    fields = [StructField(f.name, f.dataType, True) for f in probe.schema.fields]
+    fields.append(StructField(SRC_VERSION_COL, LongType(), True))
+    return LakeTable.create(
+        spark, path, StructType(fields), key_cols=list(group_cols),
+        version_cols=[SRC_VERSION_COL], n_buckets=n_buckets,
+        props=_with_cursor_prefix(props, prefix),
     )
 
 
@@ -105,6 +199,45 @@ def _contrib(
             for name, expr in sum_exprs.items()
         ],
     )
+
+
+def _round_preamble(
+    src: LakeTable, dst: LakeTable, prefix: str, end_version: int | None
+) -> tuple[int | None, int]:
+    """Shared per-round setup: the destination must pre-declare the cursor
+    prefix (bounded metadata), then the cursor and sync end are resolved
+    and sanity-checked against upstream resets/rollbacks."""
+    if prefix not in dst.current_snapshot().cursor_prefixes():
+        raise ValueError(
+            f"destination does not declare {prefix!r} a cursor prefix: "
+            f"create it via create_aggregate_table / create_rollup_table "
+            f"(or with props={{'cursor_prefixes': {prefix!r}}}) so sync "
+            f"cursor metadata stays bounded"
+        )
+    recorded = last_synced_version(dst, prefix)
+    end = src.current_version() if end_version is None else end_version
+    _guard_upstream(src, recorded, end)
+    return recorded, end
+
+
+def _check_refresh_useful(recorded: int | None, end: int) -> None:
+    if recorded is not None and end <= recorded:
+        raise RuntimeError(
+            f"full_refresh at v{end} would be a manifest no-op: the "
+            f"destination already recorded sync through v{recorded}. "
+            f"To pick up new data sync without full_refresh; for "
+            f"divergence repair, recreate the destination and bootstrap "
+            f"fresh"
+        )
+
+
+def _check_horizon(src: LakeTable, recorded: int) -> None:
+    if recorded not in set(src.versions()):
+        raise RuntimeError(
+            f"aggregate-sync cursor v{recorded} fell past the upstream "
+            f"snapshot-retention horizon (oldest kept: "
+            f"v{min(src.versions())}); re-bootstrap with full_refresh=True"
+        )
 
 
 def _changed_buckets(table: LakeTable, keys: DataFrame, version: int) -> list[int]:
@@ -137,16 +270,7 @@ def sync_aggregate(
     for cent-exact money). See the module docstring for the protocol and
     why measures must be fixed-point."""
     sum_exprs = dict(sum_exprs or {})
-    if prefix not in dst.current_snapshot().cursor_prefixes():
-        raise ValueError(
-            f"destination does not declare {prefix!r} a cursor prefix: "
-            f"create it via create_aggregate_table (or with "
-            f"props={{'cursor_prefixes': {prefix!r}}}) so sync cursor "
-            f"metadata stays bounded"
-        )
-    recorded = last_synced_version(dst, prefix)
-    end = src.current_version() if end_version is None else end_version
-    _guard_upstream(src, recorded, end)
+    recorded, end = _round_preamble(src, dst, prefix, end_version)
 
     def totals(rows: DataFrame) -> DataFrame:
         return _contrib(rows, group_cols, sum_exprs, count_col, 1).groupBy(
@@ -157,42 +281,15 @@ def sync_aggregate(
         )
 
     if recorded is None or full_refresh:
-        if recorded is not None and end <= recorded:
-            raise RuntimeError(
-                f"full_refresh at v{end} would be a manifest no-op: the "
-                f"destination already recorded sync through v{recorded}. "
-                f"To pick up new data call sync_aggregate without "
-                f"full_refresh; for divergence repair, recreate the "
-                f"destination and bootstrap fresh"
-            )
+        _check_refresh_useful(recorded, end)
         fresh = totals(src.read(version=end))
-        rows = fresh.withColumn(SRC_VERSION_COL, F.lit(end).cast("long"))
-        # a refresh must also retract groups that vanished upstream: the
-        # destination's live group set minus the recomputed one
-        stale = (
-            dst.read().select(*group_cols)
-            .join(fresh.select(*group_cols), group_cols, "left_anti")
-            .select(
-                *group_cols,
-                F.lit(None).cast("long").alias(count_col),
-                *[F.lit(None).cast("long").alias(n) for n in sum_exprs],
-                F.lit(end).cast("long").alias(SRC_VERSION_COL),
-            )
-        ) if recorded is not None else None
-        batch = rows.withColumn("op", F.lit("U"))
-        if stale is not None:
-            batch = batch.unionByName(stale.withColumn("op", F.lit("D")))
-        return dst.merge(batch, manifest_key=f"{prefix}:{end}")
+        retract = recorded is not None
+        return _publish_refresh(dst, fresh, group_cols,
+                                [count_col, *sum_exprs], end, prefix, retract)
 
     if end <= recorded:
         return None
-    if recorded not in set(src.versions()):
-        raise RuntimeError(
-            f"aggregate-sync cursor v{recorded} fell past the upstream "
-            f"snapshot-retention horizon (oldest kept: "
-            f"v{min(src.versions())}); re-bootstrap with "
-            f"sync_aggregate(..., full_refresh=True)"
-        )
+    _check_horizon(src, recorded)
 
     src_keys = src.current_snapshot().key_cols
     keys = src.changes(recorded, end).select(*src_keys).distinct()
@@ -221,10 +318,15 @@ def sync_aggregate(
     cur = dst.read(
         buckets=_changed_buckets(dst, delta.select(*group_cols),
                                  dst.current_version())
-    ).join(delta.select(*group_cols), group_cols, "left_semi")
+    ).alias("c").join(
+        delta.select(*group_cols).alias("g"),
+        _nullsafe_on("c", "g", group_cols), "left_semi",
+    )
 
     mcols = [count_col, *sum_exprs]
-    joined = delta.alias("d").join(cur.alias("c"), group_cols, "left")
+    joined = delta.alias("d").join(
+        cur.alias("c"), _nullsafe_on("d", "c", group_cols), "left"
+    )
     # A negative maintained count means the protocol was violated (rounds
     # skipped, destination edited out-of-band): corrupt silently nowhere —
     # assert_true is evaluated because it feeds the published column.
@@ -240,7 +342,7 @@ def sync_aggregate(
         F.lit(0),
     )
     out = joined.select(
-        *group_cols,
+        *[F.col(f"d.{c}").alias(c) for c in group_cols],
         guarded_n.alias(count_col),
         *[
             (F.col(f"d.{n}") + F.coalesce(F.col(f"c.{n}"), F.lit(0))).alias(n)
@@ -261,3 +363,106 @@ def sync_aggregate(
         SRC_VERSION_COL, "op",
     )
     return dst.merge(out, manifest_key=f"{prefix}:{end}")
+
+
+def sync_aggregate_recompute(
+    src: LakeTable,
+    dst: LakeTable,
+    group_cols: list[str],
+    agg_exprs: dict[str, Column],
+    prefix: str = "aggsync",
+    end_version: int | None = None,
+    full_refresh: bool = False,
+    in_list_max: int = 1000,
+) -> MergeStats | None:
+    """Recompute-affected-groups aggregate maintenance: supports ANY Spark
+    aggregate (MIN/MAX, countDistinct, sketches, ...) because affected
+    groups are re-aggregated wholesale from the new snapshot instead of
+    patched with subtractable deltas. The honest price of that generality
+    is O(rows of the affected groups) per round, against
+    :func:`sync_aggregate`'s O(changed keys) — the same recompute tier
+    incremental-view engines fall back to for MIN/MAX retractions.
+
+    Affected-group discovery is identical to the delta path: changed keys
+    from the change feed, their old and new group values via bucket-pruned
+    snapshot reads. The recompute read then prunes with
+    ``where=[(col, 'in', affected)]`` — zone-map file skipping plus
+    parquet row-group pushdown — when there is ONE group column with
+    ``<= in_list_max`` non-null affected values; otherwise a null-safe
+    broadcast semi-join bounds the aggregate's input (the scan itself
+    reads every file, so declare the group column in ``stats_cols`` and
+    keep it correlated with ingest order to get file skipping).
+
+    ``agg_exprs`` must be the same name → aggregate-Column mapping the
+    destination was created with (:func:`create_rollup_table` infers the
+    measure schema from it). Groups emptied upstream are tombstoned; the
+    cursor advances in the same atomic commit (manifest
+    ``{prefix}:{end}``).
+    """
+    agg_exprs = dict(agg_exprs)
+    recorded, end = _round_preamble(src, dst, prefix, end_version)
+    measures = list(agg_exprs)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(*group_cols).agg(
+            *[expr.alias(n) for n, expr in agg_exprs.items()]
+        )
+
+    if recorded is None or full_refresh:
+        _check_refresh_useful(recorded, end)
+        return _publish_refresh(dst, rollup(src.read(version=end)),
+                                group_cols, measures, end, prefix,
+                                recorded is not None)
+    if end <= recorded:
+        return None
+    _check_horizon(src, recorded)
+
+    src_keys = src.current_snapshot().key_cols
+    # materialized once: reused for two bucket collects and two semi joins,
+    # and must not lazily re-read feed files a concurrent vacuum could drop
+    keys = (src.changes(recorded, end).select(*src_keys).distinct()
+            .localCheckpoint(eager=True))
+    old = src.read(
+        version=recorded, buckets=_changed_buckets(src, keys, recorded)
+    ).join(keys, src_keys, "left_semi")
+    new = src.read(
+        version=end, buckets=_changed_buckets(src, keys, end)
+    ).join(keys, src_keys, "left_semi")
+    groups = (
+        old.select(*group_cols).unionByName(new.select(*group_cols))
+        .distinct().localCheckpoint(eager=True)
+    )
+
+    fact = None
+    if groups.isEmpty():
+        # feed-only churn (e.g. a replayed no-op): nothing to recompute,
+        # but the cursor still advances via an empty merge below
+        fact = src.read(version=end).limit(0)
+    elif len(group_cols) == 1:
+        vals = [r[group_cols[0]]
+                for r in groups.limit(in_list_max + 1).collect()]
+        if len(vals) <= in_list_max and all(v is not None for v in vals):
+            fact = src.read(version=end,
+                            where=[(group_cols[0], "in", vals)])
+    if fact is None:
+        fact = src.read(version=end).alias("f").join(
+            F.broadcast(groups.alias("g")),
+            _nullsafe_on("f", "g", group_cols), "left_semi",
+        )
+    fresh = rollup(fact)
+    types = {f.name: f.dataType for f in dst.current_snapshot().schema.fields}
+    vanished = (
+        groups.alias("g")
+        .join(fresh.select(*group_cols).alias("f"),
+              _nullsafe_on("g", "f", group_cols), "left_anti")
+        .select(
+            *[F.col(f"g.{c}").alias(c) for c in group_cols],
+            *[F.lit(None).cast(types[n]).alias(n) for n in measures],
+        )
+    )
+    batch = (
+        fresh.withColumn("op", F.lit("U"))
+        .unionByName(vanished.withColumn("op", F.lit("D")))
+        .withColumn(SRC_VERSION_COL, F.lit(end).cast("long"))
+    )
+    return dst.merge(batch, manifest_key=f"{prefix}:{end}")

@@ -1932,6 +1932,82 @@ GROUP BY event_type
 """
 
 
+def q_rollup_recompute_sync(spark, sf_dir):
+    """Recompute-affected-groups rollup maintenance: MIN/MAX and
+    COUNT(DISTINCT) are not subtractable, so the incremental plan
+    re-aggregates exactly the groups the change feed touched from the new
+    snapshot (IN-list pushdown when the affected set is small). Two waves
+    with auto-compaction in between; the maintained rollup must equal the
+    one-shot GROUP BY over live upstream state — the DuckDB oracle.
+    Reference: per-slice min/max QA re-derivations the capture-history
+    contract implies (scripts/geral.py:92-109)."""
+    from etl_spark.cdc.agg_sync import (
+        create_rollup_table, sync_aggregate_recompute,
+    )
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(6)).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_rollupsync_")
+    waves = [os.path.join(tmp, "w0"), os.path.join(tmp, "w1")]
+    write_event_epochs(wal.filter(F.col("epoch") < 3), waves[0])
+    write_event_epochs(wal.filter(F.col("epoch") >= 3), waves[1])
+
+    src_path = os.path.join(tmp, "src")
+    src, _ = replay_events(
+        spark, waves[0], src_path, n_buckets=8,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        table_props={"compact_threshold": "2"},
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    aggs = {
+        "min_value_c2": F.min(cents),
+        "max_value_c2": F.max(cents),
+        "n_users": F.countDistinct("user_id"),
+    }
+    dst = create_rollup_table(
+        spark, os.path.join(tmp, "dst"), src,
+        group_cols=["event_type"], agg_exprs=aggs, n_buckets=4,
+    )
+    r1 = sync_aggregate_recompute(src, dst, ["event_type"], aggs)
+    src, _ = replay_events(                              # wave 2 (+compaction)
+        spark, waves[1], src_path,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+    )
+    r2 = sync_aggregate_recompute(src, dst, ["event_type"], aggs)
+    r3 = sync_aggregate_recompute(src, dst, ["event_type"], aggs)
+    if not (r1.applied and r2.applied and r3 is None):
+        raise AssertionError("rollup-recompute rounds deviated from the "
+                             "expected applied/applied/caught-up sequence")
+    return dst.read().select(
+        "event_type", "min_value_c2", "max_value_c2", "n_users"
+    )
+
+
+SQL_ROLLUP_RECOMPUTE_SYNC = """
+SELECT event_type,
+       CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS min_value_c2,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS max_value_c2,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
 def q_cdc_purge_erasure(spark, sf_dir):
     """Right-to-erasure purge (LGPD/GDPR; the deletion side of the §1.1
     versioned-table intent, bd.py:77-84): tombstone a key set through the
@@ -2864,6 +2940,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "pending_capture_scan": q_pending_capture_scan,
     "incremental_agg_sync": q_incremental_agg_sync,
+    "rollup_recompute_sync": q_rollup_recompute_sync,
     "cdc_purge_erasure": q_cdc_purge_erasure,
     "pii_scrub": q_pii_scrub,
     "kmeans_clusters": q_kmeans_clusters,
@@ -2940,6 +3017,7 @@ ORACLES = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "pending_capture_scan": SQL_PENDING_SCAN,
     "incremental_agg_sync": SQL_INCREMENTAL_AGG_SYNC,
+    "rollup_recompute_sync": SQL_ROLLUP_RECOMPUTE_SYNC,
     "cdc_purge_erasure": SQL_CDC_PURGE,
     "pii_scrub": SQL_PII_SCRUB,
     "kmeans_clusters": SQL_KMEANS,

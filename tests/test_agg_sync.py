@@ -154,3 +154,139 @@ def test_agg_sync_negative_count_guard_fires(spark, tmp_root):
            [(2, T0 + dt.timedelta(minutes=1), "r", "a", None, None, "D")])
     with pytest.raises(Exception, match="negative|ASSERT"):
         sync_aggregate(src, dst, ["lang"], _sums())
+
+
+# ---- recompute variant: non-subtractable aggregates -------------------
+
+def _aggs():
+    return {"n": F.count("*"), "max_size": F.max("size"),
+            "min_size": F.min("size")}
+
+
+def _got_r(dst):
+    return {r["lang"]: (r["n"], r["max_size"], r["min_size"])
+            for r in dst.read().collect()}
+
+
+def _expected_r(src):
+    return {r["lang"]: (r["n"], r["max_size"], r["min_size"])
+            for r in src.read().groupBy("lang").agg(
+                F.count("*").alias("n"), F.max("size").alias("max_size"),
+                F.min("size").alias("min_size")).collect()}
+
+
+def test_recompute_tracks_minmax_when_extremum_leaves(spark, tmp_root):
+    """The case the delta path refuses: the group's MAX row departs and
+    the maintained value must FALL — only a recompute can know to what."""
+    from etl_spark.cdc.agg_sync import create_rollup_table, sync_aggregate_recompute
+
+    src = _mk_src(spark, tmp_root, props={"compact_threshold": "2"})
+    dst = create_rollup_table(spark, os.path.join(tmp_root, "dst"), src,
+                              group_cols=["lang"], agg_exprs=_aggs(),
+                              n_buckets=2)
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "py", 100, "I"),
+                               (2, T0, "r", "b", "py", 20, "I"),
+                               (3, T0, "r", "c", "go", 5, "I")])
+    assert sync_aggregate_recompute(src, dst, ["lang"], _aggs()).applied
+    assert _got_r(dst) == _expected_r(src) == {"py": (2, 100, 20),
+                                               "go": (1, 5, 5)}
+    assert sync_aggregate_recompute(src, dst, ["lang"], _aggs()) is None
+
+    # the max row leaves py (moves to rs); go is emptied entirely
+    _merge(spark, src, "e:1",
+           [(4, T0 + dt.timedelta(minutes=1), "r", "a", "rs", 100, "U"),
+            (5, T0 + dt.timedelta(minutes=1), "r", "c", None, None, "D")])
+    assert sync_aggregate_recompute(src, dst, ["lang"], _aggs()).applied
+    assert _got_r(dst) == _expected_r(src) == {"py": (1, 20, 20),
+                                               "rs": (1, 100, 100)}
+    assert "go" not in _got_r(dst)
+
+    # exactly-once: replaying the same round is a metadata no-op
+    assert not dst.merge(
+        spark.createDataFrame([], "lang string, n bigint, max_size bigint, "
+                              "min_size bigint, _src_version bigint, op string"),
+        manifest_key=f"aggsync:{src.current_version()}").applied
+
+
+def test_recompute_semijoin_fallback_matches_inlist_path(spark, tmp_root):
+    """in_list_max=0 forces the null-safe semi-join fallback; the result
+    must be identical to the IN-list (zone-map) path."""
+    from etl_spark.cdc.agg_sync import create_rollup_table, sync_aggregate_recompute
+
+    src = _mk_src(spark, tmp_root)
+    paths = [os.path.join(tmp_root, d) for d in ("d1", "d2")]
+    dsts = [create_rollup_table(spark, p, src, ["lang"], _aggs(),
+                                n_buckets=2) for p in paths]
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "py", 9, "I"),
+                               (2, T0, "r", "b", "go", 4, "I")])
+    for d in dsts:
+        assert sync_aggregate_recompute(src, d, ["lang"], _aggs()).applied
+    _merge(spark, src, "e:1",
+           [(3, T0 + dt.timedelta(minutes=1), "r", "a", "py", 1, "U")])
+    assert sync_aggregate_recompute(src, dsts[0], ["lang"], _aggs()).applied
+    assert sync_aggregate_recompute(src, dsts[1], ["lang"], _aggs(),
+                                    in_list_max=0).applied
+    assert _got_r(dsts[0]) == _got_r(dsts[1]) == _expected_r(src)
+
+
+def test_recompute_null_group_is_an_ordinary_group(spark, tmp_root):
+    """GROUP BY groups NULLs together; the IN-list path can't express
+    IS NULL, so a null affected group must route through the null-safe
+    semi join — and retraction of a vanished NULL group must not
+    double-publish it."""
+    from etl_spark.cdc.agg_sync import create_rollup_table, sync_aggregate_recompute
+
+    src = _mk_src(spark, tmp_root)
+    dst = create_rollup_table(spark, os.path.join(tmp_root, "dst"), src,
+                              group_cols=["lang"], agg_exprs=_aggs(),
+                              n_buckets=2)
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", None, 7, "I"),
+                               (2, T0, "r", "b", "py", 3, "I")])
+    assert sync_aggregate_recompute(src, dst, ["lang"], _aggs()).applied
+    assert _got_r(dst) == _expected_r(src) == {None: (1, 7, 7),
+                                               "py": (1, 3, 3)}
+    # the null group's only row departs → the NULL group is retracted
+    _merge(spark, src, "e:1",
+           [(3, T0 + dt.timedelta(minutes=1), "r", "a", "py", 7, "U")])
+    assert sync_aggregate_recompute(src, dst, ["lang"], _aggs()).applied
+    assert _got_r(dst) == _expected_r(src) == {"py": (2, 7, 3)}
+
+
+def test_delta_agg_sync_null_group_read_modify_write(spark, tmp_root):
+    """The delta path's read-modify-write must align a NULL group with its
+    existing destination row (null-safe join), not insert a parallel row
+    that LWW-collides with it."""
+    src = _mk_src(spark, tmp_root)
+    dst = create_aggregate_table(spark, os.path.join(tmp_root, "dst"), src,
+                                 group_cols=["lang"],
+                                 sum_names=["sum_size"], n_buckets=2)
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", None, 10, "I")])
+    assert sync_aggregate(src, dst, ["lang"], _sums()).applied
+    _merge(spark, src, "e:1",
+           [(2, T0 + dt.timedelta(minutes=1), "r", "b", None, 5, "I")])
+    assert sync_aggregate(src, dst, ["lang"], _sums()).applied
+    assert _got(dst) == _expected(src) == {None: (2, 15)}
+
+
+def test_recompute_retention_and_full_refresh(spark, tmp_root):
+    from etl_spark.cdc.agg_sync import create_rollup_table, sync_aggregate_recompute
+
+    src = _mk_src(spark, tmp_root, props={"compact_threshold": "999"})
+    dst = create_rollup_table(spark, os.path.join(tmp_root, "dst"), src,
+                              group_cols=["lang"], agg_exprs=_aggs(),
+                              n_buckets=2)
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "py", 10, "I"),
+                               (2, T0, "r", "b", "go", 5, "I")])
+    assert sync_aggregate_recompute(src, dst, ["lang"], _aggs()).applied
+    _merge(spark, src, "e:1",
+           [(3, T0 + dt.timedelta(minutes=1), "r", "b", None, None, "D"),
+            (4, T0 + dt.timedelta(minutes=2), "r", "d", "rs", 7, "I")])
+    src.expire_snapshots(keep_last=1)
+    with pytest.raises(RuntimeError, match="retention horizon"):
+        sync_aggregate_recompute(src, dst, ["lang"], _aggs())
+    st = sync_aggregate_recompute(src, dst, ["lang"], _aggs(),
+                                  full_refresh=True)
+    assert st.applied
+    assert _got_r(dst) == _expected_r(src) == {"py": (1, 10, 10),
+                                               "rs": (1, 7, 7)}
+    assert "go" not in _got_r(dst)
