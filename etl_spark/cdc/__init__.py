@@ -14,6 +14,13 @@ from etl_spark.cdc.agg_sync import (
     sync_aggregate,
     sync_aggregate_recompute,
 )
+from etl_spark.cdc.scd2 import (
+    apply_scd2,
+    create_scd2_tables,
+    replay_scd2,
+    scd2_history,
+    scd2_view,
+)
 from etl_spark.cdc.dedup_ingest import (
     DedupIngestStats,
     create_dedup_state,
@@ -42,4 +49,9 @@ __all__ = [
     "create_rollup_table",
     "sync_aggregate",
     "sync_aggregate_recompute",
+    "apply_scd2",
+    "create_scd2_tables",
+    "replay_scd2",
+    "scd2_history",
+    "scd2_view",
 ]

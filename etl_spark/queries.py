@@ -2008,6 +2008,111 @@ GROUP BY event_type
 """
 
 
+def q_scd2_history(spark, sf_dir):
+    """Batch SCD Type-2 derivation (the reference's ``%s_versoes``
+    per-row change-tracking intent, bd.py:77-84 / sisab/modelos.py:29,
+    as the warehouse-standard interval product): every non-delete event
+    opens an interval the key's next event closes; deletes close without
+    a successor. One shuffle (hash by key) + per-key sort — a window is
+    correct here because a key's interval chain is inherently
+    sequential and bounded by per-key churn."""
+    from etl_spark.cdc.scd2 import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+    )
+    out = scd2_history(wal, ["user_id"], ["ts", "event_id"])
+    return out.select(
+        "user_id", "event_id", F.col("ts").alias("valid_from"),
+        "valid_to", "event_type", "value", "props", "is_current",
+    )
+
+
+SQL_SCD2_HISTORY = """
+SELECT user_id, event_id, ts AS valid_from, valid_to,
+       event_type, value, props, (valid_to IS NULL) AS is_current
+FROM (
+  SELECT user_id, event_id, ts, event_type, value, props,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM events
+) WHERE op <> 'D'
+"""
+
+
+def q_scd2_incremental(spark, sf_dir):
+    """Incrementally maintained SCD2 (current + history LakeTable pair,
+    cdc/scd2.py): five week-partitioned epochs applied one at a time —
+    each round closes affected open intervals via a bucket-pruned point
+    read of the entity-keyed current table (never a history scan),
+    appends them to history, then LWW-merges the epoch winners, under
+    docs-before-state manifest ordering. The replay is run TWICE; the
+    second pass must be all metadata no-ops. The full view must equal
+    the one-shot SQL derivation over per-epoch winners — the DuckDB
+    oracle. Reference: the capture-history contract (geral.py:92-109)
+    plus the versioned-table intent (bd.py:77-84)."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.scd2 import replay_scd2, scd2_view
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        # week-of-month epochs: monotone in ts, so per-epoch winners
+        # strictly advance each key's version across epochs
+        F.floor((F.dayofmonth("ts") - 1) / 7).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_scd2_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    root = os.path.join(tmp, "scd2")
+    cur, hist, stats = replay_scd2(
+        spark, wal_dir, root, key_cols=["user_id"],
+        version_cols=["ts", "event_id"], n_buckets=8,
+    )
+    if not all(h.applied and c.applied for h, c in stats):
+        raise AssertionError("first SCD2 replay had unexpected no-ops")
+    _, _, again = replay_scd2(
+        spark, wal_dir, root, key_cols=["user_id"],
+        version_cols=["ts", "event_id"], n_buckets=8,
+    )
+    if any(h.applied or c.applied for h, c in again):
+        raise AssertionError("SCD2 replay was not exactly-once")
+    return scd2_view(cur, hist).select(
+        "user_id", "event_id", F.col("ts").alias("valid_from"),
+        "valid_to", "event_type", "value", "props", "is_current",
+    )
+
+
+SQL_SCD2_INCREMENTAL = """
+WITH winners AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, ts, event_type, value, props,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           CAST(floor((day(ts) - 1) / 7) AS BIGINT) AS epoch,
+           row_number() OVER (
+             PARTITION BY user_id, CAST(floor((day(ts) - 1) / 7) AS BIGINT)
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+), seq AS (
+  SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY epoch) AS valid_to
+  FROM winners
+)
+SELECT user_id, event_id, ts AS valid_from, valid_to,
+       event_type, value, props, (valid_to IS NULL) AS is_current
+FROM seq WHERE op <> 'D'
+"""
+
+
 def q_cdc_purge_erasure(spark, sf_dir):
     """Right-to-erasure purge (LGPD/GDPR; the deletion side of the §1.1
     versioned-table intent, bd.py:77-84): tombstone a key set through the
@@ -2941,6 +3046,8 @@ QUERIES = {
     "pending_capture_scan": q_pending_capture_scan,
     "incremental_agg_sync": q_incremental_agg_sync,
     "rollup_recompute_sync": q_rollup_recompute_sync,
+    "scd2_history": q_scd2_history,
+    "scd2_incremental": q_scd2_incremental,
     "cdc_purge_erasure": q_cdc_purge_erasure,
     "pii_scrub": q_pii_scrub,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3018,6 +3125,8 @@ ORACLES = {
     "pending_capture_scan": SQL_PENDING_SCAN,
     "incremental_agg_sync": SQL_INCREMENTAL_AGG_SYNC,
     "rollup_recompute_sync": SQL_ROLLUP_RECOMPUTE_SYNC,
+    "scd2_history": SQL_SCD2_HISTORY,
+    "scd2_incremental": SQL_SCD2_INCREMENTAL,
     "cdc_purge_erasure": SQL_CDC_PURGE,
     "pii_scrub": SQL_PII_SCRUB,
     "kmeans_clusters": SQL_KMEANS,
