@@ -19,7 +19,9 @@ semaphores (utilitarios/semaforos.py:26-119) and the versioned-table intent
 (bd.py:77-84).
 """
 
+from etl_spark.lake.diff import snapshot_diff
 from etl_spark.lake.purge import purge_keys
 from etl_spark.lake.table import CommitConflict, LakeTable, MergeStats, Snapshot
 
-__all__ = ["LakeTable", "Snapshot", "MergeStats", "CommitConflict", "purge_keys"]
+__all__ = ["LakeTable", "Snapshot", "MergeStats", "CommitConflict", "purge_keys",
+           "snapshot_diff"]

@@ -2113,6 +2113,74 @@ FROM seq WHERE op <> 'D'
 """
 
 
+def q_snapshot_audit_diff(spark, sf_dir):
+    """Semantic snapshot diff (lake/diff.py): the state delta between two
+    snapshots computed from the data itself — one union + ONE combinable
+    aggregate (max-per-side payload struct), no join — returning
+    added/removed/changed keys with the payload as of each side. The
+    independent verifier for the commit-provenance change feed (and the
+    feed-recovery path once old snapshots expire). Reference: re-derived
+    capture-slice comparisons, scripts/geral.py:92-109."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+    from etl_spark.lake import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_diff_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, stats = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=8,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        table_props={"compact_threshold": "2"},  # maintenance mid-range
+    )
+    v_mid = stats[1].version  # snapshot the epoch-1 merge committed
+    return snapshot_diff(table, v_mid).select(
+        "user_id", "change",
+        "old_event_id", "old_ts", "old_event_type", "old_value", "old_props",
+        "new_event_id", "new_ts", "new_event_type", "new_value", "new_props",
+    )
+
+
+SQL_SNAPSHOT_AUDIT_DIFF = """
+WITH oldst AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, ts, event_type, value, props,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 4 < 2
+  ) WHERE rn = 1 AND event_type <> 'error'
+), newst AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, ts, event_type, value, props,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       o.event_id AS old_event_id, o.ts AS old_ts,
+       o.event_type AS old_event_type, o.value AS old_value,
+       o.props AS old_props,
+       n.event_id AS new_event_id, n.ts AS new_ts,
+       n.event_type AS new_event_type, n.value AS new_value,
+       n.props AS new_props
+FROM oldst o FULL OUTER JOIN newst n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.event_id <> n.event_id
+"""
+
+
 def q_cdc_purge_erasure(spark, sf_dir):
     """Right-to-erasure purge (LGPD/GDPR; the deletion side of the §1.1
     versioned-table intent, bd.py:77-84): tombstone a key set through the
@@ -3048,6 +3116,7 @@ QUERIES = {
     "rollup_recompute_sync": q_rollup_recompute_sync,
     "scd2_history": q_scd2_history,
     "scd2_incremental": q_scd2_incremental,
+    "snapshot_audit_diff": q_snapshot_audit_diff,
     "cdc_purge_erasure": q_cdc_purge_erasure,
     "pii_scrub": q_pii_scrub,
     "kmeans_clusters": q_kmeans_clusters,
@@ -3127,6 +3196,7 @@ ORACLES = {
     "rollup_recompute_sync": SQL_ROLLUP_RECOMPUTE_SYNC,
     "scd2_history": SQL_SCD2_HISTORY,
     "scd2_incremental": SQL_SCD2_INCREMENTAL,
+    "snapshot_audit_diff": SQL_SNAPSHOT_AUDIT_DIFF,
     "cdc_purge_erasure": SQL_CDC_PURGE,
     "pii_scrub": SQL_PII_SCRUB,
     "kmeans_clusters": SQL_KMEANS,
