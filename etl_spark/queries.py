@@ -2008,6 +2008,96 @@ GROUP BY event_type
 """
 
 
+def q_rollup_cascade(spark, sf_dir):
+    """Hierarchical materialized views (continuous-aggregate cascade):
+    events → hourly rollup → daily rollup, each tier maintained
+    incrementally by `sync_aggregate` and the SECOND tier consuming the
+    FIRST tier's own change feed — the hourly table is itself a LakeTable,
+    so its merges emit the same CDC-out provenance the raw table does and
+    retractions (an hourly group vanishing under LWW churn) propagate as
+    tombstones that the daily tier subtracts. Two waves with compaction;
+    the daily rollup must equal the one-shot two-level GROUP BY over live
+    state — the DuckDB oracle. Reference: per-slice aggregated QA tables
+    layered over the capture history (scripts/geral.py:92-109)."""
+    from etl_spark.cdc.agg_sync import create_aggregate_table, sync_aggregate
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.pmod(F.col("event_id"), F.lit(6)).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_cascade_")
+    waves = [os.path.join(tmp, "w0"), os.path.join(tmp, "w1")]
+    write_event_epochs(wal.filter(F.col("epoch") < 3), waves[0])
+    write_event_epochs(wal.filter(F.col("epoch") >= 3), waves[1])
+
+    src_path = os.path.join(tmp, "src")
+    src, _ = replay_events(
+        spark, waves[0], src_path, n_buckets=8,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        table_props={"compact_threshold": "2"},
+    )
+    hourly = create_aggregate_table(
+        spark, os.path.join(tmp, "hourly"), src,
+        group_cols=["event_type", "hour", "day"],
+        sum_names=["sum_value_c2"], n_buckets=4,
+    )
+    daily = create_aggregate_table(
+        spark, os.path.join(tmp, "daily"), hourly,
+        group_cols=["event_type", "day"],
+        sum_names=["sum_value_c2"], count_col="n_hours", n_buckets=4,
+    )
+    sums = {"sum_value_c2": F.round(F.col("value") * 100).cast("bigint")}
+    # the daily tier re-aggregates the hourly tier's own measures
+    fold = {"sum_value_c2": F.col("sum_value_c2")}
+
+    for wave in (None, waves[1]):
+        if wave is not None:
+            src, _ = replay_events(
+                spark, wave, src_path,
+                key_cols=["user_id"], version_cols=["ts", "event_id"],
+            )
+        r_h = sync_aggregate(src, hourly, ["event_type", "hour", "day"],
+                             sums)
+        r_d = sync_aggregate(hourly, daily, ["event_type", "day"], fold,
+                             count_col="n_hours")
+        if not (r_h.applied and r_d.applied):
+            raise AssertionError("cascade round unexpectedly a no-op")
+    if sync_aggregate(hourly, daily, ["event_type", "day"], fold,
+                      count_col="n_hours") is not None:
+        raise AssertionError("caught-up cascade was not a no-op")
+    return daily.read().select(
+        "event_type", "day", "n_hours", "sum_value_c2"
+    )
+
+
+SQL_ROLLUP_CASCADE = """
+SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(sum_value_c2) AS BIGINT) AS sum_value_c2
+FROM (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_c2
+  FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND event_type <> 'error'
+  GROUP BY 1, 2, 3
+)
+GROUP BY event_type, day
+"""
+
+
 def q_scd2_history(spark, sf_dir):
     """Batch SCD Type-2 derivation (the reference's ``%s_versoes``
     per-row change-tracking intent, bd.py:77-84 / sisab/modelos.py:29,
@@ -3114,6 +3204,7 @@ QUERIES = {
     "pending_capture_scan": q_pending_capture_scan,
     "incremental_agg_sync": q_incremental_agg_sync,
     "rollup_recompute_sync": q_rollup_recompute_sync,
+    "rollup_cascade": q_rollup_cascade,
     "scd2_history": q_scd2_history,
     "scd2_incremental": q_scd2_incremental,
     "snapshot_audit_diff": q_snapshot_audit_diff,
@@ -3194,6 +3285,7 @@ ORACLES = {
     "pending_capture_scan": SQL_PENDING_SCAN,
     "incremental_agg_sync": SQL_INCREMENTAL_AGG_SYNC,
     "rollup_recompute_sync": SQL_ROLLUP_RECOMPUTE_SYNC,
+    "rollup_cascade": SQL_ROLLUP_CASCADE,
     "scd2_history": SQL_SCD2_HISTORY,
     "scd2_incremental": SQL_SCD2_INCREMENTAL,
     "snapshot_audit_diff": SQL_SNAPSHOT_AUDIT_DIFF,

@@ -75,6 +75,14 @@ SHOW = [
     ("chunk_documents",
      "token chunking: one Generate materializes the token array, a second "
      "explodes the window slices - pure per-row work, no Exchange anywhere"),
+    ("scd2_history",
+     "SCD2 interval derivation: ONE Exchange (hash by key) + per-key Sort "
+     "feeding the lead() Window — cost bounded by per-key churn, no join"),
+    ("snapshot_audit_diff",
+     "semantic snapshot diff: Union of the two snapshot reads + one "
+     "partial/final per-side max aggregate keyed on the entity key — NO "
+     "join; unchanged keys are dropped by the null-safe struct filter "
+     "before anything is returned"),
     ("incremental_dedup",
      "incremental near-dup gate: the incoming batch's banded keys are "
      "produced per-row and equi-joined against corpus bucket state "
