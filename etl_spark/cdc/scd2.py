@@ -135,10 +135,14 @@ def apply_scd2(
     epoch: int,
     op_col: str = "op",
     delete_op: str = "D",
+    manifest_prefix: str = "scd2",
 ) -> tuple[MergeStats, MergeStats]:
     """Apply one epoch of CDC events to the SCD2 pair, exactly-once under
-    manifest keys ``scd2hist:{epoch}`` / ``scd2cur:{epoch}``. See the
-    module docstring for ordering and stale-winner semantics."""
+    manifest keys ``{manifest_prefix}:hist:{epoch}`` /
+    ``{manifest_prefix}:cur:{epoch}`` (epoch last, so the keys fold into
+    per-prefix watermarks and metadata stays bounded; a streaming caller
+    namespaces the prefix per stream identity). See the module docstring
+    for ordering and stale-winner semantics."""
     snap = current.current_snapshot()
     key_cols, ver_cols = snap.key_cols, snap.version_cols
     ts_col = ver_cols[0]
@@ -174,9 +178,11 @@ def apply_scd2(
             F.lit("U").alias("op"),
         )
     )
-    hist_stats = history.merge(closed, manifest_key=f"scd2hist:{epoch}")
+    hist_stats = history.merge(
+        closed, manifest_key=f"{manifest_prefix}:hist:{epoch}"
+    )
     cur_stats = current.merge(
-        winners, manifest_key=f"scd2cur:{epoch}",
+        winners, manifest_key=f"{manifest_prefix}:cur:{epoch}",
         op_col=op_col, delete_op=delete_op,
     )
     return hist_stats, cur_stats

@@ -149,7 +149,7 @@ def test_crash_between_history_and_current_replays_cleanly(spark, tmp_root):
     with pytest.raises(RuntimeError, match="simulated crash"):
         apply_scd2(cur, hist, batch, epoch=1)
     cur.merge = real_merge
-    assert calls and hist.current_snapshot().has_applied("scd2hist:1")
+    assert calls and hist.current_snapshot().has_applied("scd2:hist:1")
 
     h, c = apply_scd2(cur, hist, batch, epoch=1)  # the retry
     assert not h.applied and c.applied
