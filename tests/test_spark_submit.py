@@ -107,6 +107,23 @@ def test_spark_submit_replay_and_maintenance(spark, tmp_root):
               for r in LakeTable.load(spark, agg).read().collect()}
     assert rollup == expected
 
+    # SCD2 job: open intervals == the replay table's live state; a second
+    # driver process is a pure no-op on both tables
+    scd2 = os.path.join(tmp_root, "scd2")
+    out8 = _submit("scd2_job.py", "--events-dir", wal, "--root", scd2,
+                   "--key-cols", "repo,path",
+                   "--version-cols", "op_ts,event_id",
+                   "--n-buckets", "4", zip_path=zip_path)
+    s2 = json.loads(out8.strip().splitlines()[-1])
+    assert s2["epochs_applied"] == 3
+    assert s2["open_intervals"] == report["rows"]
+    out9 = _submit("scd2_job.py", "--events-dir", wal, "--root", scd2,
+                   zip_path=zip_path)
+    s2b = json.loads(out9.strip().splitlines()[-1])
+    assert s2b["epochs_applied"] == 0
+    assert s2b["closed_intervals"] == s2["closed_intervals"]
+    assert s2b["open_intervals"] == s2["open_intervals"]
+
 
 @pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
                     reason="spark-submit not on this machine")
