@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "melt_metrics",
     "session_windows",
+    "scd2_history",
     "dedup_exact",
     "minhash_lsh_buckets",
     "ngram_jaccard",
