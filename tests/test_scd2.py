@@ -128,6 +128,39 @@ def test_delete_without_open_interval_is_noop(spark, tmp_root):
     assert hist.read().isEmpty() and cur.read().isEmpty()
 
 
+def test_scd2_downstream_of_change_feed(spark, tmp_root):
+    """Composition with CDC-out: an upstream LakeTable's change-feed
+    slices drive the SCD2 pair on a downstream 'cluster' — each slice is
+    one apply_scd2 round keyed by the upstream version, so the downstream
+    interval product tracks upstream history without ever reading the
+    upstream's full state."""
+    from etl_spark.lake import LakeTable
+
+    up = LakeTable.create(
+        spark, os.path.join(tmp_root, "up"), StructType.fromDDL(SCHEMA),
+        key_cols=KEY, version_cols=VER, n_buckets=2,
+    )
+    cur, hist = _pair(spark, tmp_root)
+    cursor = up.current_version()
+    for key, rows in [
+        ("e:0", [(1, T[0], "r", "a", "py", 1, "I")]),
+        ("e:1", [(2, T[1], "r", "a", "rs", 2, "U"),
+                 (3, T[1], "r", "b", "c", 4, "I")]),
+        ("e:2", [(4, T[2], "r", "b", None, None, "D")]),
+    ]:
+        up.merge(spark.createDataFrame(rows, SCHEMA + ", op string"), key)
+        v = up.current_version()
+        feed = up.changes(cursor, v)
+        assert all(s.applied for s in
+                   apply_scd2(cur, hist, feed, epoch=v, op_col="_op"))
+        cursor = v
+    assert _intervals(cur, hist) == {
+        ("r", "a", T[0]): ("py", T[1], False),
+        ("r", "a", T[1]): ("rs", None, True),
+        ("r", "b", T[1]): ("c", T[2], False),
+    }
+
+
 def test_crash_between_history_and_current_replays_cleanly(spark, tmp_root):
     """Docs-before-state ordering: history commits first; a crash before
     the current merge leaves a replayable epoch — the retry re-derives the
