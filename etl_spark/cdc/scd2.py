@@ -144,6 +144,16 @@ def apply_scd2(
     namespaces the prefix per stream identity). See the module docstring
     for ordering and stale-winner semantics."""
     snap = current.current_snapshot()
+    # cur commits LAST, so its manifest implies the whole round landed:
+    # a replayed epoch (streaming checkpoint re-delivery, re-run of a WAL
+    # directory) short-circuits BEFORE the eager winner/close computation
+    # — a 1,000-epoch re-replay costs 1,000 metadata reads, not 1,000 jobs
+    if snap.has_applied(f"{manifest_prefix}:cur:{epoch}"):
+        return (
+            MergeStats(f"{manifest_prefix}:hist:{epoch}", False,
+                       history.current_version()),
+            MergeStats(f"{manifest_prefix}:cur:{epoch}", False, snap.version),
+        )
     key_cols, ver_cols = snap.key_cols, snap.version_cols
     ts_col = ver_cols[0]
     payload = [f.name for f in snap.schema.fields]
