@@ -389,7 +389,9 @@ def sync_aggregate_recompute(
     ``where=[(col, 'in', affected)]`` — zone-map file skipping plus
     parquet row-group pushdown — when there is ONE group column with
     ``<= in_list_max`` non-null affected values; otherwise a null-safe
-    broadcast semi-join bounds the aggregate's input (the scan itself
+    semi-join (strategy left to AQE — the affected-group set is
+    batch-sized, not guaranteed broadcastable) bounds the aggregate's
+    input (the scan itself
     reads every file, so declare the group column in ``stats_cols`` and
     keep it correlated with ingest order to get file skipping).
 
@@ -445,8 +447,11 @@ def sync_aggregate_recompute(
             fact = src.read(version=end,
                             where=[(group_cols[0], "in", vals)])
     if fact is None:
+        # no broadcast hint: the affected-group set is O(changed keys) —
+        # batch-sized, not guaranteed broadcastable — so AQE picks the
+        # join strategy from the actual size at runtime
         fact = src.read(version=end).alias("f").join(
-            F.broadcast(groups.alias("g")),
+            groups.alias("g"),
             _nullsafe_on("f", "g", group_cols), "left_semi",
         )
     fresh = rollup(fact)
