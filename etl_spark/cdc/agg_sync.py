@@ -33,7 +33,11 @@ Protocol per round (``sync_aggregate``):
    A group whose row count reaches zero is tombstoned.
 
 Supported aggregates: ``COUNT(*)`` plus any integral ``SUM`` (AVG derives
-as sum/count at query time). MIN/MAX are deliberately out: they are not
+as sum/count at query time). NULL measure values contribute 0 — the
+maintained column is ``SUM(COALESCE(x, 0))``, so an all-NULL group holds
+0 where SQL's ``SUM(x)`` would be NULL (coalesce upstream if the
+distinction matters; any other choice is not incrementally maintainable
+without tracking a per-measure non-NULL count). MIN/MAX are deliberately out: they are not
 subtractable — maintaining them incrementally requires re-aggregating a
 group when its extremum leaves, i.e. the recompute-affected-groups plan,
 which this module's O(changed keys) contract refuses to hide. That plan
@@ -190,12 +194,21 @@ def _contrib(
 ) -> DataFrame:
     """Signed per-row contribution: ±1 toward the group's count and
     ±measure toward each sum. Casting AFTER the sign keeps ANSI mode happy
-    for any integral-valued expression."""
+    for any integral-valued expression.
+
+    NULL measures contribute 0 (coalesced HERE so bootstrap and delta
+    paths share one definition): the maintained sum is
+    ``SUM(COALESCE(x, 0))``, which equals SQL's ``SUM(x)`` whenever a
+    group has ≥1 non-NULL value and is 0 (not NULL) for an all-NULL
+    group. Without the coalesce, a delta round whose changed rows all
+    carry NULL measures would sum to NULL and ``d + coalesce(c, 0)``
+    would publish NULL — silently wiping the group's maintained sum."""
     return rows.select(
         *group_cols,
         F.lit(sign).cast("long").alias(count_col),
         *[
-            (F.lit(sign) * expr.cast("long")).alias(name)
+            (F.lit(sign) * F.coalesce(expr.cast("long"), F.lit(0)))
+            .alias(name)
             for name, expr in sum_exprs.items()
         ],
     )
@@ -292,7 +305,10 @@ def sync_aggregate(
     _check_horizon(src, recorded)
 
     src_keys = src.current_snapshot().key_cols
-    keys = src.changes(recorded, end).select(*src_keys).distinct()
+    # materialized once: reused for two bucket collects and two semi joins,
+    # and must not lazily re-read feed files a concurrent vacuum could drop
+    keys = (src.changes(recorded, end).select(*src_keys).distinct()
+            .localCheckpoint(eager=True))
     old = src.read(
         version=recorded, buckets=_changed_buckets(src, keys, recorded)
     ).join(keys, src_keys, "left_semi")
@@ -345,7 +361,8 @@ def sync_aggregate(
         *[F.col(f"d.{c}").alias(c) for c in group_cols],
         guarded_n.alias(count_col),
         *[
-            (F.col(f"d.{n}") + F.coalesce(F.col(f"c.{n}"), F.lit(0))).alias(n)
+            (F.coalesce(F.col(f"d.{n}"), F.lit(0))
+             + F.coalesce(F.col(f"c.{n}"), F.lit(0))).alias(n)
             for n in sum_exprs
         ],
         F.lit(end).cast("long").alias(SRC_VERSION_COL),

@@ -2157,9 +2157,12 @@ def q_scd2_incremental(spark, sf_dir):
         .otherwise(F.lit("U"))
         .alias("op"),
         "ts", "user_id", "event_type", "value", "props",
-        # week-of-month epochs: monotone in ts, so per-epoch winners
-        # strictly advance each key's version across epochs
-        F.floor((F.dayofmonth("ts") - 1) / 7).cast("long").alias("epoch"),
+        # weekly epochs anchored to a fixed date: GLOBALLY monotone in ts
+        # (week-of-month is not — it resets at month boundaries, and a
+        # non-monotone epoch makes per-epoch winners stop advancing each
+        # key's version, silently dropping them as stale)
+        F.floor(F.datediff(F.col("ts"), F.to_date(F.lit("2024-01-01"))) / 7)
+        .cast("long").alias("epoch"),
     )
     tmp = _tmpdir("etl_spark_scd2_")
     wal_dir = os.path.join(tmp, "wal")
@@ -2188,9 +2191,12 @@ WITH winners AS (
   SELECT * FROM (
     SELECT user_id, event_id, ts, event_type, value, props,
            CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-           CAST(floor((day(ts) - 1) / 7) AS BIGINT) AS epoch,
+           CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                AS BIGINT) AS epoch,
            row_number() OVER (
-             PARTITION BY user_id, CAST(floor((day(ts) - 1) / 7) AS BIGINT)
+             PARTITION BY user_id,
+               CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT)
              ORDER BY ts DESC, event_id DESC) AS rn
     FROM events) WHERE rn = 1
 ), seq AS (

@@ -48,15 +48,13 @@ def stream_dedup_ingest(
     :func:`dedup_gated_merge` (threshold, bands, max_bucket, ...);
     ``stats_sink`` (a list) collects one ``DedupIngestStats`` per applied
     micro-batch."""
-    import hashlib
-    import os
-
     from etl_spark.cdc.dedup_ingest import dedup_gated_merge
+    from etl_spark.streaming.identity import stream_identity
 
     if stream_id is None:
-        stream_id = hashlib.sha256(
-            os.path.abspath(checkpoint_dir).encode()
-        ).hexdigest()[:12]
+        # checkpoint-incarnation id, not a path hash: a rebuilt checkpoint
+        # restarts batch ids at 0 and must not fold into the old watermark
+        stream_id = stream_identity(checkpoint_dir)
 
     schema = spark.read.parquet(docs_dir).schema
     reader = spark.readStream.schema(schema)

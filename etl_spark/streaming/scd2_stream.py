@@ -45,15 +45,13 @@ def stream_scd2(
     table's key/version/payload columns plus ``op``) into the SCD2 pair;
     returns the StreamingQuery. ``stats_sink`` (a list) collects one
     ``(hist MergeStats, cur MergeStats)`` pair per micro-batch."""
-    import hashlib
-    import os
-
     from etl_spark.cdc.scd2 import apply_scd2
+    from etl_spark.streaming.identity import stream_identity
 
     if stream_id is None:
-        stream_id = hashlib.sha256(
-            os.path.abspath(checkpoint_dir).encode()
-        ).hexdigest()[:12]
+        # checkpoint-incarnation id, not a path hash: a rebuilt checkpoint
+        # restarts batch ids at 0 and must not fold into the old watermark
+        stream_id = stream_identity(checkpoint_dir)
 
     schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema)

@@ -46,21 +46,21 @@ def stream_replay(
     forever. Restart with the same ``checkpoint_dir`` to resume.
 
     ``stream_id`` namespaces the exactly-once manifest keys. Batch ids are
-    only unique *per checkpoint*: a second stream feeding the same table —
-    or a restart with a wiped checkpoint dir, whose batch ids restart at 0
-    with different file groupings — would otherwise collide with the old
-    ``stream:<n>`` entries and silently drop its rows. Default: a hash of
-    the checkpoint location, so same-checkpoint restarts stay idempotent
-    and distinct checkpoints never collide.
+    only unique *per checkpoint incarnation*: a second stream feeding the
+    same table — or a checkpoint deleted and rebuilt at the same path,
+    whose batch ids restart at 0 with different file groupings — would
+    otherwise collide with the old ``stream:<n>`` watermark and silently
+    drop its rows. Default: :func:`etl_spark.streaming.identity
+    .stream_identity` — a marker persisted inside the checkpoint, so
+    same-checkpoint restarts stay idempotent while a rebuilt checkpoint
+    gets a fresh manifest prefix.
     """
-    import hashlib
-    import os
     import time
 
+    from etl_spark.streaming.identity import stream_identity
+
     if stream_id is None:
-        stream_id = hashlib.sha256(
-            os.path.abspath(checkpoint_dir).encode()
-        ).hexdigest()[:12]
+        stream_id = stream_identity(checkpoint_dir)
 
     schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema)

@@ -290,3 +290,36 @@ def test_recompute_retention_and_full_refresh(spark, tmp_root):
     assert _got_r(dst) == _expected_r(src) == {"py": (1, 10, 10),
                                                "rs": (1, 7, 7)}
     assert "go" not in _got_r(dst)
+
+
+def test_delta_agg_sync_all_null_measures_do_not_wipe_sum(spark, tmp_root):
+    """Regression (round-4 ADVICE): a delta round whose changed rows all
+    carry NULL measures used to sum to NULL and publish NULL over the
+    maintained value, permanently wiping it. Semantics are documented as
+    SUM(COALESCE(x, 0)): NULL contributes 0, all-NULL groups hold 0."""
+    src = _mk_src(spark, tmp_root)
+    dst = create_aggregate_table(
+        spark, os.path.join(tmp_root, "dst"), src,
+        group_cols=["lang"], sum_names=["sum_size"], n_buckets=2,
+    )
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "py", 10, "I"),
+                               (2, T0, "r", "b", "py", None, "I")])
+    assert sync_aggregate(src, dst, ["lang"], _sums()).applied
+    assert _got(dst) == {"py": (2, 10)}
+
+    # every changed row in this round has a NULL measure: the group's
+    # maintained sum must survive unchanged (count grows by 1)
+    _merge(spark, src, "e:1",
+           [(3, T0 + dt.timedelta(minutes=1), "r", "c", "py", None, "I")])
+    assert sync_aggregate(src, dst, ["lang"], _sums()).applied
+    assert _got(dst) == {"py": (3, 10)}
+
+    # an all-NULL group bootstraps to 0 (not NULL) and stays maintainable
+    _merge(spark, src, "e:2",
+           [(4, T0 + dt.timedelta(minutes=2), "r", "d", "go", None, "I")])
+    assert sync_aggregate(src, dst, ["lang"], _sums()).applied
+    assert _got(dst) == {"py": (3, 10), "go": (1, 0)}
+    _merge(spark, src, "e:3",
+           [(5, T0 + dt.timedelta(minutes=3), "r", "e", "go", 4, "I")])
+    assert sync_aggregate(src, dst, ["lang"], _sums()).applied
+    assert _got(dst) == {"py": (3, 10), "go": (2, 4)}

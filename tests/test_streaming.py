@@ -211,3 +211,71 @@ def test_follow_changes_tails_commits(spark, tmp_root):
     assert v == t.current_version()
     got = {(r["event_id"], r["_op"]) for r in df.collect()}
     assert got == {(1, "U"), (2, "U"), (3, "D")}
+
+
+def test_stream_checkpoint_rebuilt_at_same_path_does_not_skip_batches(
+    spark, tmp_root
+):
+    """Regression (round-4 ADVICE): stream_id used to be a hash of the
+    checkpoint PATH, so deleting and recreating the checkpoint restarted
+    batch ids at 0 under the SAME manifest prefix — the old per-prefix
+    watermark silently swallowed every new micro-batch numbered below it.
+    The id is now salted with a marker persisted inside the checkpoint:
+    a rebuilt checkpoint gets a fresh prefix and its batches apply."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.streaming.identity import stream_identity
+
+    events_dir = os.path.join(tmp_root, "wal")
+    ev = synth_events(spark, 1200, n_repos=10, paths_per_repo=10, n_epochs=3)
+    write_event_epochs(ev, events_dir)
+    table = _mk_table(spark, events_dir, os.path.join(tmp_root, "tbl"))
+    ckpt = os.path.join(tmp_root, "ckpt")
+
+    q = stream_replay(spark, events_dir, table, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert not q.isActive
+    id_before = stream_identity(ckpt)
+
+    # checkpoint lost and rebuilt at the same path; meanwhile the WAL
+    # grew a revision wave the first incarnation never saw
+    shutil.rmtree(ckpt)
+    late_dir = os.path.join(tmp_root, "wal_late")
+    late = (
+        spark.read.parquet(events_dir)
+        .where(F.col("op") != "D")
+        .groupBy("repo", "path")
+        .agg(F.max(F.struct("op_ts", "event_id")).alias("w"))
+        .select(
+            (F.col("w.event_id") + 1_000_000).alias("event_id"),
+            F.lit("U").alias("op"),
+            F.timestamp_add("HOUR", F.lit(1), F.col("w.op_ts")).alias("op_ts"),
+            "repo", "path",
+            F.lit("late-commit").alias("commit"),
+            F.lit("late").alias("lang"),
+            F.lit("late-content").alias("content"),
+        )
+        .limit(5)
+        .localCheckpoint(eager=True)
+    )
+    late_rows = late.count()
+    assert late_rows > 0
+    # the WAL is hive-partitioned by epoch: the new wave lands as a new
+    # epoch directory, exactly like write_event_epochs would
+    late.write.mode("append").parquet(os.path.join(events_dir, "epoch=99"))
+
+    q2 = stream_replay(spark, events_dir, table, ckpt, max_files_per_trigger=8)
+    q2.awaitTermination(120)
+    assert not q2.isActive
+    assert stream_identity(ckpt) != id_before  # fresh incarnation id
+
+    got_late = table.read().where(F.col("lang") == "late").count()
+    assert got_late == late_rows, (
+        f"rebuilt checkpoint skipped micro-batches: expected {late_rows} "
+        f"late rows, got {got_late}"
+    )
+    # and the full state still equals the LWW oracle over the grown WAL
+    want = oracle_final_state(events_dir).reset_index(drop=True)
+    pd.testing.assert_frame_equal(_state(table), want, check_dtype=False)
