@@ -17,6 +17,7 @@ from etl_spark.cdc.agg_sync import (
 from etl_spark.cdc.scd2 import (
     apply_scd2,
     create_scd2_tables,
+    purge_scd2,
     replay_scd2,
     scd2_history,
     scd2_view,
@@ -51,6 +52,7 @@ __all__ = [
     "sync_aggregate_recompute",
     "apply_scd2",
     "create_scd2_tables",
+    "purge_scd2",
     "replay_scd2",
     "scd2_history",
     "scd2_view",

@@ -58,6 +58,7 @@ __all__ = [
     "apply_scd2",
     "replay_scd2",
     "scd2_view",
+    "purge_scd2",
 ]
 
 SEQ_COL = "_scd_seq"
@@ -157,12 +158,20 @@ def apply_scd2(
     key_cols, ver_cols = snap.key_cols, snap.version_cols
     ts_col = ver_cols[0]
     payload = [f.name for f in snap.schema.fields]
+    # additive schema evolution passes through: batch columns the pair has
+    # not seen yet ride the winners into the current merge (which evolves
+    # additively, like every LakeTable merge); history evolves later, when
+    # the first CLOSED interval carrying the column lands — closed rows
+    # are snapshots of the OLD state, so this epoch's closes stay on the
+    # pre-evolution payload by construction
+    extras = [c for c in batch.columns
+              if c not in payload and c != op_col]
 
     # one state per key per epoch; materialized once — feeds the bucket
     # collect, the close join, and the current merge, and must not lazily
     # re-read source files across those actions
     winners = lww_dedup(
-        batch.select(*payload, op_col), key_cols, ver_cols
+        batch.select(*payload, *extras, op_col), key_cols, ver_cols
     ).localCheckpoint(eager=True)
 
     # bucket-pruned point read of the affected open intervals: O(batch
@@ -234,9 +243,114 @@ def replay_scd2(
     return cur, hist, stats
 
 
+def purge_scd2(
+    current: LakeTable,
+    history: LakeTable,
+    keys: DataFrame,
+    manifest_key: str,
+    keep_last: int = 1,
+    vacuum_grace_sec: float = 600.0,
+) -> dict:
+    """Right-to-erasure across the SCD2 pair: physically remove a subject
+    key set's payload from BOTH tables — the open interval in ``current``
+    and every closed interval in ``history`` — live state, version
+    history, and files. The single-table composition (tombstone through
+    MERGE → targeted compaction → snapshot expiry → vacuum) and its
+    rationale live in :mod:`etl_spark.lake.purge`; this adds the pair
+    semantics an SCD2 product needs, because ``history`` is append-only
+    with the subject's payload in every closed interval (reference
+    context: the versioned-table intent, bd.py:77-84, over sensitive
+    SINAN microdata, sinan/violencia.py — exactly the data an LGPD
+    erasure request targets).
+
+    History is keyed by entity key + OPENING VERSION, so one subject owns
+    many history keys and their bucket ids hash over the full key — an
+    entity key set cannot bucket-prune the lookup. Finding the subject's
+    intervals therefore costs one map-side scan of history (semi-join
+    against the bounded key set, no shuffle); batch erasure requests to
+    amortize it. Everything after the lookup is bounded: the tombstone
+    merge is O(subject intervals), compaction rewrites only their
+    buckets.
+
+    Crash safety: each merge is exactly-once under ``{manifest_key}:hist``
+    / ``{manifest_key}:cur``, and the interval lookup reads
+    ``include_deleted=True`` — a re-run after a crash between merge and
+    compaction still sees the already-tombstoned intervals, so it
+    recomputes the same affected buckets and finishes the file-level
+    scrub (a live-rows read would return nothing and leave payload bytes
+    in the un-compacted files). Mid-purge (history scrubbed, current not
+    yet) the view degrades to open-intervals-only for the subject; re-run
+    to completion. Tombstone KEYS remain in both tables by design — they
+    are what keeps a late duplicate of the purged data suppressed; all
+    payload columns are nulled at write time.
+
+    Returns a combined report; both residuals MUST be 0.
+    """
+    from etl_spark.lake.purge import purge_keys
+
+    csnap = current.current_snapshot()
+    key_cols = csnap.key_cols
+    if sorted(keys.columns) != sorted(key_cols):
+        raise ValueError(
+            f"keys must have exactly the current table's key columns "
+            f"{key_cols}, got {keys.columns}"
+        )
+    keys = keys.select(*key_cols).distinct().localCheckpoint(eager=True)
+
+    hsnap = history.current_snapshot()
+    intervals = (
+        history.read(include_deleted=True)
+        .join(keys, key_cols, "left_semi")
+        .select(*hsnap.key_cols, SEQ_COL)
+        .localCheckpoint(eager=True)
+    )
+    h_buckets = sorted(
+        r["__b"]
+        for r in intervals.select(history.bucket_expr(hsnap).alias("__b"))
+        .distinct().collect()
+    )
+    tomb_h = intervals.select(
+        *hsnap.key_cols,
+        (F.col(SEQ_COL) + F.lit(1)).cast("long").alias(SEQ_COL),
+        F.lit("D").alias("op"),
+    )
+    h_stats = history.merge(tomb_h, manifest_key=f"{manifest_key}:hist")
+    h_compacted = history.compact(buckets=h_buckets)
+    h_expired = history.expire_snapshots(keep_last=keep_last)
+    h_removed = history.vacuum(older_than_sec=vacuum_grace_sec)
+    h_residual = (
+        history.read(buckets=h_buckets).join(keys, key_cols, "left_semi")
+        .count()
+    )
+    cur_report = purge_keys(
+        current, keys, f"{manifest_key}:cur",
+        keep_last=keep_last, vacuum_grace_sec=vacuum_grace_sec,
+    )
+    return {
+        "keys": cur_report["keys"],
+        "history_intervals": intervals.count(),
+        "history_tombstoned": h_stats.applied,
+        "history_buckets_compacted": h_compacted,
+        "history_snapshots_expired": len(h_expired),
+        "history_files_vacuumed": len(h_removed),
+        "history_residual_live": h_residual,
+        "current_tombstoned": cur_report["tombstoned"],
+        "current_buckets_compacted": cur_report["buckets_compacted"],
+        "current_snapshots_expired": cur_report["snapshots_expired"],
+        "current_files_vacuumed": cur_report["files_vacuumed"],
+        "current_residual_live": cur_report["residual_live"],
+    }
+
+
 def scd2_view(current: LakeTable, history: LakeTable) -> DataFrame:
     """The full SCD2 product: closed intervals from history plus the open
-    intervals (current rows, ``valid_to`` NULL, ``is_current`` true)."""
+    intervals (current rows, ``valid_to`` NULL, ``is_current`` true).
+
+    Column sets may differ mid-evolution — an additive column reaches
+    ``current`` one epoch before the first closed interval carries it into
+    ``history`` — so the union aligns by name with NULL backfill: old
+    vintages read NULL for columns that postdate them, the same contract
+    every evolved LakeTable read has."""
     snap = current.current_snapshot()
     ts_col = snap.version_cols[0]
     ts_type = {f.name: f.dataType for f in snap.schema.fields}[ts_col]
@@ -245,4 +359,6 @@ def scd2_view(current: LakeTable, history: LakeTable) -> DataFrame:
         .withColumn(VALID_TO_COL, F.lit(None).cast(ts_type))
         .withColumn(CURRENT_COL, F.lit(True))
     )
-    return history.read().drop(SEQ_COL).unionByName(open_rows)
+    return history.read().drop(SEQ_COL).unionByName(
+        open_rows, allowMissingColumns=True
+    )

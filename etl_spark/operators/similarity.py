@@ -101,6 +101,7 @@ def brute_force_topk(
     c_vec: str = "c_vec",
     exclude_self: bool = True,
     fanout: int = 32,
+    broadcast: str = "corpus",
 ) -> DataFrame:
     """Exact top-k neighbours per query: (q_id, c_id, sim, rank).
 
@@ -108,8 +109,21 @@ def brute_force_topk(
     deterministic across engines. The per-query reduction is the two-phase
     :func:`bounded_topk` — no stage ever buffers more than k·fanout rows
     per query in memory, so the plan holds when the corpus (and therefore
-    the candidate set per query) is 100×."""
-    joined = queries.crossJoin(F.broadcast(corpus))
+    the candidate set per query) is 100×.
+
+    ``broadcast`` picks which side ships to every executor: ``"corpus"``
+    (default — right for a bounded corpus probed by a query stream) or
+    ``"queries"`` (the 100 TB inversion: the corpus never fits an
+    executor, so the bounded query set broadcasts and the corpus streams
+    past it map-side — same plan, roles swapped, still zero shuffle of
+    the big side). Results are identical either way."""
+    if broadcast not in ("corpus", "queries"):
+        raise ValueError(f"broadcast must be 'corpus' or 'queries', "
+                         f"got {broadcast!r}")
+    if broadcast == "corpus":
+        joined = queries.crossJoin(F.broadcast(corpus))
+    else:
+        joined = F.broadcast(queries).crossJoin(corpus)
     if exclude_self:
         joined = joined.filter(F.col(q_id) != F.col(c_id))
     sim = F.round(cosine(F.col(q_vec), F.col(c_vec)), 4)
@@ -169,7 +183,13 @@ def lsh_ann_topk(
     a degenerate bucket capturing a constant-ish region of the embedding
     space would otherwise re-create the quadratic blowup the sketch exists
     to avoid; corpus rows in over-full buckets are dropped from the
-    candidate side (callers should log the drop)."""
+    candidate side (callers should log the drop).
+
+    Measured recall@5 at n_bits=4 (gates in test_ann_recall.py): 0.62 on
+    clustered data (20 planted clusters, dim 32), 0.10 on structure-less
+    random vectors — the theoretical worst case (neighbours at cos≈0.3
+    collide per bit with p≈0.6). Single-table is the cheap/low dial; use
+    :func:`lsh_ann_topk_multiprobe` when recall matters."""
     qb = queries.withColumn("__bkt", hyperplane_bucket(F.col(q_vec), n_bits, seed))
     cb = corpus.withColumn("__bkt", hyperplane_bucket(F.col(c_vec), n_bits, seed))
     if max_bucket is not None:
@@ -205,7 +225,11 @@ def lsh_ann_topk_multiprobe(
     — the standard recall/cost dial for corpus-scale ANN.
 
     ``max_bucket`` drops over-full buckets per (table, bucket) — the same
-    skew guard as :func:`lsh_ann_topk`."""
+    skew guard as :func:`lsh_ann_topk`.
+
+    Measured recall@5 at n_bits=4 (gates in test_ann_recall.py), clustered
+    / worst-case random data: 2 tables 0.89 / 0.27, 4 tables 0.99 / 0.45
+    — each added table buys recall at linear candidate cost."""
     def _tables(df, id_col, vec_col):
         parts = [
             df.select(
@@ -280,7 +304,12 @@ def ivf_ann_topk(
     query) and ``n_centroids`` (cell granularity — grow it with corpus
     size, √N is the usual rule). All arithmetic is rounded (4 dp) with id
     tie-breaks, so a DuckDB oracle reproduces cells, probes and ranking
-    exactly."""
+    exactly.
+
+    Measured recall@5 at n_centroids=16 (gates in test_ann_recall.py):
+    clustered data 0.83 / 0.95 / 1.00 at n_probe 1 / 2 / 4; worst-case
+    random vectors 0.27 / 0.51 / 1.00 at n_probe 1 / 4 / 16 — probing
+    every cell is exact by construction."""
     h = portable_hash60(F.col(c_id).cast("string"), salt=seed)
     centroids = (
         corpus.select(F.col(c_id), F.col(c_vec), h.alias("__h"))
@@ -345,6 +374,7 @@ def kmeans_spherical(
     id_col: str = "c_id",
     vec_col: str = "c_vec",
     seed: int = 23,
+    telemetry: list | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's on cosine similarity) over an embedding
     column — the corpus-clustering step of a training-data pipeline
@@ -372,7 +402,15 @@ def kmeans_spherical(
 
     Returns one row per point: ``(id_col, cluster, sim)`` for the final
     assignment.
-    """
+
+    ``telemetry`` (a list) collects one dict per centroid UPDATE —
+    ``{"iter", "clusters", "dropped", "max_movement"}`` where
+    ``max_movement`` is the largest per-dimension centroid shift of the
+    round — so a curation user can SEE non-convergence (movement not
+    shrinking) or cluster collapse (dropped > 0) instead of trusting a
+    fixed ``iters``. Collecting it costs one k-row collect per round
+    against the already-checkpointed centroid set (control-plane-sized:
+    k·dim doubles)."""
     pts = points.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -403,7 +441,7 @@ def kmeans_spherical(
             )
         )
         if it < iters - 1:
-            cents = (
+            new_cents = (
                 assign.select("cluster", F.posexplode("__v").alias("__d", "__x"))
                 .groupBy("cluster", "__d")
                 .agg(rnd6(F.avg("__x")).alias("__m"))
@@ -415,4 +453,19 @@ def kmeans_spherical(
                 )
                 .localCheckpoint(eager=True)
             )
+            if telemetry is not None:
+                old = {r["__cl"]: r["__cv"] for r in cents.collect()}
+                new = {r["__cl"]: r["__cv"] for r in new_cents.collect()}
+                moved = [
+                    max((abs(a - b) for a, b in zip(old[cl], vec)),
+                        default=0.0)
+                    for cl, vec in new.items() if cl in old
+                ]
+                telemetry.append({
+                    "iter": it,
+                    "clusters": len(new),
+                    "dropped": len(old) - len(new),
+                    "max_movement": max(moved, default=0.0),
+                })
+            cents = new_cents
     return assign.select(F.col(id_col), F.col("cluster"), F.col("sim"))

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 
 from etl_spark.lake import LakeTable
 
-__all__ = ["follow_changes"]
+__all__ = ["follow_changes", "stream_sync"]
 
 
 def follow_changes(
@@ -49,6 +49,44 @@ def follow_changes(
         if latest > cur:
             yield latest, table.changes(cur, latest)
             cur = latest
+        else:
+            if stop is not None and stop():
+                return
+            time.sleep(poll_interval)
+
+
+def stream_sync(
+    src: LakeTable,
+    dst: LakeTable,
+    prefix: str = "sync",
+    poll_interval: float = 1.0,
+    stop: Callable[[], bool] | None = None,
+):
+    """Continuous downstream sync: follow ``src``'s commit log and apply
+    one :func:`etl_spark.cdc.sync.sync_changes` round per detected commit
+    wave, yielding each round's ``MergeStats`` — the streaming face of the
+    incremental-consumer tier (composition of this module's tail loop with
+    the cursor-in-the-same-commit sync).
+
+    There is no checkpoint to manage: the resume cursor IS the
+    destination's sync manifest (``{prefix}:{upstream_version}``, advanced
+    atomically with the data), so killing this loop anywhere and calling
+    ``stream_sync`` again resumes exactly where the last applied round
+    left off — a round replayed after a crash is a metadata no-op. A
+    burst of upstream commits between polls lands as ONE round (the feed
+    range is cursor→current, same as the batch face). Bounded by upstream
+    snapshot retention like any feed consumer; a lapsed destination
+    raises and must re-bootstrap via ``sync_changes(full_refresh=True)``.
+
+    Driver-side generator by design, like :func:`follow_changes`: commit
+    arrival is a control-plane event; each round's work is a normal
+    distributed merge plan."""
+    from etl_spark.cdc.sync import sync_changes
+
+    while stop is None or not stop():
+        stats = sync_changes(src, dst, prefix=prefix)
+        if stats is not None:
+            yield stats
         else:
             if stop is not None and stop():
                 return

@@ -513,6 +513,15 @@ def test_kmeans_spherical_contract(spark):
     assert sorted((r["c_id"], r["cluster"]) for r in out) == \
         sorted((r["c_id"], r["cluster"]) for r in again)
 
+    # convergence telemetry: one record per centroid update, movement
+    # shrinking on well-separated groups, no cluster collapse
+    telem = []
+    kmeans_spherical(df, k=2, iters=3, telemetry=telem).collect()
+    assert [t["iter"] for t in telem] == [0, 1]
+    assert all(t["clusters"] == 2 and t["dropped"] == 0 for t in telem)
+    assert telem[1]["max_movement"] <= telem[0]["max_movement"]
+    assert telem[1]["max_movement"] < 0.05  # converged on this geometry
+
 
 def test_scrub_pii_patterns(spark):
     from etl_spark.functions.pii import scrub_pii

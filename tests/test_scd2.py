@@ -190,3 +190,153 @@ def test_crash_between_history_and_current_replays_cleanly(spark, tmp_root):
         ("r", "a", T[0]): ("py", T[1], False),
         ("r", "a", T[1]): ("rs", None, True),
     }
+
+
+def _scan_scd2_files_for(spark, table, needle: str) -> int:
+    """Decoded-parquet grep over EVERY file under the table dir (vacuumed
+    or not) — same physical-erasure check as test_purge."""
+    import glob
+
+    hits = 0
+    for f in glob.glob(os.path.join(table.path, "**", "*.parquet"),
+                       recursive=True):
+        df = spark.read.parquet(f)
+        if "lang" in df.columns:
+            hits += df.filter(df["lang"].contains(needle)).count()
+    return hits
+
+
+def test_purge_scd2_erases_subject_from_both_tables_and_files(spark, tmp_root):
+    from etl_spark.cdc.scd2 import purge_scd2
+
+    cur, hist = _pair(spark, tmp_root,
+                      props={"compact_threshold": "999"})
+    # subject churns across three epochs: two CLOSED intervals land in
+    # history, one open in current; a bystander shares the buckets
+    assert all(s.applied for s in apply_scd2(cur, hist, _batch(spark, [
+        (1, T[0], "r", "a", "SECRET-v1", 1, "I"),
+        (2, T[0], "r", "b", "keep", 4, "I"),
+    ]), epoch=0))
+    assert all(s.applied for s in apply_scd2(cur, hist, _batch(spark, [
+        (3, T[1], "r", "a", "SECRET-v2", 2, "U"),
+    ]), epoch=1))
+    assert all(s.applied for s in apply_scd2(cur, hist, _batch(spark, [
+        (4, T[2], "r", "a", "SECRET-v3", 3, "U"),
+    ]), epoch=2))
+    assert _scan_scd2_files_for(spark, hist, "SECRET") >= 2
+    assert _scan_scd2_files_for(spark, cur, "SECRET") >= 1
+
+    keys = spark.createDataFrame([("r", "a")], "repo string, path string")
+    report = purge_scd2(cur, hist, keys, "purge:req-1", vacuum_grace_sec=0.0)
+
+    assert report["keys"] == 1 and report["history_intervals"] == 2
+    assert report["history_tombstoned"] and report["current_tombstoned"]
+    assert report["history_residual_live"] == 0
+    assert report["current_residual_live"] == 0
+    # no payload byte of the subject survives in EITHER table's files
+    assert _scan_scd2_files_for(spark, hist, "SECRET") == 0
+    assert _scan_scd2_files_for(spark, cur, "SECRET") == 0
+    # the view keeps the bystander, loses every subject interval
+    assert _intervals(cur, hist) == {("r", "b", T[0]): ("keep", None, True)}
+
+    # crash-replay with the same manifest key: merges are metadata no-ops,
+    # the maintenance tail is idempotent, nothing resurrects
+    again = purge_scd2(cur, hist, keys, "purge:req-1", vacuum_grace_sec=0.0)
+    assert not again["history_tombstoned"] and not again["current_tombstoned"]
+    assert again["history_residual_live"] == 0
+    assert again["current_residual_live"] == 0
+
+
+def test_purge_scd2_rerun_after_crash_between_merge_and_compaction(
+    spark, tmp_root
+):
+    """The history lookup reads include_deleted=True precisely so a re-run
+    after a crash between the tombstone merge and the compaction still
+    finds the already-tombstoned intervals' buckets and finishes the
+    file-level scrub — a live-rows read would see nothing and leave the
+    subject's payload bytes on disk forever."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.scd2 import SEQ_COL, purge_scd2
+
+    cur, hist = _pair(spark, tmp_root, props={"compact_threshold": "999"})
+    assert all(s.applied for s in apply_scd2(cur, hist, _batch(spark, [
+        (1, T[0], "r", "a", "SECRET-v1", 1, "I"),
+    ]), epoch=0))
+    assert all(s.applied for s in apply_scd2(cur, hist, _batch(spark, [
+        (2, T[1], "r", "a", "SECRET-v2", 2, "U"),
+    ]), epoch=1))
+
+    # simulate the crash: the purge's history merge landed (same manifest
+    # key purge_scd2 will use), but nothing after it ran
+    keys = spark.createDataFrame([("r", "a")], "repo string, path string")
+    hsnap = hist.current_snapshot()
+    tomb = (
+        hist.read().join(keys, KEY, "left_semi")
+        .select(*hsnap.key_cols,
+                (F.col(SEQ_COL) + F.lit(1)).cast("long").alias(SEQ_COL),
+                F.lit("D").alias("op"))
+    )
+    assert hist.merge(tomb, manifest_key="purge:req-2:hist").applied
+    assert _scan_scd2_files_for(spark, hist, "SECRET") >= 1  # bytes remain
+
+    report = purge_scd2(cur, hist, keys, "purge:req-2", vacuum_grace_sec=0.0)
+    assert not report["history_tombstoned"]  # merge was the crashed run's
+    assert report["history_buckets_compacted"] >= 1
+    assert report["history_residual_live"] == 0
+    assert report["current_residual_live"] == 0
+    assert _scan_scd2_files_for(spark, hist, "SECRET") == 0
+    assert _scan_scd2_files_for(spark, cur, "SECRET") == 0
+
+
+def test_scd2_schema_evolution_mid_stream(spark, tmp_root):
+    """An additive column arriving mid-WAL: current evolves at the epoch
+    that delivers it, history evolves one close later (closed rows are
+    snapshots of the OLD state), and scd2_view aligns the vintages with
+    NULL backfill throughout — same additive contract sync and diff
+    already test (test_sync.py, test_diff.py)."""
+    cur, hist = _pair(spark, tmp_root)
+    assert all(s.applied for s in apply_scd2(cur, hist, _batch(spark, [
+        (1, T[0], "r", "a", "py", 1, "I"),
+    ]), epoch=0))
+
+    # epoch 1 brings a NEW payload column; the view must already carry it
+    evolved = spark.createDataFrame(
+        [(2, T[1], "r", "a", "rs", 2, "team-x", "U")],
+        SCHEMA + ", team string, op string",
+    )
+    assert all(s.applied for s in apply_scd2(cur, hist, evolved, epoch=1))
+    got = {
+        (r["repo"], r["path"], r["op_ts"]): (r["lang"], r["team"],
+                                             r["is_current"])
+        for r in scd2_view(cur, hist).collect()
+    }
+    # the closed pre-evolution interval reads NULL for the new column;
+    # the open interval carries the delivered value
+    assert got == {
+        ("r", "a", T[0]): ("py", None, False),
+        ("r", "a", T[1]): ("rs", "team-x", True),
+    }
+
+    # epoch 2 closes the evolved interval: history evolves additively and
+    # the closed row KEEPS its team value
+    evolved2 = spark.createDataFrame(
+        [(3, T[2], "r", "a", "go", 3, "team-y", "U")],
+        SCHEMA + ", team string, op string",
+    )
+    assert all(s.applied for s in apply_scd2(cur, hist, evolved2, epoch=2))
+    got2 = {
+        (r["repo"], r["path"], r["op_ts"]): (r["lang"], r["team"],
+                                             r["is_current"])
+        for r in scd2_view(cur, hist).collect()
+    }
+    assert got2 == {
+        ("r", "a", T[0]): ("py", None, False),
+        ("r", "a", T[1]): ("rs", "team-x", False),
+        ("r", "a", T[2]): ("go", "team-y", True),
+    }
+    assert "team" in [f.name for f in hist.current_snapshot().schema.fields]
+
+    # replaying an evolved epoch stays a metadata no-op
+    again = apply_scd2(cur, hist, evolved2, epoch=2)
+    assert not any(s.applied for s in again)

@@ -184,3 +184,55 @@ def test_sync_requires_cursor_prefix_declaration(spark, tmp_root):
     dst = _mk(spark, tmp_root, "dst_np")         # prop missing
     with pytest.raises(ValueError, match="cursor prefix"):
         sync_changes(src, dst)
+
+
+def test_stream_sync_follows_commits_and_resumes_after_kill(spark, tmp_root):
+    """Continuous-sync face (streaming/change_feed.py::stream_sync): the
+    tail loop applies one sync round per detected commit wave; killing the
+    loop and starting a fresh one resumes from the destination's own
+    cursor — no checkpoint beyond the manifest the batch face already
+    writes."""
+    from etl_spark.streaming import stream_sync
+
+    src = _mk(spark, tmp_root, "src")
+    dst = _mk(spark, tmp_root, "dst", n_buckets=4,
+              props={"cursor_prefixes": "sync"})
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "v1", "I"),
+                               (2, T0, "r", "b", "v1", "I")])
+
+    # drain exactly one round, then "kill" the loop (drop the generator)
+    it = stream_sync(src, dst, poll_interval=0.05)
+    st = next(it)
+    assert st.applied
+    it.close()
+    assert {r["path"]: r["content"] for r in dst.read().collect()} == \
+        {"a": "v1", "b": "v1"}
+    cursor_after_kill = last_synced_version(dst)
+
+    # upstream keeps committing while the consumer is down; the restarted
+    # loop picks BOTH waves up as one round from the persisted cursor
+    _merge(spark, src, "e:1",
+           [(3, T0 + dt.timedelta(minutes=1), "r", "a", "v2", "U")])
+    _merge(spark, src, "e:2",
+           [(4, T0 + dt.timedelta(minutes=2), "r", "b", None, "D"),
+            (5, T0 + dt.timedelta(minutes=3), "r", "c", "v1", "I")])
+    it2 = stream_sync(src, dst, poll_interval=0.05)
+    st2 = next(it2)
+    assert st2.applied
+    assert last_synced_version(dst) == src.current_version() > cursor_after_kill
+    assert {r["path"]: r["content"] for r in dst.read().collect()} == \
+        {"a": "v2", "c": "v1"}
+
+    # caught up: a stop-gated loop exits without yielding (no busy apply)
+    done = {"n": 0}
+
+    def stop():
+        done["n"] += 1
+        return done["n"] > 2
+
+    assert list(stream_sync(src, dst, poll_interval=0.01, stop=stop)) == []
+    it2.close()
+
+    # exactly-once ledger across both incarnations: every key unique
+    keys = list(dst.current_snapshot().applied)
+    assert len(keys) == len(set(keys))
