@@ -127,6 +127,17 @@ BENCH_QUERIES = [
     "pii_scrub",
     "kmeans_clusters",
     "order_revenue_topk",
+    # incremental-consumer tier (round 4): end-to-end wall time INCLUDES
+    # building the upstream LakeTable fixture — unlike the exclusions
+    # above, here the maintenance rounds themselves are the dominant and
+    # interesting cost, and round-over-round regressions in the merge /
+    # sync / close paths show up nowhere else
+    "cdc_incremental_sync",
+    "incremental_agg_sync",
+    "rollup_recompute_sync",
+    "scd2_incremental",
+    "cdc_purge_erasure",
+    "scd2_purge_erasure",
 ]
 
 
