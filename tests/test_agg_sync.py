@@ -323,3 +323,29 @@ def test_delta_agg_sync_all_null_measures_do_not_wipe_sum(spark, tmp_root):
            [(5, T0 + dt.timedelta(minutes=3), "r", "e", "go", 4, "I")])
     assert sync_aggregate(src, dst, ["lang"], _sums()).applied
     assert _got(dst) == {"py": (3, 10), "go": (2, 4)}
+
+
+def test_agg_sync_survives_upstream_rebucket_mid_feed(spark, tmp_root):
+    """The delta path prunes OLD-snapshot reads with the old layout's
+    bucket hash and NEW-snapshot reads with the new one (_changed_buckets
+    hashes per snapshot); an upstream rebucket between rounds must not
+    corrupt the maintained rollup."""
+    src = _mk_src(spark, tmp_root)
+    dst = create_aggregate_table(
+        spark, os.path.join(tmp_root, "dst"), src,
+        group_cols=["lang"], sum_names=["sum_size"], n_buckets=2,
+    )
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "py", 10, "I"),
+                               (2, T0, "r", "b", "go", 5, "I")])
+    assert sync_aggregate(src, dst, ["lang"], _sums()).applied
+    assert _got(dst) == _expected(src) == {"py": (1, 10), "go": (1, 5)}
+
+    src.rebucket(16)
+    # a move between groups + fresh rows under the new layout: the delta
+    # needs old rows (old layout, 4 buckets) AND new rows (16 buckets)
+    _merge(spark, src, "e:1",
+           [(3, T0 + dt.timedelta(minutes=1), "r", "a", "rs", 11, "U"),
+            (4, T0 + dt.timedelta(minutes=2), "r", "c", "py", 7, "I")])
+    assert sync_aggregate(src, dst, ["lang"], _sums()).applied
+    assert _got(dst) == _expected(src) == \
+        {"rs": (1, 11), "py": (1, 7), "go": (1, 5)}

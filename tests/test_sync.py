@@ -236,3 +236,29 @@ def test_stream_sync_follows_commits_and_resumes_after_kill(spark, tmp_root):
     # exactly-once ledger across both incarnations: every key unique
     keys = list(dst.current_snapshot().applied)
     assert len(keys) == len(set(keys))
+
+
+def test_sync_survives_upstream_rebucket_mid_feed(spark, tmp_root):
+    """Layout evolution between sync rounds: the upstream rebuckets (a
+    maintenance commit — added=[], nothing re-enters the feed) and later
+    epochs land under the NEW layout; the consumer's next round must
+    carry exactly the post-cursor data changes and converge to upstream
+    state."""
+    src = _mk(spark, tmp_root, "src", n_buckets=2)
+    dst = _mk(spark, tmp_root, "dst", n_buckets=4,
+              props={"cursor_prefixes": "sync"})
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "v1", "I"),
+                               (2, T0, "r", "b", "v1", "I")])
+    assert sync_changes(src, dst).applied
+
+    src.rebucket(8)
+    _merge(spark, src, "e:1",
+           [(3, T0 + dt.timedelta(minutes=1), "r", "a", "v2", "U"),
+            (4, T0 + dt.timedelta(minutes=2), "q", "c", "v1", "I")])
+    st = sync_changes(src, dst)
+    assert st.applied
+    assert {r["path"]: r["content"] for r in dst.read().collect()} == \
+        {r["path"]: r["content"] for r in src.read().collect()} == \
+        {"a": "v2", "b": "v1", "c": "v1"}
+    # caught up afterwards — the rebucket commit itself is feed-invisible
+    assert sync_changes(src, dst) is None
