@@ -200,9 +200,19 @@ def prunable_predicates(
 def file_matches(stats_entry, preds) -> bool:
     """May this file contain a row satisfying ALL of ``preds``?
     ``stats_entry`` is the snapshot's ``{col: [enc_min, enc_max]}`` for
-    the file (possibly missing columns = unknown = may match)."""
+    the file (possibly missing columns = unknown = may match), plus any
+    ``"<col>#bloom"`` membership entries (lake/bloom.py) consulted for
+    ``=`` / ``in`` — same prunable-predicate gating, a second refuter."""
+    from etl_spark.lake.bloom import BLOOM_SUFFIX, bloom_may_contain
+
     for p in preds:
         col, op = p[0], p[1]
+        if op in ("=", "in"):
+            bl = (stats_entry or {}).get(col + BLOOM_SUFFIX)
+            if bl is not None:
+                vals = p[2] if op == "in" else [p[2]]
+                if all(not bloom_may_contain(bl, v) for v in vals):
+                    return False
         bound = (stats_entry or {}).get(col)
         if bound is None:
             continue

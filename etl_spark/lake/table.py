@@ -182,6 +182,20 @@ class Snapshot:
         raw = self.props.get("stats_cols", "")
         return [c.strip() for c in raw.split(",") if c.strip()]
 
+    def bloom_cols(self) -> list[str]:
+        """Columns with per-file Bloom filters (``bloom_cols`` table
+        prop; size via ``bloom_bits``/``bloom_k`` — lake/bloom.py).
+        Entries share the ``file_stats`` map under ``<col>#bloom`` keys,
+        so they follow their file's lifecycle exactly like zone maps."""
+        raw = self.props.get("bloom_cols", "")
+        return [c.strip() for c in raw.split(",") if c.strip()]
+
+    def bloom_shape(self) -> tuple[int, int]:
+        from etl_spark.lake.bloom import DEFAULT_BITS, DEFAULT_K
+
+        return (int(self.props.get("bloom_bits", DEFAULT_BITS)),
+                int(self.props.get("bloom_k", DEFAULT_K)))
+
     def has_applied(self, manifest_key: str) -> bool:
         """Exactly-once membership: the bounded recent window, then the
         per-prefix folded range for sequence-shaped keys ('name:123') —
@@ -282,6 +296,12 @@ class LakeTable:
         missing = [c for c in key_cols + version_cols if c not in schema.fieldNames()]
         if missing:
             raise ValueError(f"key/version columns not in schema: {missing}")
+        if props and props.get("bloom_cols"):
+            from etl_spark.lake.bloom import validate_bloom_cols
+
+            validate_bloom_cols(
+                schema, [c.strip() for c in props["bloom_cols"].split(",")
+                         if c.strip()])
         table = LakeTable(spark, path)
         snap = Snapshot(
             version=0,
@@ -950,19 +970,47 @@ class LakeTable:
     def _harvest_stats(
         self, snap: Snapshot, new_files: dict[int, list[str]]
     ) -> dict[str, dict[str, list]]:
-        """Zone maps for freshly-written files (``stats_cols`` prop; one
-        distributed footer-only job — see lake/stats.py). Best-effort:
-        a failed harvest must never fail the committed write, it only
-        costs pruning."""
-        cols = snap.stats_cols()
-        if not cols or not new_files:
+        """Zone maps (``stats_cols``: one distributed footer-only job —
+        lake/stats.py) and Bloom filters (``bloom_cols``: one zero-shuffle
+        data pass over the new files only — lake/bloom.py) for freshly-
+        written files. Best-effort: a failed harvest must never fail the
+        committed write, it only costs pruning."""
+        if not new_files:
             return {}
-        from etl_spark.lake.stats import harvest_file_stats
+        out: dict[str, dict[str, list]] = {}
+        rels = [f for fl in new_files.values() for f in fl]
+        cols = snap.stats_cols()
+        if cols:
+            from etl_spark.lake.stats import harvest_file_stats
 
+            try:
+                out = harvest_file_stats(self.spark, self.path, rels, cols)
+            except Exception:  # noqa: BLE001 — stats are an optimization
+                out = {}
+        for rel, entry in self._harvest_blooms(snap, rels).items():
+            out.setdefault(rel, {}).update(entry)
+        return out
+
+    def _harvest_blooms(
+        self, snap: Snapshot, rels: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file blooms for the ``bloom_cols`` prop over freshly
+        written files. Tombstone rows are INCLUDED (their key values must
+        keep their file unprunable so a delete can win its key's LWW);
+        columns absent from the prop's validated set are skipped.
+        Best-effort like zone maps."""
+        cols = [c for c in snap.bloom_cols()
+                if c in {f.name for f in snap.schema.fields}]
+        if not cols or not rels:
+            return {}
+        from etl_spark.lake.bloom import build_file_blooms
+
+        m, k = snap.bloom_shape()
         try:
-            rels = [f for fl in new_files.values() for f in fl]
-            return harvest_file_stats(self.spark, self.path, rels, cols)
-        except Exception:  # noqa: BLE001 — stats are an optimization
+            df = self._read_files(snap, rels).withColumn(
+                "__file", F.input_file_name())
+            return build_file_blooms(df, "__file", cols, self.path, m, k)
+        except Exception:  # noqa: BLE001 — blooms are an optimization
             return {}
 
     def _child(
@@ -1092,25 +1140,47 @@ class LakeTable:
         raise AssertionError("unreachable")
 
     def backfill_stats(self) -> int:
-        """Harvest zone maps for referenced files that predate
-        ``stats_cols`` (or were written while it was unset) and commit
-        them as a metadata-only child. One distributed footer-only job;
-        returns how many files gained stats. No-op without the prop."""
+        """Harvest zone maps AND blooms for referenced files that predate
+        ``stats_cols`` / ``bloom_cols`` (or were written while unset) and
+        commit them as a metadata-only child. Zone maps: one distributed
+        footer-only job; blooms: one zero-shuffle data pass over only the
+        not-yet-covered files. Returns how many files gained entries;
+        no-op without the props. Raises (rather than silently skipping)
+        on a non-bloomable ``bloom_cols`` declaration — this is the
+        migration entry point, errors must be loud here."""
         snap = self.current_snapshot()
+        from etl_spark.lake.bloom import BLOOM_SUFFIX, validate_bloom_cols
+
         cols = snap.stats_cols()
+        bcols = snap.bloom_cols()
+        if bcols:
+            validate_bloom_cols(snap.schema, bcols)
         missing = [
             f for fl in snap.buckets.values() for f in fl
             if f not in snap.file_stats
-        ]
-        if not cols or not missing:
+        ] if cols else []
+        bloom_missing = [
+            f for fl in snap.buckets.values() for f in fl
+            if any(c + BLOOM_SUFFIX not in snap.file_stats.get(f, {})
+                   for c in bcols)
+        ] if bcols else []
+        if not missing and not bloom_missing:
             return 0
-        from etl_spark.lake.stats import harvest_file_stats
+        got: dict[str, dict[str, list]] = {}
+        if missing:
+            from etl_spark.lake.stats import harvest_file_stats
 
-        got = harvest_file_stats(self.spark, self.path, missing, cols)
+            got = harvest_file_stats(self.spark, self.path, missing, cols)
+        for rel, entry in self._harvest_blooms(snap, bloom_missing).items():
+            got.setdefault(rel, {}).update(entry)
         if not got:
             return 0
+        merged = {
+            f: {**snap.file_stats.get(f, {}), **entry}
+            for f, entry in got.items()
+        }
         child = self._child(snap, snap.schema, snap.buckets, None,
-                            added=[], new_stats=got)
+                            added=[], new_stats=merged)
         self._publish(child)
         return len(got)
 

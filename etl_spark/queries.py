@@ -206,6 +206,61 @@ FROM (
 """
 
 
+def q_bloom_point_lookup(spark, sf_dir):
+    """Bloom-filter file skipping on an UN-compacted merge-on-read table
+    (lake/bloom.py): every epoch file spans nearly the full key range
+    (hash-scattered), so zone maps cannot refute an equality probe — the
+    per-file blooms skip every delta file that does not hold the probed
+    keys, pre-LWW-sound on key columns. The query raises if no file was
+    actually pruned, so the driver verdict covers the skipping itself,
+    not just the row values."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 7)
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_bloom_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, _ = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=4,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        # high threshold: keep all 4 epoch deltas as separate MoR files so
+        # the probe exercises bloom skipping where zone maps are blind
+        table_props={"bloom_cols": "user_id", "bloom_bits": "32768",
+                     "compact_threshold": "100"},
+    )
+    keys = [7, 107, 207, 307, 407, 507]
+    where = [("user_id", "in", keys)]
+    counts = table.scan_counts(where=where)
+    if counts["files_pruned"] == 0:
+        raise AssertionError(
+            f"bloom pruning inert: {counts} — the gate exists to catch "
+            f"exactly this regression")
+    return table.read(where=where).select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+SQL_BLOOM_LOOKUP = """
+SELECT user_id, event_id, ts, event_type, value, props
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id % 10 = 7
+) WHERE rn = 1 AND event_type <> 'error'
+  AND user_id IN (7, 107, 207, 307, 407, 507)
+"""
+
+
 # -------------------------------------------------------- M1: transforms
 
 DE_PARA_LINEITEM = {
@@ -3216,6 +3271,7 @@ QUERIES = {
     "cdc_replay_final_state": q_cdc_replay_final_state,
     "cdc_lww_latest_state": q_cdc_lww_latest_state,
     "cdc_point_lookup": q_cdc_point_lookup,
+    "bloom_point_lookup": q_bloom_point_lookup,
     "cdc_state_range_read": q_cdc_state_range_read,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_change_feed": q_cdc_change_feed,
@@ -3300,6 +3356,7 @@ ORACLES = {
     "cdc_replay_final_state": SQL_CDC_REPLAY,
     "cdc_lww_latest_state": SQL_CDC_LWW,
     "cdc_point_lookup": SQL_POINT_LOOKUP,
+    "bloom_point_lookup": SQL_BLOOM_LOOKUP,
     "cdc_state_range_read": SQL_CDC_RANGE_READ,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,

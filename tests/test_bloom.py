@@ -1,0 +1,244 @@
+"""Per-file Bloom filters (lake/bloom.py): engine-portable membership,
+sound MoR-gated file skipping, tombstone safety, backfill migration.
+
+Reference analogue: the memoized per-value point SELECTs of
+/root/reference/src/impulsoetl/comum/geografias.py:78-97 — at lake scale
+the point-read index must live in file metadata."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql.types import StructType
+
+from etl_spark.lake import LakeTable
+from etl_spark.lake.bloom import (
+    BLOOM_SUFFIX,
+    bloom_may_contain,
+    canonical_probe,
+)
+
+SCHEMA = ("event_id bigint, op_ts timestamp, repo string, path string, "
+          "commit string, content string")
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _mk(spark, root, name, props=None, n_buckets=2):
+    base = {"bloom_cols": "path,commit", "bloom_bits": "8192"}
+    base.update(props or {})
+    return LakeTable.create(
+        spark, os.path.join(root, name), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=n_buckets, props=base,
+    )
+
+
+def _merge(spark, t, key, rows):
+    t.merge(spark.createDataFrame(rows, SCHEMA + ", op string"), key)
+
+
+def _rows(n0, n, commit):
+    return [
+        (n0 + i, T0 + dt.timedelta(seconds=n0 + i), "r", f"p{n0 + i}",
+         commit, f"body-{n0 + i}", "I")
+        for i in range(n)
+    ]
+
+
+def test_merge_harvests_blooms_no_false_negatives(spark, tmp_root):
+    t = _mk(spark, tmp_root, "t")
+    _merge(spark, t, "e:0", _rows(0, 300, "c-alpha"))
+    snap = t.current_snapshot()
+    files = [f for fl in snap.buckets.values() for f in fl]
+    assert files
+    for f in files:
+        entry = snap.file_stats.get(f, {})
+        assert "path" + BLOOM_SUFFIX in entry
+        assert "commit" + BLOOM_SUFFIX in entry
+    # no false negatives: every stored value answers "may contain" in the
+    # file that holds it (JVM-built bitmap probed with the Python hash —
+    # this IS the cross-engine parity gate)
+    got = t.read(with_meta=False).collect()
+    by_file = {}
+    for f in files:
+        df = spark.read.parquet(os.path.join(t.path, f))
+        by_file[f] = [r["path"] for r in df.select("path").collect()]
+    assert sorted(p for ps in by_file.values() for p in ps) == \
+        sorted(r["path"] for r in got)
+    for f, paths in by_file.items():
+        bl = snap.file_stats[f]["path" + BLOOM_SUFFIX]
+        for p in paths:
+            assert bloom_may_contain(bl, p)
+
+
+def test_bloom_refutes_most_absent_values(spark, tmp_root):
+    t = _mk(spark, tmp_root, "t")
+    _merge(spark, t, "e:0", _rows(0, 500, "c-alpha"))
+    snap = t.current_snapshot()
+    entries = [
+        snap.file_stats[f]["path" + BLOOM_SUFFIX]
+        for fl in snap.buckets.values() for f in fl
+    ]
+    absent = [f"nope-{i}" for i in range(200)]
+    false_pos = sum(
+        1 for v in absent for e in entries if bloom_may_contain(e, v)
+    )
+    # 8192-bit bloom over ≤500 values/file: fpp well under 5%
+    assert false_pos <= 0.05 * len(absent) * len(entries)
+
+
+def test_point_read_prunes_files_zone_maps_cannot(spark, tmp_root):
+    """Key-scattered MoR bucket: per-file [min,max] on `path` overlap
+    almost fully across epoch files, so zone maps keep everything; the
+    bloom skips every file that does not hold the probed key. Sound under
+    MoR (key-column equality is prunable pre-LWW)."""
+    t = _mk(spark, tmp_root, "t", props={"compact_threshold": "100"},
+            n_buckets=1)
+    for e in range(6):
+        _merge(spark, t, f"e:{e}", _rows(1000 * e, 50, f"c-{e}"))
+    snap = t.current_snapshot()
+    n_files = sum(len(fl) for fl in snap.buckets.values())
+    assert n_files >= 6  # un-compacted deltas
+    counts = t.scan_counts(where=[("path", "=", "p2003")])
+    assert counts["files_total"] == n_files
+    assert counts["files_pruned"] >= n_files - 2  # ≥ all-but-fpp skipped
+    rows = t.read(where=[("path", "=", "p2003")]).collect()
+    assert [r["event_id"] for r in rows] == [2003]
+    # in-list probe across epochs: keeps only the probed files
+    counts = t.scan_counts(where=[("path", "in", ["p3", "p4007"])])
+    assert counts["files_read"] <= 2 + 1
+    got = {r["path"] for r in
+           t.read(where=[("path", "in", ["p3", "p4007"])]).collect()}
+    assert got == {"p3", "p4007"}
+
+
+def test_payload_bloom_prunes_only_after_compaction(spark, tmp_root):
+    """`commit` is a payload column: pruning on it pre-LWW could promote
+    a stale row, so the MoR gate must ignore the bloom until the bucket
+    is a compacted single file — then it must prune."""
+    t = _mk(spark, tmp_root, "t", props={"compact_threshold": "100"},
+            n_buckets=1)
+    _merge(spark, t, "e:0", _rows(0, 40, "c-old"))
+    # overwrite the same keys: same path, new commit — the LWW winners
+    _merge(spark, t, "e:1",
+           [(100 + i, T0 + dt.timedelta(hours=1, seconds=i), "r", f"p{i}",
+             "c-new", f"v2-{i}", "U") for i in range(40)])
+    mor = t.scan_counts(where=[("commit", "=", "c-old")])
+    assert mor["files_pruned"] == 0  # gate: payload col not prunable on MoR
+    assert t.read(where=[("commit", "=", "c-old")]).count() == 0
+    t.compact()
+    cc = t.scan_counts(where=[("commit", "=", "c-old")])
+    # every compacted file holds only c-new winners => all pruned
+    assert cc["files_pruned"] == cc["files_total"] > 0
+    assert t.read(where=[("commit", "=", "c-old")]).count() == 0
+    assert t.read(where=[("commit", "=", "c-new")]).count() == 40
+
+
+def test_tombstone_file_survives_pruning_so_delete_wins(spark, tmp_root):
+    t = _mk(spark, tmp_root, "t", props={"compact_threshold": "100"},
+            n_buckets=1)
+    _merge(spark, t, "e:0", _rows(0, 20, "c0"))
+    _merge(spark, t, "e:1",
+           [(500, T0 + dt.timedelta(hours=2), "r", "p7", None, None, "D")])
+    # the probe must still read the tombstone's file: p7 is deleted
+    assert t.read(where=[("path", "=", "p7")]).count() == 0
+    assert t.read(where=[("path", "=", "p8")]).count() == 1
+    # and lookup() (which routes the same where-path) agrees
+    assert t.lookup([("r", "p7")]).count() == 0
+
+
+def test_backfill_adds_blooms_to_preexisting_files(spark, tmp_root):
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "t"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=2,
+    )
+    _merge(spark, t, "e:0", _rows(0, 100, "c0"))
+    snap = t.current_snapshot()
+    assert all("path" + BLOOM_SUFFIX not in snap.file_stats.get(f, {})
+               for fl in snap.buckets.values() for f in fl)
+    t.alter_props({"bloom_cols": "path", "bloom_bits": "8192"})
+    n = t.backfill_stats()
+    assert n > 0
+    snap = t.current_snapshot()
+    for fl in snap.buckets.values():
+        for f in fl:
+            assert "path" + BLOOM_SUFFIX in snap.file_stats[f]
+    assert t.backfill_stats() == 0  # idempotent
+    counts = t.scan_counts(where=[("path", "=", "p3")])
+    assert counts["files_pruned"] >= counts["files_total"] - 1
+
+
+def test_backfill_preserves_zone_maps_when_adding_blooms(spark, tmp_root):
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "t"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=2, props={"stats_cols": "event_id"},
+    )
+    _merge(spark, t, "e:0", _rows(0, 100, "c0"))
+    snap = t.current_snapshot()
+    f0 = next(f for fl in snap.buckets.values() for f in fl)
+    assert "event_id" in snap.file_stats[f0]
+    t.alter_props({"bloom_cols": "path", "bloom_bits": "8192"})
+    assert t.backfill_stats() > 0
+    snap = t.current_snapshot()
+    assert "event_id" in snap.file_stats[f0]  # zone map kept
+    assert "path" + BLOOM_SUFFIX in snap.file_stats[f0]  # bloom added
+
+
+def test_create_rejects_unportable_bloom_types(spark, tmp_root):
+    import pytest
+
+    with pytest.raises(ValueError, match="op_ts"):
+        LakeTable.create(
+            spark, os.path.join(tmp_root, "bad"),
+            StructType.fromDDL(SCHEMA),
+            key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+            props={"bloom_cols": "op_ts"},  # timestamp: not portable
+        )
+    with pytest.raises(ValueError, match="not in table schema"):
+        LakeTable.create(
+            spark, os.path.join(tmp_root, "bad2"),
+            StructType.fromDDL(SCHEMA),
+            key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+            props={"bloom_cols": "nope"},
+        )
+
+
+def test_bloom_on_integral_key_and_date(spark, tmp_root):
+    """Canonical-string parity beyond strings: bigint and date probes."""
+    schema = StructType.fromDDL(
+        "user_id bigint, ts timestamp, day date, v string")
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "t"), schema,
+        key_cols=["user_id"], version_cols=["ts"], n_buckets=1,
+        props={"bloom_cols": "user_id,day", "bloom_bits": "8192",
+               "compact_threshold": "100"},
+    )
+    for e in range(4):
+        rows = [(1000 * e + i, T0, dt.date(2024, 1, 1 + e), f"v{i}", "I")
+                for i in range(30)]
+        t.merge(spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, day date, v string, "
+                  "op string"), f"e:{e}")
+    c = t.scan_counts(where=[("user_id", "=", 2003)])
+    assert c["files_pruned"] >= c["files_total"] - 1
+    assert t.read(where=[("user_id", "=", 2003)]).count() == 1
+    c = t.scan_counts(where=[("day", "=", dt.date(2024, 1, 3))])
+    # `day` is payload => MoR gate blocks it pre-compaction
+    assert c["files_pruned"] == 0
+    t.compact()
+    c = t.scan_counts(where=[("day", "=", dt.date(2024, 1, 3))])
+    assert c["files_pruned"] == 0  # single compacted file per bucket holds all days
+    assert t.read(where=[("day", "=", dt.date(2024, 1, 3))]).count() == 30
+
+
+def test_canonical_probe_rejects_unportable_values():
+    assert canonical_probe("x") == "x"
+    assert canonical_probe(12) == "12"
+    assert canonical_probe(dt.date(2024, 1, 2)) == "2024-01-02"
+    assert canonical_probe(None) is None
+    assert canonical_probe(True) is None        # bool-is-int trap
+    assert canonical_probe(1.5) is None         # float formatting
+    assert canonical_probe(dt.datetime(2024, 1, 1)) is None  # 'T' vs ' '
