@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 
 from etl_spark.lake import LakeTable
 
-__all__ = ["follow_changes", "stream_sync"]
+__all__ = ["follow_changes", "stream_sync", "stream_agg_sync"]
 
 
 def follow_changes(
@@ -83,8 +83,52 @@ def stream_sync(
     distributed merge plan."""
     from etl_spark.cdc.sync import sync_changes
 
+    yield from _stream_rounds(
+        lambda: sync_changes(src, dst, prefix=prefix), poll_interval, stop)
+
+
+def stream_agg_sync(
+    src: LakeTable,
+    dst: LakeTable,
+    group_cols: list[str],
+    sum_exprs=None,
+    agg_exprs=None,
+    prefix: str = "aggsync",
+    poll_interval: float = 1.0,
+    stop: Callable[[], bool] | None = None,
+):
+    """Continuous materialized-rollup maintenance: the streaming face of
+    :func:`etl_spark.cdc.agg_sync.sync_aggregate` (pass ``sum_exprs`` —
+    exact signed-delta COUNT/SUM tier, O(changed keys) per round) or of
+    :func:`~etl_spark.cdc.agg_sync.sync_aggregate_recompute` (pass
+    ``agg_exprs`` — any Spark aggregate, O(rows of affected groups);
+    exactly one of the two must be given, same split and same pricing as
+    the batch faces).
+
+    Resume/exactly-once contract is identical to :func:`stream_sync`: the
+    cursor IS the destination's ``{prefix}:{upstream_version}`` manifest,
+    advanced atomically with each round's merge — kill the loop anywhere,
+    call again, and the next round picks up every upstream commit wave
+    since the last applied one as a single round."""
+    from etl_spark.cdc.agg_sync import sync_aggregate, sync_aggregate_recompute
+
+    if (sum_exprs is None) == (agg_exprs is None):
+        raise ValueError("pass exactly one of sum_exprs (delta tier) or "
+                         "agg_exprs (recompute tier)")
+    if sum_exprs is not None:
+        round_fn = lambda: sync_aggregate(  # noqa: E731
+            src, dst, group_cols, sum_exprs, prefix=prefix)
+    else:
+        round_fn = lambda: sync_aggregate_recompute(  # noqa: E731
+            src, dst, group_cols, agg_exprs, prefix=prefix)
+    yield from _stream_rounds(round_fn, poll_interval, stop)
+
+
+def _stream_rounds(round_fn, poll_interval: float, stop):
+    """Shared tail loop: apply rounds as commit waves land, yield each
+    round's MergeStats, sleep between no-op polls, honor ``stop``."""
     while stop is None or not stop():
-        stats = sync_changes(src, dst, prefix=prefix)
+        stats = round_fn()
         if stats is not None:
             yield stats
         else:

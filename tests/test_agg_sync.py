@@ -325,6 +325,83 @@ def test_delta_agg_sync_all_null_measures_do_not_wipe_sum(spark, tmp_root):
     assert _got(dst) == {"py": (3, 10), "go": (2, 4)}
 
 
+def test_stream_agg_sync_follows_commits_and_resumes_after_kill(spark, tmp_root):
+    """Streaming face of aggregate maintenance: same no-checkpoint resume
+    contract as stream_sync — the cursor IS the destination's manifest."""
+    from etl_spark.streaming import stream_agg_sync
+
+    src = _mk_src(spark, tmp_root)
+    dst = create_aggregate_table(
+        spark, os.path.join(tmp_root, "dst"), src,
+        group_cols=["lang"], sum_names=["sum_size"], n_buckets=2,
+    )
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "py", 10, "I"),
+                               (2, T0, "r", "b", "go", 5, "I")])
+
+    it = stream_agg_sync(src, dst, ["lang"], sum_exprs=_sums(),
+                         poll_interval=0.05)
+    assert next(it).applied
+    it.close()  # "kill" the consumer
+    assert _got(dst) == {"py": (1, 10), "go": (1, 5)}
+
+    # two upstream waves while down; restart folds them into one round
+    _merge(spark, src, "e:1",
+           [(3, T0 + dt.timedelta(minutes=1), "r", "a", "rs", 11, "U")])
+    _merge(spark, src, "e:2",
+           [(4, T0 + dt.timedelta(minutes=2), "r", "b", None, None, "D"),
+            (5, T0 + dt.timedelta(minutes=3), "r", "c", "py", 7, "I")])
+    it2 = stream_agg_sync(src, dst, ["lang"], sum_exprs=_sums(),
+                          poll_interval=0.05)
+    assert next(it2).applied
+    it2.close()
+    assert _got(dst) == _expected(src) == {"rs": (1, 11), "py": (1, 7)}
+
+    # caught up: a stop-gated loop exits without yielding
+    done = {"n": 0}
+
+    def stop():
+        done["n"] += 1
+        return done["n"] > 2
+
+    assert list(stream_agg_sync(src, dst, ["lang"], sum_exprs=_sums(),
+                                poll_interval=0.01, stop=stop)) == []
+
+
+def test_stream_agg_sync_recompute_tier_and_arg_validation(spark, tmp_root):
+    from etl_spark.cdc.agg_sync import create_rollup_table
+    from etl_spark.streaming import stream_agg_sync
+
+    src = _mk_src(spark, tmp_root)
+    aggs = {"max_size": F.max("size")}
+    dst = create_rollup_table(
+        spark, os.path.join(tmp_root, "dst"), src,
+        group_cols=["lang"], agg_exprs=aggs, n_buckets=2,
+    )
+    _merge(spark, src, "e:0", [(1, T0, "r", "a", "py", 10, "I"),
+                               (2, T0, "r", "b", "py", 4, "I")])
+    it = stream_agg_sync(src, dst, ["lang"], agg_exprs=aggs,
+                         poll_interval=0.05)
+    assert next(it).applied
+    it.close()
+    assert {r["lang"]: r["max_size"] for r in dst.read().collect()} == \
+        {"py": 10}
+    # MAX shrinks when the extremum leaves — the recompute tier must see it
+    _merge(spark, src, "e:1",
+           [(3, T0 + dt.timedelta(minutes=1), "r", "a", None, None, "D")])
+    it2 = stream_agg_sync(src, dst, ["lang"], agg_exprs=aggs,
+                          poll_interval=0.05)
+    assert next(it2).applied
+    it2.close()
+    assert {r["lang"]: r["max_size"] for r in dst.read().collect()} == \
+        {"py": 4}
+
+    with pytest.raises(ValueError, match="exactly one"):
+        next(stream_agg_sync(src, dst, ["lang"]))
+    with pytest.raises(ValueError, match="exactly one"):
+        next(stream_agg_sync(src, dst, ["lang"], sum_exprs=_sums(),
+                             agg_exprs=aggs))
+
+
 def test_agg_sync_survives_upstream_rebucket_mid_feed(spark, tmp_root):
     """The delta path prunes OLD-snapshot reads with the old layout's
     bucket hash and NEW-snapshot reads with the new one (_changed_buckets

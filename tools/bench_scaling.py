@@ -151,16 +151,28 @@ def main() -> None:
     print(f"hardware ceiling {lo_cpus}->{hi_cpus}: {hw_eff:.2f}; 8->32: {hw_eff_8_32:.2f}")
 
     wal_root = tempfile.mkdtemp(prefix="scale_wal_", dir="/dev/shm")
+    lo = hi = None
     try:
         _run(GEN.format(repo=REPO, events=events, epochs=epochs, wal_root=wal_root))
-        lo = json.loads(_run(WORKER.format(
-            repo=REPO, cpus=lo_cpus, reps=reps, epochs=epochs,
-            events=events, wal_root=wal_root)))
-        print(f"local[{lo_cpus}]:", lo)
-        hi = json.loads(_run(WORKER.format(
-            repo=REPO, cpus=hi_cpus, reps=reps, epochs=epochs,
-            events=events, wal_root=wal_root)))
-        print(f"local[{hi_cpus}]:", hi)
+        # INTERLEAVED legs: one (lo, hi) pair per round, fresh JVM each —
+        # running all lo reps then all hi reps lets neighbor-load drift
+        # between the two ~10-min blocks bias the RATIO (observed: the
+        # same protocol measured 0.95 and 0.75 efficiency on consecutive
+        # days purely from which leg caught the quiet window). Adjacent
+        # legs sample the same noise; best-of-R per leg as before.
+        for r in range(reps):
+            lo_r = json.loads(_run(WORKER.format(
+                repo=REPO, cpus=lo_cpus, reps=1, epochs=epochs,
+                events=events, wal_root=wal_root)))
+            hi_r = json.loads(_run(WORKER.format(
+                repo=REPO, cpus=hi_cpus, reps=1, epochs=epochs,
+                events=events, wal_root=wal_root)))
+            print(f"round {r}: local[{lo_cpus}]={lo_r['events_per_sec']:,.0f} "
+                  f"local[{hi_cpus}]={hi_r['events_per_sec']:,.0f} ev/s")
+            if lo is None or lo_r["events_per_sec"] > lo["events_per_sec"]:
+                lo = lo_r
+            if hi is None or hi_r["events_per_sec"] > hi["events_per_sec"]:
+                hi = hi_r
     finally:
         shutil.rmtree(wal_root, ignore_errors=True)
 
@@ -173,8 +185,10 @@ replay job — deterministic synthetic WAL (seed=42, {events:,} events + 5%
 duplicate re-deliveries, {epochs} epochs, 2,000 repos x 2,000 paths, 30%
 hot-repo skew), generated ONCE with a fixed 64-file layout — executed at
 two parallelism levels (N={lo_cpus} and 4N={hi_cpus} cores; shuffle
-partitions 2x cores). Per level: 1 JIT warmup merge, then best of {reps}
-full replays. Scratch (shuffle + table) on tmpfs, standing in for
+partitions 2x cores). {reps} INTERLEAVED (lo, hi) rounds — adjacent legs
+sample the same neighbor-load window, so drift between legs cannot bias
+the ratio — each a fresh JVM with 1 JIT warmup merge then one timed full
+replay; best of {reps} per level. Scratch (shuffle + table) on tmpfs, standing in for
 per-executor disks whose aggregate bandwidth scales with executor count on
 a real cluster. Table layout (n_buckets=64) fixed across levels.
 
