@@ -142,28 +142,56 @@ def valid_code_array(col: Column | str, pattern: str = r"^[A-Z][0-9]{2,3}$") -> 
     return F.concat(F.lit("{"), F.array_join(F.array_distinct(toks), ","), F.lit("}"))
 
 
+def _build_fold_table() -> tuple[str, str]:
+    """1:1 Latin fold pairs for `translate`, generated ONCE at import from
+    Unicode NFD decomposition: every lowercase codepoint in Latin-1
+    Supplement, Latin Extended-A/B, and Latin Extended Additional
+    (U+00C0–U+024F, U+1E00–U+1EFF — Vietnamese, Romanian comma-below,
+    pinyin tone vowels, Welsh, ...) whose decomposition strips to a single
+    ASCII letter. Deterministic (a fixed function of the unicodedata
+    tables), so the oracle literal gate in queries.py pins the result.
+    Stroked letters that do NOT decompose (ø ł đ ħ ŧ ð ı ĸ ơ-siblings in
+    Extended-B without NFD forms, etc.) ride an explicit list."""
+    import unicodedata
+
+    manual = {
+        "ø": "o", "đ": "d", "ħ": "h", "ı": "i", "ĸ": "k", "ł": "l",
+        "ŋ": "n", "ŧ": "t", "ð": "d", "ɨ": "i", "ɉ": "j", "ƀ": "b",
+        "ɵ": "o", "ǥ": "g", "ȥ": "z", "ɇ": "e", "ʉ": "u", "ɍ": "r",
+        "ɏ": "y", "ƚ": "l", "ŉ": "n", "ŀ": "l",
+    }
+    src, dst = list(manual), list(manual.values())
+    for lo, hi in ((0x00C0, 0x024F), (0x1E00, 0x1EFF)):
+        for cp in range(lo, hi + 1):
+            ch = chr(cp).lower()
+            if ch in manual or not ch.isalpha() or len(ch) != 1:
+                continue
+            base = [c for c in unicodedata.normalize("NFD", ch)
+                    if not unicodedata.combining(c)]
+            if len(base) == 1 and "a" <= base[0] <= "z" and ch not in src:
+                src.append(ch)
+                dst.append(base[0])
+    return "".join(src), "".join(dst)
+
+
+_FOLD_SRC, _FOLD_DST = _build_fold_table()
+
+
 def normalize_text(col: Column | str) -> Column:
     """Lower-case, non-alnum runs → '_', trim leading/trailing '_'
-    (utilitarios/textos.py:15-28). Accent folding covers the full Latin-1
-    supplement AND Latin Extended-A (Latin-2 languages: pl/cs/sk/hu/ro/
-    lt/lv...) — 1:1 folds via `translate`, the multi-char Latin-1 ligatures
-    (ß→ss, æ→ae, œ→oe, þ→th) via `replace` — all JVM-side, codegen'd;
-    that is the full set the reference's unidecode call encounters in its
-    ISO-8859-1 sources plus the neighboring code page. Non-Latin scripts
-    fold to '_' like any other non-alnum rune."""
+    (utilitarios/textos.py:15-28). Accent folding covers Latin-1
+    Supplement + Latin Extended-A/B + Latin Extended Additional via a
+    decomposition-generated 1:1 `translate` table (see
+    :func:`_build_fold_table`), with the multi-char ligatures (ß→ss,
+    æ/ǣ/ǽ→ae, œ→oe, þ→th, ĳ→ij, ǳ/ǆ→dz, ǉ→lj, ǌ→nj) via `replace` —
+    all JVM-side, codegen'd. That is a strict superset of what the
+    reference's unidecode call encounters in its ISO-8859-1 sources.
+    Non-Latin scripts fold to '_' like any other non-alnum rune."""
     c = F.lower(_c(col))
-    for lig, out in (("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("þ", "th")):
+    for lig, out in (("ß", "ss"), ("æ", "ae"), ("ǣ", "ae"), ("ǽ", "ae"),
+                     ("œ", "oe"), ("þ", "th"), ("ĳ", "ij"), ("ǳ", "dz"),
+                     ("ǆ", "dz"), ("ǉ", "lj"), ("ǌ", "nj")):
         c = F.replace(c, F.lit(lig), F.lit(out))
-    c = F.translate(
-        c,
-        # Latin-1 supplement (lower-cased forms)
-        "áàâãäåéèêëíìîïóòôõöøúùûüçñýÿð"
-        # Latin Extended-A
-        "āăąćĉċčďđēĕėęěĝğġģĥħĩīĭįıĵķĸĺļľŀłńņňŉŋōŏő"
-        "ŕŗřśŝşšţťŧũūŭůűųŵŷźżž",
-        "aaaaaaeeeeiiiioooooouuuucnyyd"
-        "aaaccccddeeeeegggghhiiiiijkklllllnnnnnooo"
-        "rrrsssstttuuuuuuwyzzz",
-    )
+    c = F.translate(c, _FOLD_SRC, _FOLD_DST)
     c = F.regexp_replace(c, r"[^a-z0-9]+", "_")
     return F.regexp_replace(c, r"^_+|_+$", "")

@@ -405,18 +405,22 @@ FROM r
 
 def q_normalize_names(spark, sf_dir):
     """Text normalization (utilitarios/textos.py equivalent). The constant
-    accented prefix exercises the full Latin-1/Extended-A fold (incl. the
-    multi-char ß→ss ligature and Latin-2 ł/ő/ř/ž); the oracle carries its
+    accented prefix exercises the decomposition-generated Latin fold —
+    Latin-1/Extended-A (ß→ss, ł/ő/ř/ž), Extended Additional (Việt),
+    Romanian comma-below (Ț), pinyin tone vowels (ǚ), and the Extended-B
+    digraph + ĳ multi-char ligatures (Ǌ→nj, Ĳ→ij); the oracle carries the
     ground-truth folded form as a literal, so the gate fails if the fold
     map regresses."""
     p = _t(spark, sf_dir, "part")
-    name = F.concat(F.lit("Sífilis Ação Łódź Gärße Őř Čaj — "), F.col("p_name"))
+    name = F.concat(
+        F.lit("Sífilis Ação Łódź Gärße Őř Čaj Việt Ția Ǚber Ǌegoš ĲS — "),
+        F.col("p_name"))
     return p.select("p_partkey", normalize_text(name).alias("norm_name"))
 
 
 SQL_NORMALIZE = """
 SELECT p_partkey,
-       concat('sifilis_acao_lodz_garsse_or_caj_',
+       concat('sifilis_acao_lodz_garsse_or_caj_viet_tia_uber_njegos_ijs_',
               regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '_', 'g'),
                              '^_+|_+$', '', 'g')) AS norm_name
 FROM part

@@ -63,6 +63,15 @@ def test_bool_decode_and_codes(spark):
 def test_money_and_normalize(spark):
     assert one(spark, money_brl_to_double("x"), x="R$ 1.234,56") == pytest.approx(1234.56)
     assert one(spark, normalize_text("x"), x="  Ação; de Saúde! ") == "acao_de_saude"
+    # decomposition-generated long tail: Vietnamese, Romanian comma-below,
+    # pinyin tone vowels, Welsh, digraph + ĳ ligatures, non-decomposing strokes
+    assert one(spark, normalize_text("x"), x="Tiếng Việt Thư Ngỏ") == \
+        "tieng_viet_thu_ngo"
+    assert one(spark, normalize_text("x"), x="Știința Țării") == "stiinta_tarii"
+    assert one(spark, normalize_text("x"), x="Nǚ Lǜshī ǊEGOŠ Ĳsselmeer") == \
+        "nu_lushi_njegos_ijsselmeer"
+    assert one(spark, normalize_text("x"), x="Ŵŷ Ḋáṁ ȘȚ øłđħŧ") == \
+        "wy_dam_st_oldht"
 
 
 def test_date_parsers(spark):
