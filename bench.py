@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "scd2_incremental",
     "cdc_purge_erasure",
     "scd2_purge_erasure",
+    "bloom_point_lookup",
+    "bloom_pair_lookup",
 ]
 
 

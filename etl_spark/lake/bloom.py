@@ -11,7 +11,7 @@ per-file Bloom filters; LakeTable gets the same capability here.
 
 * **Store** — a bloom is one more entry in the snapshot's existing
   ``file_stats`` map under the reserved key ``"<col>#bloom"`` (column
-  names in bloom-enabled tables may not contain ``#``), valued
+  names in bloom-enabled tables may not contain ``#`` or ``|``), valued
   ``[b64(zlib(bitmap)), m_bits, k_hashes]``. It therefore inherits ALL of
   the zone-map lifecycle for free: carried while its file is referenced,
   dropped when the file is de-referenced, backfillable, bounded metadata.
@@ -35,11 +35,27 @@ per-file Bloom filters; LakeTable gets the same capability here.
   is inserted, including key values on tombstone rows, whose files must
   survive pruning so a deletion can win its key's LWW).
 
+* **Composite entries** — a ``bloom_cols`` entry may be a ``|``-joined
+  column tuple (``"repo|path"``): the bloom then holds the canonical
+  strings of the VALUE PAIRS, not of either column alone. This is the
+  entry a multi-column-keyed CDC table needs: on a hash-bucketed layout
+  every delta file contains *most individual values* of each key column
+  (measured on the synthetic WAL: ~85% of all repos appear in every
+  64-bucket file, so per-column blooms refute nothing), while a specific
+  ``(repo, path)`` pair lands in exactly one file per epoch. Probed by
+  the tuple predicate form ``((col1, col2), "in", [(v1, v2), ...])``
+  (lake/stats.py) which ``lookup()`` emits automatically when the entry
+  covers the table's key columns.
+
 **Engine-portable hashing.** Both sides hash the value's *canonical
 string* (Spark ``CAST(col AS STRING)`` == Python ``str()`` for strings and
 integers, ``date.isoformat()`` for dates — the only types allowed, see
 ``BLOOMABLE_TYPES``; floats/timestamps are rejected because their string
-forms diverge across engines). Double hashing à la Kirsch-Mitzenmacher
+forms diverge across engines). Composite entries hash the component
+canonicals joined by the unit separator ``\\x1f`` (Spark ``concat`` with a
+``\\x1f`` literal — NULL if any component is NULL, which is the skip rule:
+equality never selects NULL; DuckDB replays it as
+``md5(c1 || chr(31) || c2)``). Double hashing à la Kirsch-Mitzenmacher
 over one md5: h1 = md5[0:15] hex, h2 = md5[15:30] hex | 1, position_i =
 ((h1 % m) + i * (h2 % m)) % m — the mod-first form keeps every
 intermediate < 16·m, bit-identical between JVM longs and Python ints.
@@ -67,17 +83,24 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "BLOOM_SUFFIX",
+    "COMPOSITE_SEP",
+    "TUPLE_SEP",
     "DEFAULT_BITS",
     "DEFAULT_K",
     "BLOOMABLE_TYPES",
     "canonical_probe",
+    "canonical_tuple",
     "bloom_positions",
     "bloom_may_contain",
+    "auto_bits",
+    "file_row_counts",
     "build_file_blooms",
     "validate_bloom_cols",
 ]
 
 BLOOM_SUFFIX = "#bloom"
+COMPOSITE_SEP = "|"   # joins COLUMN NAMES in a composite bloom_cols entry
+TUPLE_SEP = "\x1f"    # joins canonical VALUES of a composite entry
 DEFAULT_BITS = 65536
 DEFAULT_K = 7
 
@@ -106,6 +129,20 @@ def canonical_probe(value) -> str | None:
     return None
 
 
+def canonical_tuple(values) -> str | None:
+    """Canonical string of a composite-entry probe tuple: component
+    canonicals joined by ``TUPLE_SEP``. None (never prunes) if any
+    component cannot be canonicalized — matching the build side, where
+    ``concat`` yields NULL (row skipped) if any component is NULL."""
+    parts = []
+    for v in values:
+        c = canonical_probe(v)
+        if c is None:
+            return None
+        parts.append(c)
+    return TUPLE_SEP.join(parts)
+
+
 def bloom_positions(canonical: str, m: int, k: int) -> list[int]:
     """The k bit positions of a canonical value (see module docstring for
     the exact mod-first double-hash form mirrored JVM-side)."""
@@ -122,8 +159,13 @@ def _bitmap(b64: str) -> bytes:
 
 def bloom_may_contain(entry: list, value) -> bool:
     """May the file contain ``value``? ``entry`` = [b64, m, k] from the
-    snapshot. Unknown/mis-typed values answer True (never prune)."""
-    canonical = canonical_probe(value)
+    snapshot. A tuple/list value probes a composite entry (the pair
+    itself, not its components). Unknown/mis-typed values answer True
+    (never prune)."""
+    if isinstance(value, (tuple, list)):
+        canonical = canonical_tuple(value)
+    else:
+        canonical = canonical_probe(value)
     if canonical is None:
         return True
     b64, m, k = entry[0], int(entry[1]), int(entry[2])
@@ -138,32 +180,99 @@ def bloom_may_contain(entry: list, value) -> bool:
 
 
 def validate_bloom_cols(schema, cols: Iterable[str]) -> None:
-    """Raise at declaration time (create / backfill) if a bloom column is
-    absent, non-bloomable, or would collide with the reserved key space."""
+    """Raise at declaration time (create / backfill) if a bloom entry's
+    column is absent, non-bloomable, or would collide with the reserved
+    key space. An entry may be a ``|``-joined composite tuple; every
+    component must individually satisfy the scalar rules."""
     by_name = {f.name: f.dataType.typeName() for f in schema.fields}
-    for c in cols:
-        if "#" in c:
-            raise ValueError(f"bloom column {c!r} may not contain '#' "
+    for entry in cols:
+        if "#" in entry:
+            raise ValueError(f"bloom entry {entry!r} may not contain '#' "
                              f"(reserved for '<col>{BLOOM_SUFFIX}' keys)")
-        t = by_name.get(c)
-        if t is None:
-            raise ValueError(f"bloom column {c!r} not in table schema")
-        if t not in BLOOMABLE_TYPES:
-            raise ValueError(
-                f"bloom column {c!r} has type {t!r}; engine-portable "
-                f"hashing supports only {sorted(BLOOMABLE_TYPES)} "
-                f"(CAST-to-string must match Python's canonical form)")
+        parts = [p.strip() for p in entry.split(COMPOSITE_SEP)]
+        if any(not p for p in parts):
+            raise ValueError(f"bloom entry {entry!r}: empty component "
+                             f"(composite entries are 'colA|colB')")
+        for c in parts:
+            t = by_name.get(c)
+            if t is None:
+                raise ValueError(f"bloom column {c!r} not in table schema")
+            if t not in BLOOMABLE_TYPES:
+                raise ValueError(
+                    f"bloom column {c!r} has type {t!r}; engine-portable "
+                    f"hashing supports only {sorted(BLOOMABLE_TYPES)} "
+                    f"(CAST-to-string must match Python's canonical form)")
 
 
-def _h_mod_exprs(col: str, m: int):
-    """JVM-side (h1 % m, h2 % m) of CAST(col AS STRING) — the same md5
-    split as bloom_positions; NULL values yield NULL (skipped: a bloom
-    never needs NULL, equality predicates cannot select it)."""
-    hx = F.md5(F.col(col).cast("string"))
+def _canonical_expr(entry: str):
+    """JVM-side canonical string of one bloom entry: CAST for a scalar
+    column; ``concat(c1, '\\x1f', c2, ...)`` for a composite (``concat``
+    — unlike ``concat_ws`` — is NULL if ANY input is NULL, so a
+    part-NULL tuple is skipped rather than aliased onto another pair)."""
+    parts = [p.strip() for p in entry.split(COMPOSITE_SEP)]
+    if len(parts) == 1:
+        return F.col(parts[0]).cast("string")
+    pieces = []
+    for p in parts:
+        if pieces:
+            pieces.append(F.lit(TUPLE_SEP))
+        pieces.append(F.col(p).cast("string"))
+    return F.concat(*pieces)
+
+
+def _h_raw_exprs(entry: str):
+    """JVM-side RAW (h1, h2) of an entry's canonical string — 15 hex
+    digits each (< 2^60, fits a long); the ``|1`` and ``% m`` happen in
+    the kernel so m may vary per file. NULL canonicals yield NULL
+    (skipped: a bloom never needs NULL, equality cannot select it)."""
+    hx = F.md5(_canonical_expr(entry))
     h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(hx, 16, 15), 16, 10).cast("long").bitwiseOR(
-        F.lit(1).cast("long"))
-    return (h1 % m).cast("long"), (h2 % m).cast("long")
+    h2 = F.conv(F.substring(hx, 16, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def _rel_of(uri: str, root: str) -> str:
+    """Strip scheme + table root from an input_file_name() URI."""
+    path = uri.split("://", 1)[-1] if "://" in uri else uri
+    return path.split(root, 1)[-1] if root in path else path
+
+
+def auto_bits(n_rows: int, bits_per_key: int = 10,
+              max_bits: int = 8_388_608) -> int:
+    """Bitmap size for a file of ``n_rows`` keys: next power of two of
+    ``bits_per_key``x rows (~1% fpp at k=7 for 10 bits/key), clamped to
+    [8192, max_bits]. A FIXED m saturates as files grow — measured on
+    the 8M-event WAL (15.6k pairs/file): 65,536 bits -> 81% load -> 23%
+    per-probe fpp -> 23/128 files pruned; sizing by row count is what
+    keeps pruning effective across a 100x scale-up."""
+    want = max(8192, n_rows * bits_per_key)
+    m = 8192
+    while m < want and m < max_bits:
+        m <<= 1
+    return m
+
+
+def file_row_counts(spark, table_path: str, rel_paths: list[str]
+                    ) -> dict[str, int]:
+    """Parquet-footer ``num_rows`` per file — one metadata-only
+    distributed job, mirroring stats.harvest_file_stats."""
+    if not rel_paths:
+        return {}
+    root = table_path
+
+    def _part(paths):
+        import pyarrow.parquet as pq
+
+        for rel in paths:
+            try:
+                yield rel, pq.ParquetFile(
+                    os.path.join(root, rel)).metadata.num_rows
+            except Exception:  # noqa: BLE001 — unreadable: default size
+                yield rel, 0
+    n = max(1, min(len(rel_paths), 64))
+    got = spark.sparkContext.parallelize(sorted(rel_paths), n) \
+        .mapPartitions(_part).collect()
+    return dict(got)
 
 
 def build_file_blooms(
@@ -173,25 +282,33 @@ def build_file_blooms(
     root: str,
     m: int = DEFAULT_BITS,
     k: int = DEFAULT_K,
+    m_by_rel: dict[str, int] | None = None,
 ) -> dict[str, dict[str, list]]:
-    """Build per-file blooms for ``cols`` over ``df`` (which must carry
-    ``file_col`` = input_file_name()). Returns
-    ``{rel_path: {"<col>#bloom": [b64, m, k]}}``.
+    """Build per-file blooms for ``cols`` (scalar or ``|``-composite
+    entries) over ``df`` (which must carry ``file_col`` =
+    input_file_name()). Returns
+    ``{rel_path: {"<entry>#bloom": [b64, m, k]}}``.
 
-    Zero-shuffle: hash bases JVM-side, per-partition partial bitmaps in an
-    Arrow kernel, driver ORs the partials (a handful of compressed KiB per
-    file — the bitmaps, never the positions, cross to the driver)."""
+    ``m_by_rel`` overrides the bitmap size per file (``bloom_bits:
+    "auto"`` sizes by footer row count — see :func:`auto_bits`); the
+    probe side needs nothing, every entry already stores its own m.
+
+    Zero-shuffle: raw hash bases JVM-side, per-partition partial bitmaps
+    in an Arrow kernel (mod-m per file), driver ORs the partials (a
+    handful of compressed KiB per file — the bitmaps, never the
+    positions, cross to the driver)."""
     import pandas as pd  # Arrow kernel only (CLAUDE.md: no row-at-a-time)
 
     if not cols:
         return {}
     sel = [F.col(file_col).alias("__f")]
     for i, c in enumerate(cols):
-        h1m, h2m = _h_mod_exprs(c, m)
-        sel += [h1m.alias(f"__h1_{i}"), h2m.alias(f"__h2_{i}")]
+        h1r, h2r = _h_raw_exprs(c)
+        sel += [h1r.alias(f"__h1_{i}"), h2r.alias(f"__h2_{i}")]
     slim = df.select(*sel)
     n_cols = len(cols)
-    nbytes = m // 8
+    root = os.path.abspath(root).rstrip("/") + "/"
+    m_for = dict(m_by_rel or {})
 
     def _kernel(batches):
         import numpy as np
@@ -199,22 +316,25 @@ def build_file_blooms(
         partial: dict[tuple[str, int], "np.ndarray"] = {}
         for pdf in batches:
             for f, grp in pdf.groupby("__f", sort=False):
+                rel = _rel_of(f, root)
+                mf = m_for.get(rel, m)
+                nbytes = mf // 8
                 for i in range(n_cols):
-                    h1 = grp[f"__h1_{i}"].dropna().to_numpy("int64")
+                    h1 = grp[f"__h1_{i}"].dropna().to_numpy("int64") % mf
                     if h1.size == 0:
                         continue
-                    h2 = grp[f"__h2_{i}"].loc[grp[f"__h1_{i}"].notna()] \
-                        .to_numpy("int64")
-                    bm = partial.get((f, i))
+                    h2 = (grp[f"__h2_{i}"].loc[grp[f"__h1_{i}"].notna()]
+                          .to_numpy("int64") | 1) % mf
+                    bm = partial.get((rel, i))
                     if bm is None:
-                        bm = partial[(f, i)] = np.zeros(nbytes, np.uint8)
+                        bm = partial[(rel, i)] = np.zeros(nbytes, np.uint8)
                     for j in range(k):
-                        pos = (h1 + j * h2) % m
+                        pos = (h1 + j * h2) % mf
                         np.bitwise_or.at(bm, pos >> 3,
                                          (1 << (pos & 7)).astype(np.uint8))
         out = {"f": [], "i": [], "bm": []}
-        for (f, i), bm in partial.items():
-            out["f"].append(f)
+        for (rel, i), bm in partial.items():
+            out["f"].append(rel)
             out["i"].append(i)
             out["bm"].append(zlib.compress(bm.tobytes(), 1))
         yield pd.DataFrame(out)
@@ -224,7 +344,6 @@ def build_file_blooms(
 
     import numpy as np
 
-    root = os.path.abspath(root).rstrip("/") + "/"
     merged: dict[tuple[str, int], "np.ndarray"] = {}
     for r in rows:
         key = (r["f"], r["i"])
@@ -232,11 +351,9 @@ def build_file_blooms(
         got = merged.get(key)
         merged[key] = bm if got is None else (got | bm)
     out: dict[str, dict[str, list]] = {}
-    for (uri, i), bm in merged.items():
-        path = uri.split("://", 1)[-1] if "://" in uri else uri
-        rel = path.split(root, 1)[-1] if root in path else path
+    for (rel, i), bm in merged.items():
         out.setdefault(rel, {})[cols[i] + BLOOM_SUFFIX] = [
             base64.b64encode(zlib.compress(bm.tobytes(), 6)).decode("ascii"),
-            m, k,
+            len(bm) * 8, k,
         ]
     return out

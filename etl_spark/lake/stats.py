@@ -184,13 +184,22 @@ def prunable_predicates(
 
     Anything else (payload columns under MoR) never prunes — it is
     applied only as the residual filter.
+
+    A TUPLE predicate ``((c1, c2), '='|'in', ...)`` (the probe shape of
+    composite blooms, lake/bloom.py) prunes under MoR iff every component
+    is a key column — the same argument as a single key column: all
+    versions of a key carry identical key values, so a file refuting the
+    tuple set holds no candidate of any surviving key.
     """
     if unique_file:
         return list(preds)
     out = []
     for p in preds:
         col, op = p[0], p[1]
-        if col in key_cols:
+        if isinstance(col, (tuple, list)):
+            if all(c in key_cols for c in col):
+                out.append(p)
+        elif col in key_cols:
             out.append(p)
         elif col in version_cols and op in (">", ">="):
             out.append(p)
@@ -202,10 +211,33 @@ def file_matches(stats_entry, preds) -> bool:
     ``stats_entry`` is the snapshot's ``{col: [enc_min, enc_max]}`` for
     the file (possibly missing columns = unknown = may match), plus any
     ``"<col>#bloom"`` membership entries (lake/bloom.py) consulted for
-    ``=`` / ``in`` — same prunable-predicate gating, a second refuter."""
-    from etl_spark.lake.bloom import BLOOM_SUFFIX, bloom_may_contain
+    ``=`` / ``in`` — same prunable-predicate gating, a second refuter.
 
+    A tuple predicate ``((c1, c2), '='|'in', tuples)`` probes the
+    composite bloom ``"c1|c2#bloom"`` with the value PAIRS, and is also
+    decomposed into per-column in-lists so the components' zone maps and
+    scalar blooms get their (weaker) shot at refuting the file."""
+    from etl_spark.lake.bloom import (
+        BLOOM_SUFFIX, COMPOSITE_SEP, bloom_may_contain,
+    )
+
+    expanded = []
     for p in preds:
+        col, op = p[0], p[1]
+        if not isinstance(col, (tuple, list)):
+            expanded.append(p)
+            continue
+        tuples = p[2] if op == "in" else [p[2]]
+        bl = (stats_entry or {}).get(
+            COMPOSITE_SEP.join(col) + BLOOM_SUFFIX)
+        if bl is not None and tuples and \
+                all(not bloom_may_contain(bl, t) for t in tuples):
+            return False
+        if tuples:
+            for i, c in enumerate(col):
+                expanded.append((c, "in", [t[i] for t in tuples]))
+
+    for p in expanded:
         col, op = p[0], p[1]
         if op in ("=", "in"):
             bl = (stats_entry or {}).get(col + BLOOM_SUFFIX)
@@ -248,13 +280,35 @@ def file_matches(stats_entry, preds) -> bool:
     return True
 
 
+def _tuple_in_column(cols, tuples):
+    """Exact row filter for a tuple predicate: ``array_contains`` of the
+    literal struct array against ``struct(cols)`` — one expression, no
+    1000-term OR chain (field names aligned so struct types resolve)."""
+    from pyspark.sql import functions as F
+
+    if not tuples:
+        return F.lit(False)
+    probe = F.struct(*[F.col(c).alias(f"_{i}") for i, c in enumerate(cols)])
+    arr = F.array(*[
+        F.struct(*[F.lit(v).alias(f"_{i}") for i, v in enumerate(t)])
+        for t in tuples
+    ])
+    return F.array_contains(arr, probe)
+
+
 def predicate_column(preds):
     """Conjunctive residual filter as one pyspark Column (exact
-    semantics; pruning above is only ever a superset of this)."""
+    semantics; pruning above is only ever a superset of this).
+    Tuple predicates become an ``array_contains`` over structs."""
     from pyspark.sql import functions as F
 
     out = None
     for p in preds:
+        if isinstance(p[0], (tuple, list)):
+            tuples = p[2] if p[1] == "in" else [p[2]]
+            c = _tuple_in_column(list(p[0]), [tuple(t) for t in tuples])
+            out = c if out is None else (out & c)
+            continue
         col, op = F.col(p[0]), p[1]
         if op == ">=":
             c = col >= F.lit(p[2])
@@ -280,6 +334,24 @@ def validate_predicates(preds, schema_cols: list[str]) -> None:
             raise ValueError(f"malformed predicate {p!r}; expected "
                              f"(col, op, value[, value2])")
         col, op = p[0], p[1]
+        if isinstance(col, (tuple, list)):
+            if op not in ("=", "in"):
+                raise ValueError(f"tuple predicate supports only '='/'in', "
+                                 f"got {op!r}")
+            missing = [c for c in col if c not in schema_cols]
+            if missing:
+                raise ValueError(f"tuple predicate columns {missing!r} not "
+                                 f"in table schema")
+            tuples = p[2] if op == "in" else [p[2]]
+            if op == "in" and not isinstance(p[2], (list, tuple, set)):
+                raise ValueError("tuple in predicate needs an iterable "
+                                 "of value tuples")
+            for t in tuples:
+                if not isinstance(t, (list, tuple)) or len(t) != len(col):
+                    raise ValueError(
+                        f"tuple predicate value {t!r} does not match "
+                        f"columns {tuple(col)!r}")
+            continue
         if op not in _OPS:
             raise ValueError(f"unsupported predicate op {op!r} "
                              f"(supported: {sorted(_OPS)})")

@@ -184,17 +184,34 @@ class Snapshot:
 
     def bloom_cols(self) -> list[str]:
         """Columns with per-file Bloom filters (``bloom_cols`` table
-        prop; size via ``bloom_bits``/``bloom_k`` — lake/bloom.py).
-        Entries share the ``file_stats`` map under ``<col>#bloom`` keys,
-        so they follow their file's lifecycle exactly like zone maps."""
-        raw = self.props.get("bloom_cols", "")
-        return [c.strip() for c in raw.split(",") if c.strip()]
+        prop; size via ``bloom_bits``/``bloom_k`` — lake/bloom.py). An
+        entry may be a ``|``-joined composite (``"repo|path"``): one
+        bloom over the value PAIRS, probed by ``lookup()``'s tuple
+        predicate — required for multi-column keys, whose individual
+        values appear in nearly every hash-bucketed file.
+        Entries share the ``file_stats`` map under ``<entry>#bloom``
+        keys, so they follow their file's lifecycle like zone maps.
+        Component whitespace is normalized so ``"repo | path"`` and
+        ``"repo|path"`` name the same entry/key."""
+        from etl_spark.lake.bloom import COMPOSITE_SEP
 
-    def bloom_shape(self) -> tuple[int, int]:
+        raw = self.props.get("bloom_cols", "")
+        return [
+            COMPOSITE_SEP.join(p.strip() for p in c.split(COMPOSITE_SEP))
+            for c in (c.strip() for c in raw.split(","))
+            if c
+        ]
+
+    def bloom_shape(self) -> tuple:
+        """(bits, k): bits is an int, or the string ``"auto"`` to size
+        each file's bitmap from its footer row count (bloom.auto_bits —
+        a fixed size saturates as files grow; every stored entry carries
+        its own m, so mixed sizes probe fine)."""
         from etl_spark.lake.bloom import DEFAULT_BITS, DEFAULT_K
 
-        return (int(self.props.get("bloom_bits", DEFAULT_BITS)),
-                int(self.props.get("bloom_k", DEFAULT_K)))
+        raw = self.props.get("bloom_bits", DEFAULT_BITS)
+        bits = "auto" if raw == "auto" else int(raw)
+        return (bits, int(self.props.get("bloom_k", DEFAULT_K)))
 
     def has_applied(self, manifest_key: str) -> bool:
         """Exactly-once membership: the bounded recent window, then the
@@ -468,8 +485,11 @@ class LakeTable:
 
         ``where`` — optional conjunctive predicates
         ``[(col, op, value[, value2]), ...]`` with op in
-        ``> >= < <= = in between``. Semantics: filter on the FINAL table
-        state (the per-key LWW winner), exactly ``read().filter(...)``.
+        ``> >= < <= = in between``; ``col`` may be a TUPLE of columns
+        with op ``=``/``in`` over value tuples (probes composite blooms;
+        residual is an exact struct-membership filter). Semantics: filter
+        on the FINAL table state (the per-key LWW winner), exactly
+        ``read().filter(...)``.
         With the ``stats_cols`` table prop set, per-file zone maps skip
         files the predicates refute before any data I/O — sound pruning
         rules per file in lake/stats.py — and the residual filter lands
@@ -540,6 +560,18 @@ class LakeTable:
                 (c, "in", [k[i] for k in keys])
                 for i, c in enumerate(snap.key_cols)
             ]
+            # Multi-column keys: the per-column IN lists lose the PAIRING
+            # (on a hash-bucketed layout most individual key values appear
+            # in every file, so neither zone maps nor scalar blooms can
+            # refute). If the table carries a composite bloom over the key
+            # tuple, add the tuple predicate so each file is probed with
+            # the exact key pairs — the O(probed files) point-read path.
+            from etl_spark.lake.bloom import COMPOSITE_SEP
+
+            if len(snap.key_cols) > 1 and \
+                    COMPOSITE_SEP.join(snap.key_cols) in snap.bloom_cols():
+                where.append(
+                    (tuple(snap.key_cols), "in", [tuple(k) for k in keys]))
         df = self.read(version=version, buckets=want_buckets, where=where)
         return df.join(F.broadcast(key_rows), snap.key_cols, "left_semi")
 
@@ -999,17 +1031,32 @@ class LakeTable:
         keep their file unprunable so a delete can win its key's LWW);
         columns absent from the prop's validated set are skipped.
         Best-effort like zone maps."""
+        names = {f.name for f in snap.schema.fields}
+        from etl_spark.lake.bloom import COMPOSITE_SEP
+
         cols = [c for c in snap.bloom_cols()
-                if c in {f.name for f in snap.schema.fields}]
+                if all(p in names for p in c.split(COMPOSITE_SEP))]
         if not cols or not rels:
             return {}
-        from etl_spark.lake.bloom import build_file_blooms
+        from etl_spark.lake.bloom import (
+            DEFAULT_BITS, auto_bits, build_file_blooms, file_row_counts,
+        )
 
         m, k = snap.bloom_shape()
         try:
+            m_by_rel = None
+            if m == "auto":
+                bpk = int(snap.props.get("bloom_bits_per_key", 10))
+                m_by_rel = {
+                    rel: auto_bits(n, bpk)
+                    for rel, n in file_row_counts(
+                        self.spark, self.path, rels).items()
+                }
+                m = DEFAULT_BITS
             df = self._read_files(snap, rels).withColumn(
                 "__file", F.input_file_name())
-            return build_file_blooms(df, "__file", cols, self.path, m, k)
+            return build_file_blooms(df, "__file", cols, self.path, m, k,
+                                     m_by_rel=m_by_rel)
         except Exception:  # noqa: BLE001 — blooms are an optimization
             return {}
 

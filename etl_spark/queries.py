@@ -261,6 +261,69 @@ FROM (
 """
 
 
+def q_bloom_pair_lookup(spark, sf_dir):
+    """Composite-bloom point lookup on a MULTI-COLUMN key (lake/bloom.py
+    composite entries): on a hash-bucketed layout most individual key
+    values appear in every delta file, so scalar blooms and zone maps
+    cannot refute a pair probe — only a bloom over the (user_id,
+    event_id) PAIR, probed by ``lookup()``'s tuple predicate, skips the
+    files that don't hold the probed pairs. Raises if the tuple
+    predicate pruned nothing, so the driver verdict covers the skipping
+    itself, not just the row values."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 4)
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_bloom_pair_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, _ = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=4,
+        key_cols=["user_id", "event_id"], version_cols=["ts"],
+        # high threshold: all 4 epoch deltas stay separate MoR files
+        table_props={"bloom_cols": "user_id|event_id",
+                     "bloom_bits": "32768", "compact_threshold": "100"},
+    )
+    probe_users = [4, 104, 204, 304, 404, 504]
+    pairs = [
+        (r["user_id"], r["event_id"])
+        for r in ev.filter(F.col("user_id").isin(probe_users))
+        .groupBy("user_id").agg(F.min("event_id").alias("event_id"))
+        .orderBy("user_id").collect()
+    ]
+    counts = table.scan_counts(
+        where=[(("user_id", "event_id"), "in", pairs)])
+    if counts["files_pruned"] == 0:
+        raise AssertionError(
+            f"composite-bloom pruning inert: {counts} — the gate exists "
+            f"to catch exactly this regression")
+    return table.lookup(pairs).select(
+        "user_id", "event_id", "ts", "event_type", "value", "props")
+
+
+SQL_BLOOM_PAIR_LOOKUP = """
+SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value, e.props
+FROM events e
+JOIN (
+  SELECT user_id, min(event_id) AS event_id
+  FROM events
+  WHERE user_id % 10 = 4
+    AND user_id IN (4, 104, 204, 304, 404, 504)
+  GROUP BY user_id) k
+  ON e.user_id = k.user_id AND e.event_id = k.event_id
+WHERE e.event_type <> 'error'
+"""
+
+
 # -------------------------------------------------------- M1: transforms
 
 DE_PARA_LINEITEM = {
@@ -3276,6 +3339,7 @@ QUERIES = {
     "cdc_lww_latest_state": q_cdc_lww_latest_state,
     "cdc_point_lookup": q_cdc_point_lookup,
     "bloom_point_lookup": q_bloom_point_lookup,
+    "bloom_pair_lookup": q_bloom_pair_lookup,
     "cdc_state_range_read": q_cdc_state_range_read,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_change_feed": q_cdc_change_feed,
@@ -3321,11 +3385,11 @@ QUERIES = {
     "asof_join_rules": q_asof_join_rules,
     "range_join_period": q_range_join_period,
     "anti_join_fill": q_anti_join_fill,
+    # ---- positions 50+: outside the driver's first-50 window; still
+    # verified every round by tools/check_correctness.py's full sweep ----
     "dim_broadcast_enrich": q_dim_broadcast_enrich,
     "pricing_summary": q_pricing_summary,
-    # ---- positions 50+: outside the driver's first-50 window; still
     "depara_projection": q_depara_projection,
-    # verified every round by tools/check_correctness.py's full sweep ----
     "cleaning_sentinels": q_cleaning_sentinels,
     "date_roundtrip": q_date_roundtrip,
     "money_parse": q_money_parse,
@@ -3361,6 +3425,7 @@ ORACLES = {
     "cdc_lww_latest_state": SQL_CDC_LWW,
     "cdc_point_lookup": SQL_POINT_LOOKUP,
     "bloom_point_lookup": SQL_BLOOM_LOOKUP,
+    "bloom_pair_lookup": SQL_BLOOM_PAIR_LOOKUP,
     "cdc_state_range_read": SQL_CDC_RANGE_READ,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,

@@ -242,3 +242,139 @@ def test_canonical_probe_rejects_unportable_values():
     assert canonical_probe(True) is None        # bool-is-int trap
     assert canonical_probe(1.5) is None         # float formatting
     assert canonical_probe(dt.datetime(2024, 1, 1)) is None  # 'T' vs ' '
+
+
+# ------------------------------------------------- composite (tuple) blooms
+
+def _pair_rows(e):
+    """Epoch ``e`` holds pairs (r{i}, p{(i+e) % 10}): every epoch file
+    contains ALL ten repos and ALL ten paths — only the PAIRING differs,
+    so nothing short of a composite bloom can tell the files apart."""
+    return [
+        (100 * e + i, T0 + dt.timedelta(hours=e, seconds=i), f"r{i}",
+         f"p{(i + e) % 10}", f"c{e}", f"b{e}-{i}", "I")
+        for i in range(10)
+    ]
+
+
+def test_composite_bloom_refutes_pairs_components_cannot(spark, tmp_root):
+    t = _mk(spark, tmp_root, "t",
+            props={"bloom_cols": "repo|path", "compact_threshold": "100"},
+            n_buckets=1)
+    for e in range(4):
+        _merge(spark, t, f"e:{e}", _pair_rows(e))
+    snap = t.current_snapshot()
+    n_files = sum(len(fl) for fl in snap.buckets.values())
+    assert n_files == 4
+    for fl in snap.buckets.values():
+        for f in fl:
+            assert "repo|path" + BLOOM_SUFFIX in snap.file_stats[f]
+    # per-column predicates: every file holds r0 AND p3 -> nothing pruned
+    c = t.scan_counts(where=[("repo", "=", "r0"), ("path", "=", "p3")])
+    assert c["files_pruned"] == 0
+    # the pair (r0, p3) exists only in epoch 3's file
+    c = t.scan_counts(where=[(("repo", "path"), "=", ("r0", "p3"))])
+    assert c["files_pruned"] >= n_files - 2
+    rows = t.read(where=[(("repo", "path"), "=", ("r0", "p3"))]).collect()
+    assert [(r["repo"], r["path"]) for r in rows] == [("r0", "p3")]
+    # tuple-IN over two pairs (epochs 3 and 1): reads only their files
+    pairs = [("r0", "p3"), ("r5", "p6")]
+    c = t.scan_counts(where=[(("repo", "path"), "in", pairs)])
+    assert c["files_read"] <= 3
+    got = {(r["repo"], r["path"]) for r in
+           t.read(where=[(("repo", "path"), "in", pairs)]).collect()}
+    assert got == set(pairs)
+
+
+def test_lookup_probes_composite_bloom_and_respects_tombstones(
+        spark, tmp_root):
+    """lookup() on a multi-column key emits the tuple predicate when the
+    table carries a key-covering composite bloom; a later tombstone's
+    file holds the pair in its bloom, so the delete still wins LWW."""
+    t = _mk(spark, tmp_root, "t",
+            props={"bloom_cols": "repo|path", "compact_threshold": "100"},
+            n_buckets=1)
+    for e in range(4):
+        _merge(spark, t, f"e:{e}", _pair_rows(e))
+    got = {(r["repo"], r["path"]) for r in
+           t.lookup([("r0", "p3"), ("r5", "p6")]).collect()}
+    assert got == {("r0", "p3"), ("r5", "p6")}
+    _merge(spark, t, "e:del",
+           [(999, T0 + dt.timedelta(days=1), "r0", "p3", None, None, "D")])
+    assert t.lookup([("r0", "p3")]).count() == 0
+    assert t.lookup([("r5", "p6")]).count() == 1
+
+
+def test_tuple_predicate_mor_gating():
+    from etl_spark.lake.stats import prunable_predicates
+
+    p_key = (("repo", "path"), "in", [("r0", "p1")])
+    p_mixed = (("repo", "commit"), "in", [("r0", "c1")])
+    # MoR: only an all-key-column tuple may prune pre-LWW
+    assert prunable_predicates(
+        [p_key, p_mixed], ["repo", "path"], ["op_ts"], False) == [p_key]
+    # compacted unique file: everything prunes
+    assert prunable_predicates(
+        [p_mixed], ["repo", "path"], ["op_ts"], True) == [p_mixed]
+
+
+def test_canonical_tuple_parity():
+    from etl_spark.lake.bloom import TUPLE_SEP, canonical_tuple
+
+    assert canonical_tuple(("a", 7)) == "a" + TUPLE_SEP + "7"
+    assert canonical_tuple(("a", dt.date(2024, 1, 2))) == \
+        "a" + TUPLE_SEP + "2024-01-02"
+    assert canonical_tuple(("a", None)) is None     # NULL: never prunes
+    assert canonical_tuple(("a", 1.5)) is None      # unportable component
+
+
+def test_auto_bits_sizes_by_row_count(spark, tmp_root):
+    """bloom_bits='auto': bitmap size scales with each file's footer row
+    count so big files don't saturate (fixed 64Kbit over 15.6k keys
+    measured 23% fpp); every entry stores its own m, so mixed sizes
+    probe exactly."""
+    t = _mk(spark, tmp_root, "t",
+            props={"bloom_cols": "path", "bloom_bits": "auto",
+                   "compact_threshold": "100"},
+            n_buckets=1)
+    _merge(spark, t, "e:0", _rows(0, 40, "c0"))       # small epoch file
+    _merge(spark, t, "e:1", _rows(1000, 2500, "c1"))  # big epoch file
+    snap = t.current_snapshot()
+    sizes = sorted(
+        snap.file_stats[f]["path" + BLOOM_SUFFIX][1]
+        for fl in snap.buckets.values() for f in fl
+    )
+    assert sizes[0] == 8192          # 40 rows -> floor
+    assert sizes[-1] >= 25000        # 2500 rows x 10 bits/key, pow2-rounded
+    c = t.scan_counts(where=[("path", "=", "p3")])
+    assert c["files_pruned"] >= 1    # the big file refutes p3
+    assert t.read(where=[("path", "=", "p3")]).count() == 1
+    assert t.read(where=[("path", "=", "p2003")]).count() == 1
+
+
+def test_auto_bits_clamps():
+    from etl_spark.lake.bloom import auto_bits
+
+    assert auto_bits(0) == 8192
+    assert auto_bits(800) == 8192
+    assert auto_bits(1000) == 16384
+    assert auto_bits(10**9) == 8_388_608
+
+
+def test_create_rejects_bad_composite_entries(spark, tmp_root):
+    import pytest
+
+    with pytest.raises(ValueError, match="op_ts"):
+        LakeTable.create(
+            spark, os.path.join(tmp_root, "badc"),
+            StructType.fromDDL(SCHEMA),
+            key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+            props={"bloom_cols": "repo|op_ts"},  # timestamp component
+        )
+    with pytest.raises(ValueError, match="empty component"):
+        LakeTable.create(
+            spark, os.path.join(tmp_root, "badc2"),
+            StructType.fromDDL(SCHEMA),
+            key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+            props={"bloom_cols": "repo|"},
+        )
