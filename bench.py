@@ -180,13 +180,20 @@ def main() -> None:
         for name in BENCH_QUERIES:
             fn = QUERIES[name]
             best = None
-            for _ in range(q_reps):
-                t0 = time.monotonic()
-                # count() is the driver-independent "run it" action; query
-                # payloads were validated in the correctness gate.
-                fn(spark, sf_dir).count()
-                dt = time.monotonic() - t0
-                best = dt if best is None or dt < best else best
+            try:
+                for _ in range(q_reps):
+                    t0 = time.monotonic()
+                    # count() is the driver-independent "run it" action;
+                    # query payloads were validated in the correctness gate.
+                    fn(spark, sf_dir).count()
+                    dt = time.monotonic() - t0
+                    best = dt if best is None or dt < best else best
+            except Exception as exc:  # noqa: BLE001 — one bad query must
+                # not zero out the whole round's benchmark artifact; the
+                # correctness gate is where failures should be fatal.
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                queries[name] = None
+                continue
             queries[name] = round(best, 2)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

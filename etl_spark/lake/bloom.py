@@ -62,6 +62,16 @@ intermediate < 16·m, bit-identical between JVM longs and Python ints.
 Same md5-substring trick as functions/hashing.py::portable_hash60, so a
 DuckDB oracle can replay membership exactly.
 
+**Metadata cost envelope.** Blooms live inside the snapshot JSON, which
+every commit rewrites: total metadata is O(live files x bloom size).
+The default 64Kbit bitmap is 8 KiB raw and typically 1-4 KiB zlib'd;
+``bloom_bits: "auto"`` caps at 1 MiB/file/entry, so a 64-bucket CDC tail
+with compaction enabled stays in the low MBs. For tables with many
+thousands of large compacted files the right home is a sidecar file
+referenced from the entry (what Iceberg's puffin files do) — the entry
+format ``[payload, m, k]`` leaves that evolution open; the probe path
+would swap the inline b64 for a lazy file read.
+
 Reference analogue: the memoized per-value point SELECTs the reference
 issues against dimension tables (/root/reference/src/impulsoetl/comum/
 geografias.py:78-97) — at lake scale the "index" must live in file
