@@ -62,15 +62,19 @@ intermediate < 16·m, bit-identical between JVM longs and Python ints.
 Same md5-substring trick as functions/hashing.py::portable_hash60, so a
 DuckDB oracle can replay membership exactly.
 
-**Metadata cost envelope.** Blooms live inside the snapshot JSON, which
-every commit rewrites: total metadata is O(live files x bloom size).
-The default 64Kbit bitmap is 8 KiB raw and typically 1-4 KiB zlib'd;
-``bloom_bits: "auto"`` caps at 1 MiB/file/entry, so a 64-bucket CDC tail
-with compaction enabled stays in the low MBs. For tables with many
-thousands of large compacted files the right home is a sidecar file
-referenced from the entry (what Iceberg's puffin files do) — the entry
-format ``[payload, m, k]`` leaves that evolution open; the probe path
-would swap the inline b64 for a lazy file read.
+**Metadata cost envelope.** Small blooms live inline in the snapshot
+JSON, which every commit rewrites: inline metadata is O(live files x
+bloom size). The default 64Kbit bitmap is 8 KiB raw and typically
+1-4 KiB zlib'd — fine inline. Bitmaps whose compressed payload exceeds
+the ``bloom_inline_max_bytes`` table prop (default 16 KiB) are written
+as **sidecar files** next to their data file
+(``<data-file>.<digest8>.bloom``, Iceberg's puffin pattern) and the
+entry stores ``["@<rel sidecar path>", m, k]`` — the snapshot carries a
+pointer, not the bitmap, so auto-sized blooms over large compacted
+files cannot balloon the commit path. Sidecars share the data
+directory's lifecycle: ``vacuum`` counts ``@``-referenced paths as
+referenced and reclaims orphans with the same grace window; probes load
+them lazily (lru-cached) at plan time.
 
 Reference analogue: the memoized per-value point SELECTs the reference
 issues against dimension tables (/root/reference/src/impulsoetl/comum/
@@ -167,10 +171,18 @@ def _bitmap(b64: str) -> bytes:
     return zlib.decompress(base64.b64decode(b64))
 
 
-def bloom_may_contain(entry: list, value) -> bool:
-    """May the file contain ``value``? ``entry`` = [b64, m, k] from the
-    snapshot. A tuple/list value probes a composite entry (the pair
-    itself, not its components). Unknown/mis-typed values answer True
+@lru_cache(maxsize=1024)
+def _sidecar_bitmap(abs_path: str) -> bytes:
+    with open(abs_path, "rb") as fh:
+        return zlib.decompress(fh.read())
+
+
+def bloom_may_contain(entry: list, value, root: str | None = None) -> bool:
+    """May the file contain ``value``? ``entry`` = [payload, m, k] from
+    the snapshot — payload is inline b64, or ``"@<rel path>"`` pointing
+    at a sidecar file under ``root`` (the table path). A tuple/list
+    value probes a composite entry (the pair itself, not its
+    components). Unknown/mis-typed/unloadable values answer True
     (never prune)."""
     if isinstance(value, (tuple, list)):
         canonical = canonical_tuple(value)
@@ -178,10 +190,15 @@ def bloom_may_contain(entry: list, value) -> bool:
         canonical = canonical_probe(value)
     if canonical is None:
         return True
-    b64, m, k = entry[0], int(entry[1]), int(entry[2])
+    payload, m, k = entry[0], int(entry[1]), int(entry[2])
     try:
-        bits = _bitmap(b64)
-    except Exception:  # noqa: BLE001 — corrupt entry: keep the file
+        if payload.startswith("@"):
+            if root is None:
+                return True  # no table root to resolve against
+            bits = _sidecar_bitmap(os.path.join(root, payload[1:]))
+        else:
+            bits = _bitmap(payload)
+    except Exception:  # noqa: BLE001 — corrupt/missing: keep the file
         return True
     for pos in bloom_positions(canonical, m, k):
         if not (bits[pos >> 3] >> (pos & 7)) & 1:
@@ -293,15 +310,23 @@ def build_file_blooms(
     m: int = DEFAULT_BITS,
     k: int = DEFAULT_K,
     m_by_rel: dict[str, int] | None = None,
+    inline_max: int | None = None,
 ) -> dict[str, dict[str, list]]:
     """Build per-file blooms for ``cols`` (scalar or ``|``-composite
     entries) over ``df`` (which must carry ``file_col`` =
     input_file_name()). Returns
-    ``{rel_path: {"<entry>#bloom": [b64, m, k]}}``.
+    ``{rel_path: {"<entry>#bloom": [payload, m, k]}}``.
 
     ``m_by_rel`` overrides the bitmap size per file (``bloom_bits:
     "auto"`` sizes by footer row count — see :func:`auto_bits`); the
     probe side needs nothing, every entry already stores its own m.
+
+    ``inline_max`` (bytes): a compressed bitmap larger than this is
+    written as a sidecar file next to its data file
+    (``<data file>.<digest8>.bloom``) and the payload becomes
+    ``"@<rel sidecar path>"`` — the snapshot then carries a pointer,
+    not the bitmap. Sidecar writes are deterministic and idempotent
+    (same bitmap, same path), so a commit retry just overwrites.
 
     Zero-shuffle: raw hash bases JVM-side, per-partition partial bitmaps
     in an Arrow kernel (mod-m per file), driver ORs the partials (a
@@ -362,8 +387,17 @@ def build_file_blooms(
         merged[key] = bm if got is None else (got | bm)
     out: dict[str, dict[str, list]] = {}
     for (rel, i), bm in merged.items():
+        packed = zlib.compress(bm.tobytes(), 6)
+        if inline_max is not None and len(packed) > inline_max:
+            digest = hashlib.md5(
+                (cols[i] + BLOOM_SUFFIX).encode("utf-8")).hexdigest()[:8]
+            side_rel = f"{rel}.{digest}.bloom"
+            with open(os.path.join(root, side_rel), "wb") as fh:
+                fh.write(packed)
+            payload = "@" + side_rel
+        else:
+            payload = base64.b64encode(packed).decode("ascii")
         out.setdefault(rel, {})[cols[i] + BLOOM_SUFFIX] = [
-            base64.b64encode(zlib.compress(bm.tobytes(), 6)).decode("ascii"),
-            len(bm) * 8, k,
+            payload, len(bm) * 8, k,
         ]
     return out

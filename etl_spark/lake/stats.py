@@ -206,12 +206,13 @@ def prunable_predicates(
     return out
 
 
-def file_matches(stats_entry, preds) -> bool:
+def file_matches(stats_entry, preds, root: str | None = None) -> bool:
     """May this file contain a row satisfying ALL of ``preds``?
     ``stats_entry`` is the snapshot's ``{col: [enc_min, enc_max]}`` for
     the file (possibly missing columns = unknown = may match), plus any
     ``"<col>#bloom"`` membership entries (lake/bloom.py) consulted for
     ``=`` / ``in`` — same prunable-predicate gating, a second refuter.
+    ``root`` (the table path) resolves ``@``-referenced bloom sidecars.
 
     A tuple predicate ``((c1, c2), '='|'in', tuples)`` probes the
     composite bloom ``"c1|c2#bloom"`` with the value PAIRS, and is also
@@ -231,7 +232,7 @@ def file_matches(stats_entry, preds) -> bool:
         bl = (stats_entry or {}).get(
             COMPOSITE_SEP.join(col) + BLOOM_SUFFIX)
         if bl is not None and tuples and \
-                all(not bloom_may_contain(bl, t) for t in tuples):
+                all(not bloom_may_contain(bl, t, root) for t in tuples):
             return False
         if tuples:
             for i, c in enumerate(col):
@@ -243,7 +244,7 @@ def file_matches(stats_entry, preds) -> bool:
             bl = (stats_entry or {}).get(col + BLOOM_SUFFIX)
             if bl is not None:
                 vals = p[2] if op == "in" else [p[2]]
-                if all(not bloom_may_contain(bl, v) for v in vals):
+                if all(not bloom_may_contain(bl, v, root) for v in vals):
                     return False
         bound = (stats_entry or {}).get(col)
         if bound is None:

@@ -436,7 +436,8 @@ class LakeTable:
                 preds, snap.key_cols, snap.version_cols, not is_mor
             ) if preds else []
             for f in fl:
-                if use and not _st.file_matches(snap.file_stats.get(f), use):
+                if use and not _st.file_matches(snap.file_stats.get(f), use,
+                                                root=self.path):
                     pruned += 1
                     continue
                 (mor if is_mor else clean).append(f)
@@ -1053,10 +1054,13 @@ class LakeTable:
                         self.spark, self.path, rels).items()
                 }
                 m = DEFAULT_BITS
+            inline_max = int(
+                snap.props.get("bloom_inline_max_bytes", 16384))
             df = self._read_files(snap, rels).withColumn(
                 "__file", F.input_file_name())
             return build_file_blooms(df, "__file", cols, self.path, m, k,
-                                     m_by_rel=m_by_rel)
+                                     m_by_rel=m_by_rel,
+                                     inline_max=inline_max)
         except Exception:  # noqa: BLE001 — blooms are an optimization
             return {}
 
@@ -1351,6 +1355,15 @@ class LakeTable:
                 # snapshot exists, even if a later compaction de-referenced
                 # them from the bucket map (changes() still reads them)
                 referenced.update(snap.added)
+            for entry in snap.file_stats.values():
+                # bloom sidecars ("@<rel>" payloads, lake/bloom.py) live
+                # next to their data file and follow its lifecycle: they
+                # are referenced exactly while some snapshot's file_stats
+                # points at them
+                for key, val in entry.items():
+                    if key.endswith("#bloom") and isinstance(val[0], str) \
+                            and val[0].startswith("@"):
+                        referenced.add(val[0][1:])
         cutoff = time.time() - older_than_sec
         data_dir = os.path.join(self.path, _DATA_DIR)
         removed = []

@@ -352,6 +352,46 @@ def test_auto_bits_sizes_by_row_count(spark, tmp_root):
     assert t.read(where=[("path", "=", "p2003")]).count() == 1
 
 
+def test_sidecar_blooms_roundtrip_and_vacuum(spark, tmp_root):
+    """bloom_inline_max_bytes=0 forces every bitmap into a sidecar file
+    next to its data file (the snapshot stores '@<rel>' pointers, not
+    payloads): probes prune identically through the lazy loader, and
+    vacuum reclaims a sidecar exactly when the last snapshot whose
+    file_stats references it expires."""
+    t = _mk(spark, tmp_root, "t",
+            props={"bloom_cols": "path", "bloom_inline_max_bytes": "0",
+                   "compact_threshold": "100"},
+            n_buckets=1)
+    for e in range(4):
+        _merge(spark, t, f"e:{e}", _rows(1000 * e, 50, f"c-{e}"))
+    snap = t.current_snapshot()
+    entries = [snap.file_stats[f]["path" + BLOOM_SUFFIX]
+               for fl in snap.buckets.values() for f in fl]
+    assert len(entries) >= 4
+    assert all(e[0].startswith("@") for e in entries)
+    for e in entries:
+        assert os.path.exists(os.path.join(t.path, e[0][1:]))
+    # pruning works through the lazy sidecar loader
+    c = t.scan_counts(where=[("path", "=", "p2003")])
+    assert c["files_pruned"] >= c["files_total"] - 2
+    rows = t.read(where=[("path", "=", "p2003")]).collect()
+    assert [r["event_id"] for r in rows] == [2003]
+    # lifecycle: compaction rewrites the bucket; expiry + vacuum reclaim
+    # the old delta files AND their sidecars together
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    t.vacuum(older_than_sec=0)
+    for e in entries:
+        assert not os.path.exists(os.path.join(t.path, e[0][1:]))
+    snap = t.current_snapshot()
+    live = [snap.file_stats[f]["path" + BLOOM_SUFFIX]
+            for fl in snap.buckets.values() for f in fl]
+    assert live and all(
+        e[0].startswith("@")
+        and os.path.exists(os.path.join(t.path, e[0][1:])) for e in live)
+    assert t.read(where=[("path", "=", "p2003")]).count() == 1
+
+
 def test_auto_bits_clamps():
     from etl_spark.lake.bloom import auto_bits
 
