@@ -8,7 +8,9 @@ Ship as:
         jobs/maintenance_job.py --table-path TBL \
         [--compact] [--expire-keep-last N] \
         [--vacuum-older-than-sec S] [--rebucket N] \
-        [--expire-tombstones-before 2024-01-01T00:00:00]
+        [--expire-tombstones-before 2024-01-01T00:00:00] \
+        [--set-prop bloom_cols=repo|path --set-prop bloom_bits=auto \
+         --backfill-stats]
 
 Run it on a schedule beside the replay job (the reference's analogue is
 the monthly re-capture/cleanup cadence). Each action is its own atomic
@@ -44,6 +46,15 @@ def main() -> None:
     ap.add_argument("--rebucket", type=int, default=None,
                     help="rewrite the table into this bucket count "
                          "(O(table); layout evolution)")
+    ap.add_argument("--set-prop", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="set a table prop first (e.g. stats_cols=...,"
+                         " bloom_cols=repo|path, bloom_bits=auto);"
+                         " repeatable")
+    ap.add_argument("--backfill-stats", action="store_true",
+                    help="harvest zone maps and Bloom filters for "
+                         "referenced files that predate stats_cols/"
+                         "bloom_cols (migration entry point)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,6 +67,12 @@ def main() -> None:
     report: dict = {"table": args.table_path,
                     "version_before": table.current_version()}
 
+    if args.set_prop:
+        props = dict(kv.split("=", 1) for kv in args.set_prop)
+        table.alter_props(props)
+        report["props_set"] = sorted(props)
+    if args.backfill_stats:
+        report["backfilled_files"] = table.backfill_stats()
     if args.rebucket is not None:
         report["rebucketed_to"] = args.rebucket
         table.rebucket(args.rebucket)

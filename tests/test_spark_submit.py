@@ -72,12 +72,24 @@ def test_spark_submit_replay_and_maintenance(spark, tmp_root):
     assert mreport["compacted_buckets"] >= 1
     assert mreport["version_after"] > mreport["version_before"]
 
+    # migration entry point: enable composite blooms on the existing
+    # table and backfill them from a separate driver process
+    out3b = _submit("maintenance_job.py", "--table-path", tbl,
+                    "--set-prop", "bloom_cols=repo|path",
+                    "--set-prop", "bloom_bits=auto",
+                    "--backfill-stats", zip_path=zip_path)
+    breport = json.loads(out3b.strip().splitlines()[-1])
+    assert breport["backfilled_files"] > 0
+
     # table state visible to the in-process session too
     from etl_spark.lake import LakeTable
 
     t = LakeTable.load(spark, tbl)
     assert t.read().count() > 0
-    assert max(len(fl) for fl in t.current_snapshot().buckets.values()) == 1
+    snap = t.current_snapshot()
+    assert max(len(fl) for fl in snap.buckets.values()) == 1
+    assert any("repo|path#bloom" in snap.file_stats.get(f, {})
+               for fl in snap.buckets.values() for f in fl)
 
     # downstream sync job: bootstrap + catch-up across driver processes
     dst = os.path.join(tmp_root, "dst")
