@@ -339,7 +339,15 @@ def build_file_blooms(
     sel = [F.col(file_col).alias("__f")]
     for i, c in enumerate(cols):
         h1r, h2r = _h_raw_exprs(c)
-        sel += [h1r.alias(f"__h1_{i}"), h2r.alias(f"__h2_{i}")]
+        # NULL canonicals become a -1 sentinel JVM-side (raw hashes are 15
+        # hex digits, always >= 0). A genuinely NULL long column crossing
+        # Arrow->pandas turns the WHOLE partition's column float64, and
+        # float64 rounds values above 2^53 — the kernel would then set
+        # *wrong bit positions* while the exact-integer probe side checks
+        # the right ones: false negatives, i.e. unsound pruning. With the
+        # sentinel the column is null-free and stays exact int64.
+        sel += [F.coalesce(h1r, F.lit(-1)).alias(f"__h1_{i}"),
+                F.coalesce(h2r, F.lit(-1)).alias(f"__h2_{i}")]
     slim = df.select(*sel)
     n_cols = len(cols)
     root = os.path.abspath(root).rstrip("/") + "/"
@@ -355,11 +363,12 @@ def build_file_blooms(
                 mf = m_for.get(rel, m)
                 nbytes = mf // 8
                 for i in range(n_cols):
-                    h1 = grp[f"__h1_{i}"].dropna().to_numpy("int64") % mf
+                    h1_raw = grp[f"__h1_{i}"].to_numpy("int64")
+                    keep = h1_raw >= 0  # drop NULL-canonical sentinels
+                    h1 = h1_raw[keep] % mf
                     if h1.size == 0:
                         continue
-                    h2 = (grp[f"__h2_{i}"].loc[grp[f"__h1_{i}"].notna()]
-                          .to_numpy("int64") | 1) % mf
+                    h2 = (grp[f"__h2_{i}"].to_numpy("int64")[keep] | 1) % mf
                     bm = partial.get((rel, i))
                     if bm is None:
                         bm = partial[(rel, i)] = np.zeros(nbytes, np.uint8)

@@ -418,3 +418,31 @@ def test_create_rejects_bad_composite_entries(spark, tmp_root):
             key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
             props={"bloom_cols": "repo|"},
         )
+
+
+def test_nullable_bloom_column_keeps_exact_hashes(spark, tmp_root):
+    """Regression: a NULL value anywhere in a bloom column used to flip
+    the whole Arrow batch's hash-base column to float64 inside the build
+    kernel, rounding bases above 2^53 and setting WRONG bit positions —
+    the exact-integer probe side then answered False for values that ARE
+    in the file (unsound pruning, silently missing rows). The build now
+    ships NULLs as a -1 sentinel so the column stays exact int64."""
+    t = _mk(spark, tmp_root, "tnull", n_buckets=1)
+    rows = [
+        (i, T0 + dt.timedelta(seconds=i), "r", f"p{i}",
+         None if i % 3 == 0 else f"c{i}",  # NULLs interleaved w/ values
+         f"body-{i}", "I")
+        for i in range(400)
+    ]
+    _merge(spark, t, "e:0", rows)
+    snap = t.current_snapshot()
+    files = [f for fl in snap.buckets.values() for f in fl]
+    assert files
+    present = [f"c{i}" for i in range(400) if i % 3 != 0]
+    for f in files:
+        bl = snap.file_stats[f]["commit" + BLOOM_SUFFIX]
+        # zero false negatives even with NULLs in the batch
+        assert all(bloom_may_contain(bl, v) for v in present)
+    # and the probe path still finds every row through lookup()
+    got = t.read(where=[("commit", "=", "c1")]).collect()
+    assert [r["commit"] for r in got] == ["c1"]
