@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     # sync / close paths show up nowhere else
     "cdc_incremental_sync",
     "incremental_agg_sync",
+    "join_view_sync",
     "rollup_recompute_sync",
     "scd2_incremental",
     "cdc_purge_erasure",

@@ -29,6 +29,7 @@ from etl_spark.cdc.dedup_ingest import (
     minhash_sketch,
 )
 from etl_spark.cdc.events import EVENT_SCHEMA, synth_events, write_event_epochs
+from etl_spark.cdc.join_sync import JSYNC_SEQ, create_join_table, sync_join
 from etl_spark.cdc.lww import lww_dedup
 from etl_spark.cdc.replay import replay_batches, replay_events
 from etl_spark.cdc.sync import last_synced_version, sync_changes
@@ -46,6 +47,9 @@ __all__ = [
     "replay_events",
     "last_synced_version",
     "sync_changes",
+    "JSYNC_SEQ",
+    "create_join_table",
+    "sync_join",
     "create_aggregate_table",
     "create_rollup_table",
     "sync_aggregate",

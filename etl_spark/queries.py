@@ -2068,6 +2068,111 @@ GROUP BY event_type
 """
 
 
+def q_join_view_sync(spark, sf_dir):
+    """Incremental JOIN-view maintenance (delta-join IVM): a denormalized
+    fact⋈dim destination kept equal to ``fact LEFT JOIN dim`` from TWO
+    change feeds — the fact leg bucket-prunes changed keys, the dim leg
+    finds affected fact rows with a broadcast semi join (no fact shuffle)
+    and re-emits them against the new dim values. Rounds: bootstrap (some
+    fact rows dangle), fact-only wave with auto-compaction upstream, then
+    a mixed wave (dim tier updates + dim deletes + new fact events in the
+    same round). Final view must equal the LEFT join of both final states
+    — the DuckDB oracle. Reference: dimension enrichment at capture time
+    (comum/geografias.py, comum/datas.py periodo_por_data), re-run per
+    slice there, maintained incrementally here."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.join_sync import create_join_table, sync_join
+    from etl_spark.cdc.replay import replay_events
+    from etl_spark.lake import LakeTable
+    from pyspark.sql.types import StructType
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value",
+        F.pmod(F.col("event_id"), F.lit(6)).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_jsync_")
+    waves = [os.path.join(tmp, "w0"), os.path.join(tmp, "w1")]
+    write_event_epochs(wal.filter(F.col("epoch") < 3), waves[0])
+    write_event_epochs(wal.filter(F.col("epoch") >= 3), waves[1])
+
+    src_path = os.path.join(tmp, "src")
+    fact, _ = replay_events(
+        spark, waves[0], src_path, n_buckets=8,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        table_props={"compact_threshold": "2"},
+    )
+    users = wal.select("user_id").distinct()
+    uid = F.col("user_id")
+    t1, t2 = F.lit("2024-01-01").cast("timestamp"), \
+        F.lit("2024-01-02").cast("timestamp")
+    dim = LakeTable.create(
+        spark, os.path.join(tmp, "dim"),
+        StructType.fromDDL(
+            "d_ts timestamp, user_id bigint, tier string, score bigint"),
+        key_cols=["user_id"], version_cols=["d_ts"], n_buckets=4,
+    )
+    dim.merge(  # only even users exist as dims → odd fact rows dangle
+        users.filter(uid % 2 == 0).select(
+            t1.alias("d_ts"), uid, F.lit("base").alias("tier"),
+            (uid % 97).alias("score"), F.lit("I").alias("op")),
+        "d:0")
+
+    dst = create_join_table(
+        spark, os.path.join(tmp, "view"), fact, dim, dim_on=["user_id"],
+        n_buckets=4,
+    )
+    r1 = sync_join(fact, dim, dst, dim_on=["user_id"])     # bootstrap
+    fact, _ = replay_events(                               # fact-only wave
+        spark, waves[1], src_path,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+    )
+    r2 = sync_join(fact, dim, dst, dim_on=["user_id"])
+    dim.merge(  # mixed wave, dim side: tier upgrades + erasures
+        users.filter(uid % 10 == 0).select(
+            t2.alias("d_ts"), uid, F.lit("hot").alias("tier"),
+            (uid % 97).alias("score"), F.lit("U").alias("op"))
+        .unionByName(users.filter(uid % 20 == 4).select(
+            t2.alias("d_ts"), uid, F.lit(None).cast("string").alias("tier"),
+            F.lit(None).cast("long").alias("score"),
+            F.lit("D").alias("op"))),
+        "d:1")
+    r3 = sync_join(fact, dim, dst, dim_on=["user_id"])     # dim-only leg
+    r4 = sync_join(fact, dim, dst, dim_on=["user_id"])     # caught up
+    if not ([s.applied for s in r1] == [True, True]
+            and [s.applied for s in r2] == [True]
+            and [s.applied for s in r3] == [True] and r4 == []):
+        raise AssertionError("join-sync rounds deviated from the expected "
+                             "bootstrap/fact/dim/caught-up sequence")
+    return dst.read().select(
+        "user_id", "event_id", "ts", "event_type", "value", "tier", "score"
+    )
+
+
+SQL_JOIN_VIEW_SYNC = """
+WITH winners AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND event_type <> 'error'
+),
+dim AS (
+  SELECT user_id,
+         CASE WHEN user_id % 10 = 0 THEN 'hot' ELSE 'base' END AS tier,
+         CAST(user_id % 97 AS BIGINT) AS score
+  FROM (SELECT DISTINCT user_id FROM events)
+  WHERE user_id % 2 = 0 AND user_id % 20 <> 4
+)
+SELECT w.user_id, w.event_id, w.ts, w.event_type, w.value, d.tier, d.score
+FROM winners w LEFT JOIN dim d ON w.user_id = d.user_id
+"""
+
+
 def q_rollup_recompute_sync(spark, sf_dir):
     """Recompute-affected-groups rollup maintenance: MIN/MAX and
     COUNT(DISTINCT) are not subtractable, so the incremental plan
@@ -3359,6 +3464,7 @@ QUERIES = {
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_incremental_sync": q_cdc_incremental_sync,
     "incremental_agg_sync": q_incremental_agg_sync,
+    "join_view_sync": q_join_view_sync,
     "rollup_recompute_sync": q_rollup_recompute_sync,
     "rollup_cascade": q_rollup_cascade,
     "scd2_history": q_scd2_history,
@@ -3445,6 +3551,7 @@ ORACLES = {
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_incremental_sync": SQL_CDC_SYNC,
     "incremental_agg_sync": SQL_INCREMENTAL_AGG_SYNC,
+    "join_view_sync": SQL_JOIN_VIEW_SYNC,
     "rollup_recompute_sync": SQL_ROLLUP_RECOMPUTE_SYNC,
     "rollup_cascade": SQL_ROLLUP_CASCADE,
     "scd2_history": SQL_SCD2_HISTORY,

@@ -119,6 +119,40 @@ def test_spark_submit_replay_and_maintenance(spark, tmp_root):
               for r in LakeTable.load(spark, agg).read().collect()}
     assert rollup == expected
 
+    # join-view job: enrich the replay table against a repo dim built
+    # in-process; bootstrap then catch-up across driver processes
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    dimp = os.path.join(tmp_root, "dim")
+    dim = LakeTable.create(
+        spark, dimp,
+        StructType.fromDDL("d_ts timestamp, repo string, owner string"),
+        key_cols=["repo"], version_cols=["d_ts"], n_buckets=2,
+    )
+    dim.merge(
+        t.read().select("repo").distinct().select(
+            F.lit("2024-01-01").cast("timestamp").alias("d_ts"),
+            "repo", F.concat(F.lit("own-"), F.col("repo")).alias("owner"),
+            F.lit("I").alias("op")),
+        "d:0")
+    view = os.path.join(tmp_root, "view")
+    outj = _submit("join_sync_job.py", "--fact-path", tbl,
+                   "--dim-path", dimp, "--dst-path", view,
+                   "--dim-on", "repo", "--n-buckets", "2",
+                   zip_path=zip_path)
+    jreport = json.loads(outj.strip().splitlines()[-1])
+    assert jreport["legs_applied"] == 2 and not jreport["caught_up"]
+    outj2 = _submit("join_sync_job.py", "--fact-path", tbl,
+                    "--dim-path", dimp, "--dst-path", view,
+                    "--dim-on", "repo", zip_path=zip_path)
+    assert json.loads(outj2.strip().splitlines()[-1])["caught_up"]
+    vt = LakeTable.load(spark, view)
+    assert vt.read().count() == report["rows"]
+    assert vt.read().filter(
+        F.col("owner") != F.concat(F.lit("own-"), F.col("repo"))
+    ).count() == 0
+
     # SCD2 job: open intervals == the replay table's live state; a second
     # driver process is a pure no-op on both tables
     scd2 = os.path.join(tmp_root, "scd2")
