@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame
 
 from etl_spark.lake import LakeTable
 
-__all__ = ["follow_changes", "stream_sync", "stream_agg_sync"]
+__all__ = ["follow_changes", "stream_sync", "stream_agg_sync",
+           "stream_join_sync"]
 
 
 def follow_changes(
@@ -121,6 +122,37 @@ def stream_agg_sync(
     else:
         round_fn = lambda: sync_aggregate_recompute(  # noqa: E731
             src, dst, group_cols, agg_exprs, prefix=prefix)
+    yield from _stream_rounds(round_fn, poll_interval, stop)
+
+
+def stream_join_sync(
+    fact: LakeTable,
+    dim: LakeTable,
+    dst: LakeTable,
+    dim_on: list[str],
+    dim_select: dict[str, str] | None = None,
+    prefix: str = "jsync",
+    poll_interval: float = 1.0,
+    stop: Callable[[], bool] | None = None,
+):
+    """Continuous join-view maintenance: the streaming face of
+    :func:`etl_spark.cdc.join_sync.sync_join`, tailing BOTH upstreams'
+    commit logs and applying one round per detected wave on either side
+    (a round may run the fact leg, the dim leg, or both), yielding each
+    round's list of ``MergeStats``.
+
+    Resume/exactly-once contract is identical to :func:`stream_sync`,
+    with two cursors: each leg's cursor IS the destination's
+    ``{prefix}F:{v}`` / ``{prefix}D:{v}`` manifest, advanced atomically
+    with that leg's merge — kill the loop between legs and the next round
+    replays only the un-applied leg."""
+    from etl_spark.cdc.join_sync import sync_join
+
+    def round_fn():
+        stats = sync_join(fact, dim, dst, dim_on, dim_select=dim_select,
+                          prefix=prefix)
+        return stats or None  # [] = caught up = sleep
+
     yield from _stream_rounds(round_fn, poll_interval, stop)
 
 

@@ -200,3 +200,49 @@ def test_sync_join_requires_declared_cursors(spark, tmp_root):
     )
     with pytest.raises(ValueError, match="cursor prefix"):
         sync_join(fact, dim, bare, dim_on=["repo"])
+
+
+def test_stream_join_sync_follows_both_feeds_and_resumes(spark, tmp_root):
+    """Continuous join-view face (streaming/change_feed.py::
+    stream_join_sync): one round per detected wave on EITHER upstream;
+    killing the loop and starting a fresh one resumes from the
+    destination's two cursors — no checkpoint beyond the manifests the
+    batch face already writes."""
+    from etl_spark.streaming import stream_join_sync
+
+    fact, dim = _fact(spark, tmp_root, "f6"), _dim(spark, tmp_root, "d6")
+    _md(spark, dim, "d:0", [(T0, "r1", "alice", "gold", "I")])
+    _mf(spark, fact, "e:0", [(1, T0, "r1", "a", "v1", "I")])
+    dst = create_join_table(spark, os.path.join(tmp_root, "view6"),
+                            fact, dim, dim_on=["repo"])
+
+    it = stream_join_sync(fact, dim, dst, dim_on=["repo"],
+                          poll_interval=0.05)
+    st = next(it)            # bootstrap round (both legs)
+    assert [s.applied for s in st] == [True, True]
+    it.close()               # "kill" the loop
+    assert _got(dst) == _expected(fact, dim)
+
+    # both upstreams keep committing while the consumer is down; the
+    # restarted loop picks everything up as one round
+    _mf(spark, fact, "e:1", [(2, T0 + dt.timedelta(minutes=1), "r1", "b",
+                              "v1", "I")])
+    _md(spark, dim, "d:1", [(T0 + dt.timedelta(minutes=1), "r1", "ada",
+                             "gold", "U")])
+    it2 = stream_join_sync(fact, dim, dst, dim_on=["repo"],
+                           poll_interval=0.05)
+    st2 = next(it2)
+    assert [s.applied for s in st2] == [True, True]
+    it2.close()
+    assert _got(dst) == _expected(fact, dim)
+    assert _got(dst)[("r1", "a")] == ("v1", "ada", "gold")
+
+    # caught up: a stop-gated loop exits without yielding
+    calls = {"n": 0}
+
+    def stop():
+        calls["n"] += 1
+        return calls["n"] > 2
+
+    assert list(stream_join_sync(fact, dim, dst, dim_on=["repo"],
+                                 poll_interval=0.01, stop=stop)) == []
