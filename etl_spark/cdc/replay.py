@@ -80,9 +80,18 @@ def replay_events(
         int(d.split("=")[1]) for d in os.listdir(events_dir) if d.startswith("epoch=")
     )
     todo = pending_epochs(table, epochs)
+    # file schema pinned from the WAL-root read above (MINUS the
+    # partition-inferred `epoch` dir column, absent from leaf files —
+    # null-filling it would evolve the table with a spurious column):
+    # skips one footer-inference job per epoch, pure driver latency that
+    # is part of the replay's non-scaling cost at any cluster size
+    from pyspark.sql.types import StructType as _ST
+
+    file_schema = _ST([f for f in sample.schema.fields if f.name != "epoch"])
     stats: list[MergeStats] = []
     for e in todo:
-        batch = spark.read.parquet(os.path.join(events_dir, f"epoch={e}"))
+        batch = spark.read.schema(file_schema).parquet(
+            os.path.join(events_dir, f"epoch={e}"))
         t0 = time.monotonic()
         st = table.merge(batch, manifest_key=f"epoch:{e}")
         if metrics_sink is not None:

@@ -87,9 +87,12 @@ for r in range({reps}):
     tbl = LakeTable.create(spark, tpath, user, ["repo", "path"],
                            ["op_ts", "event_id"], n_buckets=64,
                            props={{"batch_dedup": "false", "write_metrics": "coarse"}})
+    file_schema = StructType(
+        [f for f in sample.schema.fields if f.name != "epoch"])
     t0 = time.monotonic()
     for e in range({epochs}):
-        tbl.merge(spark.read.parquet(os.path.join(wal, f"epoch={{e}}")), f"epoch:{{e}}")
+        tbl.merge(spark.read.schema(file_schema).parquet(
+            os.path.join(wal, f"epoch={{e}}")), f"epoch:{{e}}")
     dt = time.monotonic() - t0
     if best is None or dt < best:
         best = dt
