@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     # interesting cost, and round-over-round regressions in the merge /
     # sync / close paths show up nowhere else
     "cdc_incremental_sync",
+    "cdc_patch_upsert",
     "incremental_agg_sync",
     "join_view_sync",
     "rollup_recompute_sync",

@@ -109,6 +109,20 @@ def sync_changes(
 
     from etl_spark.lake.table import META_DELETED
 
+    src_sem = src.current_snapshot().props.get("update_semantics", "row")
+    dst_sem = dst.current_snapshot().props.get("update_semantics", "row")
+    if src_sem != dst_sem:
+        # NULL payload means "keep the previous value" under patch but
+        # "the value IS NULL" under row semantics — replaying one table's
+        # feed rows into the other silently corrupts every partially-set
+        # column; there is no NULL-preserving translation between them
+        raise ValueError(
+            f"update_semantics mismatch: source is {src_sem!r}, destination "
+            f"is {dst_sem!r} — a change feed is only replayable into a "
+            f"destination with the SAME semantics (NULL means 'keep' under "
+            f"patch but 'set NULL' under row); create the destination with "
+            f"props={{'update_semantics': {src_sem!r}}}"
+        )
     if prefix not in dst.current_snapshot().cursor_prefixes():
         # without the declaration, sync keys ({prefix}:{upstream_version})
         # have sparse seqs that never contiguously fold — the applied
@@ -135,7 +149,11 @@ def sync_changes(
                 f"bootstrap fresh; to pick up new data just call "
                 f"sync_changes without full_refresh"
             )
-        state = src.read(version=end, with_meta=True, include_deleted=True)
+        # folded_state, not read(): for row tables they coincide (winner
+        # rows incl. tombstones); for patch tables the fold preserves
+        # per-column winner VERSIONS as partial rows, so late events that
+        # straddle the bootstrap resolve identically in the replica
+        state = src.folded_state(version=end)
         feed = state.withColumn(
             "op",
             F.when(F.col(META_DELETED), F.lit("D")).otherwise(F.lit("U")),

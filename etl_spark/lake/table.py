@@ -83,6 +83,51 @@ def _bucket_of(key_cols: list[str], n_buckets: int):
     ).cast("int")
 
 
+def _murmur3_int32(value: int, seed: int = 42) -> int:
+    """Spark's ``hash()`` of an INT column: Murmur3_x86_32 over the 4-byte
+    int, seed 42 (the public algorithm Catalyst's Murmur3Hash uses for
+    IntegerType). Returns the SIGNED int32 Spark returns. Needed driver-
+    side to search shuffle-key preimages (see _bijection_spread);
+    correctness is pinned by tests/test_lake_modes.py's parity assertion
+    against F.hash and a spark_partition_id bijection check."""
+    mask = 0xFFFFFFFF
+    k1 = (value & mask) * 0xCC9E2D51 & mask
+    k1 = ((k1 << 15) | (k1 >> 17)) & mask
+    k1 = k1 * 0x1B873593 & mask
+    h1 = seed ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & mask
+    h1 = (h1 * 5 + 0xE6546B64) & mask
+    h1 ^= 4  # fmix with total byte length
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & mask
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & mask
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _pid_preimages(n: int) -> list[int]:
+    """``n`` small non-negative ints ``s_0..s_{n-1}`` with
+    ``pmod(murmur3(s_i), n) == i`` — shuffle-key preimages that make
+    ``repartition(n, key)`` a COLLISION-FREE bijection from n logical
+    groups onto n partitions. A plain ``repartition(col)`` hashes group
+    ids into partitions with birthday collisions (measured: 64 near-equal
+    buckets into 16 partitions put 8 buckets / 1.96x mean bytes in the
+    hottest task while some tasks got 1), which no amount of group-size
+    evenness fixes. Deterministic given n; cached."""
+    pre: dict[int, int] = {}
+    v = 0
+    while len(pre) < n:
+        pid = _murmur3_int32(v) % n
+        if pid not in pre:
+            pre[pid] = v
+        v += 1
+    return [pre[i] for i in range(n)]
+
+
+_PID_CACHE: dict[int, list[int]] = {}
+
+
 def _lww_rows(df, key_cols, ver_cols, user_cols, types):
     """Per-key LWW winner via a combinable ``max_by`` hash aggregate.
 
@@ -108,6 +153,172 @@ def _lww_rows(df, key_cols, ver_cols, user_cols, types):
         ],
         is_del.alias(META_DELETED),
     ).select(*user_cols, META_DELETED)
+
+
+def _patch_rows(df, key_cols, ver_cols, user_cols, types):
+    """Per-key PER-COLUMN LWW ("patch" update semantics) — the partial-image
+    CDC shape (Debezium-style feeds, reference: per-field REST detail
+    updates over previously captured records, impulsoetl re-capture of
+    changed fields): an update row carries only the columns it changes and
+    NULL in a payload column means "keep the previous value", so the final
+    state of each column is the value from the LATEST row that actually
+    set it. A tombstone resets the whole key: column values older than the
+    latest delete are dead, and the key only exists if any non-delete row
+    outlives that delete.
+
+    Same I/O contract as :func:`_lww_rows` (``user_cols`` + ``DEL_FLAG``
+    in, ``user_cols`` + ``META_DELETED`` out) so the two resolvers swap
+    behind one table property. One combinable aggregate per key — for
+    each payload column a filtered max over ``struct(version..., value)``
+    (NULL ordering keys are skipped by ``max``, so rows that don't touch
+    the column simply don't compete) — the same single-shuffle skew story
+    as row-LWW; struct buffers make it a SortAggregate, the accepted cost
+    documented on the merge path.
+
+    Limitation (inherent to partial images, documented not hidden):
+    NULL *means* "no change", so a patch row cannot explicitly clear one
+    column to NULL — send a tombstone + re-insert, or use row semantics.
+    """
+    payload_cols = [c for c in user_cols if c not in key_cols + ver_cols]
+    ver = F.struct(*[F.col(c).alias(c) for c in ver_cols])
+    is_del = F.col(DEL_FLAG)
+    aggs = [
+        F.max(ver).alias("__v"),                    # latest version overall
+        F.max(F.when(is_del, ver)).alias("__dv"),   # latest tombstone
+    ]
+    for c in payload_cols:
+        aggs.append(
+            F.max(
+                F.when(
+                    ~is_del & F.col(c).isNotNull(),
+                    F.struct(*[F.col(vc).alias(vc) for vc in ver_cols],
+                             F.col(c).alias("__x")),
+                )
+            ).alias(f"__w_{c}")
+        )
+    won = df.groupBy(*key_cols).agg(*aggs)
+    deleted = F.col("__dv").isNotNull() & (F.col("__dv") == F.col("__v"))
+
+    def col_val(c):
+        w = F.col(f"__w_{c}")
+        wv = F.struct(*[w[vc].alias(vc) for vc in ver_cols])
+        alive = w.isNotNull() & (
+            F.col("__dv").isNull() | (wv > F.col("__dv"))
+        )
+        return (
+            F.when(~deleted & alive, w["__x"])
+            .cast(types[c]).alias(c)
+        )
+
+    return won.select(
+        *key_cols,
+        *[F.col(f"__v.{vc}").alias(vc) for vc in ver_cols],
+        *[col_val(c) for c in payload_cols],
+        deleted.alias(META_DELETED),
+    ).select(*user_cols, META_DELETED)
+
+
+def _patch_fold(df, key_cols, ver_cols, user_cols, types):
+    """Semantic FOLD for patch tables (compaction / rebucket / CoW): N
+    delta rows per key collapse to at most (distinct column-winner
+    versions) + 1 retained tombstone + 1 latest-version marker PARTIAL
+    rows — never one materialized total row.
+
+    Materializing (what row-LWW compaction rightly does) would stamp every
+    column at the key's max version, collapsing per-column provenance: a
+    LATE-arriving event whose version lies between a column's true winner
+    and that stamp is then resolved wrongly — a late delete fails to kill
+    a column set before it (resurrection), a late patch loses to a value
+    it should beat. Caught by test_patch.py's randomized parity sweep.
+    Row semantics don't have this hazard (the whole winning row owns one
+    version); patch semantics are only compactable as partial rows.
+
+    Also unlike row-LWW compaction, the latest tombstone is retained even
+    when the key is ALIVE: it must keep beating late pre-delete events'
+    columns forever. Column winners older than that tombstone are dead
+    for any possible future (a tombstone is never un-committed) and are
+    dropped. A marker row at the latest non-delete version preserves the
+    key's reported version even when that row set no columns.
+
+    Output may hold several rows per key, so folded files MUST be flagged
+    ``nonunique`` — reads of a patch table always resolve. Typical CDC
+    shape (full insert, then partials superseded by later partials) folds
+    to 1-2 rows per key. Fold-of-fold is idempotent."""
+    payload_cols = [c for c in user_cols if c not in key_cols + ver_cols]
+    ver = F.struct(*[F.col(c).alias(c) for c in ver_cols])
+    is_del = F.col(DEL_FLAG)
+    aggs = [
+        F.max(F.when(~is_del, ver)).alias("__lv"),
+        F.max(F.when(is_del, ver)).alias("__dv"),
+    ]
+    for c in payload_cols:
+        aggs.append(
+            F.max(
+                F.when(
+                    ~is_del & F.col(c).isNotNull(),
+                    F.struct(*[F.col(vc).alias(vc) for vc in ver_cols],
+                             F.col(c).alias("__x")),
+                )
+            ).alias(f"__w_{c}")
+        )
+    won = df.groupBy(*key_cols).agg(*aggs)
+    dv, lv = F.col("__dv"), F.col("__lv")
+
+    def cand(src, set_col, deleted, guard):
+        return F.when(guard, F.struct(
+            *[src[vc].alias(vc) for vc in ver_cols],
+            *[(F.col(f"__w_{d}")["__x"] if d == set_col
+               else F.lit(None).cast(types[d])).alias(d)
+              for d in payload_cols],
+            F.lit(deleted).alias(DEL_FLAG),
+        ))
+
+    cands = [
+        cand(dv, None, True, dv.isNotNull()),
+        cand(lv, None, False, lv.isNotNull()),
+    ]
+    for c in payload_cols:
+        w = F.col(f"__w_{c}")
+        wv = F.struct(*[w[vc].alias(vc) for vc in ver_cols])
+        cands.append(
+            cand(w, c, False, w.isNotNull() & (dv.isNull() | (wv > dv))))
+    rows = won.select(
+        *key_cols,
+        F.explode(F.filter(F.array(*cands),
+                           lambda x: x.isNotNull())).alias("__r"),
+    ).select(
+        *key_cols,
+        *[F.col(f"__r.{vc}").alias(vc) for vc in ver_cols],
+        *[F.col(f"__r.{c}").alias(c) for c in payload_cols],
+        F.col(f"__r.{DEL_FLAG}").alias(DEL_FLAG),
+    )
+    # candidates sharing a version collapse (full-insert common case:
+    # every column winner + the marker sit at one version → one row);
+    # within a (key, version) group each column has ≤ 1 non-null value,
+    # so ignorenulls-first is deterministic and type-agnostic
+    folded = rows.groupBy(*key_cols, *ver_cols, DEL_FLAG).agg(
+        *[F.first(c, ignorenulls=True).alias(c) for c in payload_cols]
+    )
+    return folded.select(*user_cols, F.col(DEL_FLAG).alias(META_DELETED))
+
+
+def _resolver(props: dict):
+    """The read-time resolution aggregate this table's update semantics
+    demand: row-LWW (default) or per-column patch-LWW."""
+    return _patch_rows if props.get("update_semantics", "row") == "patch" \
+        else _lww_rows
+
+
+def _folder(props: dict):
+    """The REWRITE fold (compaction / rebucket / CoW): row tables
+    materialize total winner rows; patch tables fold to partial rows that
+    preserve per-column winner versions (see :func:`_patch_fold`)."""
+    return _patch_fold if props.get("update_semantics", "row") == "patch" \
+        else _lww_rows
+
+
+def _is_patch(props: dict) -> bool:
+    return props.get("update_semantics", "row") == "patch"
 
 
 class CommitConflict(RuntimeError):
@@ -319,6 +530,11 @@ class LakeTable:
             validate_bloom_cols(
                 schema, [c.strip() for c in props["bloom_cols"].split(",")
                          if c.strip()])
+        if props and props.get("update_semantics", "row") not in ("row",
+                                                                  "patch"):
+            raise ValueError(
+                f"update_semantics must be 'row' or 'patch', got "
+                f"{props['update_semantics']!r}")
         table = LakeTable(spark, path)
         snap = Snapshot(
             version=0,
@@ -508,7 +724,7 @@ class LakeTable:
         if agg_files:
             user_cols = [f.name for f in snap.schema.fields]
             types = {f.name: f.dataType for f in snap.schema.fields}
-            resolved = _lww_rows(
+            resolved = _resolver(snap.props)(
                 self._read_files(snap, agg_files)
                 .withColumnRenamed(META_DELETED, DEL_FLAG),
                 snap.key_cols, snap.version_cols, user_cols, types,
@@ -672,20 +888,24 @@ class LakeTable:
             existing = existing.select(
                 *user_cols, F.col(META_DELETED).alias(DEL_FLAG)
             ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
-            merged = _lww_rows(
+            merged = _folder(snap.props)(
                 aligned.unionByName(existing), key_cols, ver_cols, user_cols, types
             ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
             new_files, rows_written, lineage = self._write_buckets(
-                merged, snap.version + 1, coarse_metrics=coarse
+                merged, snap.version + 1, coarse_metrics=coarse,
+                spread=self._bijection_spread(snap.n_buckets),
             )
+            if _is_patch(snap.props):
+                # CoW fold output = partial rows; keep on the resolving path
+                add_nonunique = [f for fl in new_files.values() for f in fl]
             for bkt in affected:
                 buckets[bkt] = new_files.get(bkt, [])
         else:
             # Merge-on-read: write only the batch as delta files — O(batch)
             # per merge, not O(table). Readers resolve per-key winners
-            # across base+delta files; buckets whose file count crosses the
-            # threshold are compacted below (inside the same atomic
-            # snapshot).
+            # across base+delta files; buckets whose delta GENERATION
+            # count (distinct commit segments) crosses the threshold are
+            # compacted below, as a follow-up commit.
             #
             # props["batch_dedup"]="false" (write-optimized) skips the
             # batch-local LWW aggregate: read-time LWW is authoritative
@@ -693,7 +913,18 @@ class LakeTable:
             # Worth it when batches are mostly key-unique (typical CDC
             # tail); keep the default dedup when batches churn few hot
             # keys (the agg then shrinks the delta files dramatically).
-            if snap.props.get("batch_dedup", "true") == "false":
+            #
+            # PATCH tables always land raw: a batch-local fold to one row
+            # per key cannot represent "delete, then set column A" (the
+            # delete's reset of every OTHER column would be lost against
+            # older on-disk state), and a row-LWW fold would drop earlier
+            # partial rows outright. Raw deltas + read-time _patch_rows
+            # are authoritative; batch_dedup is inert under patch.
+            raw_deltas = (
+                snap.props.get("batch_dedup", "true") == "false"
+                or snap.props.get("update_semantics", "row") == "patch"
+            )
+            if raw_deltas:
                 is_del = F.col(DEL_FLAG)
                 merged = aligned.select(
                     *[
@@ -710,9 +941,10 @@ class LakeTable:
                     aligned, key_cols, ver_cols, user_cols, types
                 ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
             new_files, rows_written, lineage = self._write_buckets(
-                merged, snap.version + 1, coarse_metrics=coarse
+                merged, snap.version + 1, coarse_metrics=coarse,
+                spread=self._salted_spread(snap, key_cols),
             )
-            if snap.props.get("batch_dedup", "true") == "false":
+            if raw_deltas:
                 add_nonunique = [f for fl in new_files.values() for f in fl]
             for bkt, files in new_files.items():
                 buckets[bkt] = buckets.get(bkt, []) + files
@@ -730,7 +962,16 @@ class LakeTable:
 
         if mode != "cow":
             threshold = int(snap.props.get("compact_threshold", "6"))
-            to_compact = [b for b in buckets if len(buckets[b]) > threshold]
+            # read-amplification metric = delta GENERATIONS (distinct
+            # commit segments, the v…-tok path component), not raw files:
+            # the rebalanced write may split one hot bucket into several
+            # files within a single merge, which adds write parallelism
+            # but no per-key resolution depth — counting files would make
+            # every skewed merge trigger a full-bucket rewrite
+            to_compact = [
+                b for b in buckets
+                if len({f.split("/", 2)[1] for f in buckets[b]}) > threshold
+            ]
             if to_compact:
                 try:
                     # Best-effort maintenance: the merge above is already
@@ -779,7 +1020,10 @@ class LakeTable:
         files = [f for fl in bucket_files.values() for f in fl]
         storage = self._read_files(snap, files, user_schema=user_schema)
         storage = storage.select(*user_cols, F.col(META_DELETED).alias(DEL_FLAG))
-        compacted = _lww_rows(
+        # row tables materialize total winner rows; patch tables fold to
+        # partial rows preserving per-column winner versions (_patch_fold
+        # docstring: materializing would let late events resurrect values)
+        compacted = _folder(snap.props)(
             storage, snap.key_cols, snap.version_cols, user_cols, types
         )
         if expire_tombstones_before is not None:
@@ -794,6 +1038,7 @@ class LakeTable:
             compacted, version, tag="c",
             coarse_metrics=snap.props.get("write_metrics", "full") == "coarse",
             sort_cols=snap.key_cols,
+            spread=self._bijection_spread(snap.n_buckets),
         )
         return new_files
 
@@ -820,9 +1065,41 @@ class LakeTable:
         # change feed must not re-emit its output. manifest_key=None:
         # maintenance commits stay out of the exactly-once ledger (see
         # _child) — a redundant re-compaction is wasteful, never wrong.
+        # Patch tables: folded files hold PARTIAL rows (possibly several
+        # per key) — they must stay on the resolving read path.
+        nonuniq_out = [f for fl in cfiles.values() for f in fl] \
+            if _is_patch(snap.props) else []
         self._publish(self._child(snap, snap.schema, merged, None, added=[],
+                                  add_nonunique=nonuniq_out,
                                   new_stats=self._harvest_stats(snap, cfiles)))
         return len(target)
+
+    def folded_state(self, version: int | None = None) -> DataFrame:
+        """The table's SEMANTIC FOLD at a snapshot — the same reduction
+        compaction writes, without writing it: per-key winner rows
+        (including tombstones) for row tables; per-column-winner PARTIAL
+        rows + the retained tombstone for patch tables (several rows per
+        key; see :func:`_patch_fold`). Columns: user schema +
+        ``META_DELETED``.
+
+        This is the provenance-preserving state-copy surface for
+        consumers that BOOTSTRAP a same-semantics replica
+        (``cdc.sync.sync_changes(full_refresh=True)``): for a patch
+        table, copying the *resolved* image instead would stamp every
+        column at the key's max version, and a late event with a version
+        between a column's true winner and that stamp would then resolve
+        wrongly in the replica — exactly the hazard ``_patch_fold``
+        documents for compaction. Idempotent over already-folded files."""
+        snap = self.snapshot(version)
+        user_cols = [f.name for f in snap.schema.fields]
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        files = [f for fl in snap.buckets.values() for f in fl]
+        storage = self._read_files(snap, files).select(
+            *user_cols, F.col(META_DELETED).alias(DEL_FLAG)
+        )
+        return _folder(snap.props)(
+            storage, snap.key_cols, snap.version_cols, user_cols, types
+        )
 
     def rollback(self, to_version: int) -> int:
         """Restore the table's DATA to snapshot ``to_version`` as a NEW
@@ -898,8 +1175,9 @@ class LakeTable:
         storage = self._read_files(snap, files).select(
             *user_cols, F.col(META_DELETED).alias(DEL_FLAG)
         )
-        # resolve LWW while we are rewriting anyway (free compaction)
-        resolved = _lww_rows(
+        # resolve LWW while we are rewriting anyway (free compaction);
+        # patch tables fold to partial rows instead (see _patch_fold)
+        resolved = _folder(snap.props)(
             storage, snap.key_cols, snap.version_cols, user_cols, types
         ).withColumn(
             BUCKET_COL,
@@ -910,17 +1188,105 @@ class LakeTable:
         new_files, _, _ = self._write_buckets(
             resolved, snap.version + 1, tag="r", coarse_metrics=coarse,
             sort_cols=snap.key_cols,
+            spread=self._bijection_spread(new_n_buckets),
         )
-        child = self._child(snap, snap.schema, new_files, None, added=[],
-                            new_stats=self._harvest_stats(snap, new_files))
+        child = self._child(
+            snap, snap.schema, new_files, None, added=[],
+            add_nonunique=[f for fl in new_files.values() for f in fl]
+            if _is_patch(snap.props) else (),
+            new_stats=self._harvest_stats(snap, new_files))
         child.n_buckets = new_n_buckets
         self._publish(child)
         return child.version
+
+    @staticmethod
+    def _bijection_spread(n_buckets: int):
+        """``(num_partitions, partition_key)`` making the bucket-aligned
+        write COLLISION-FREE: exactly one bucket per reduce task. The key
+        is the bucket's murmur3 PREIMAGE (``_pid_preimages``), so Spark's
+        hash partitioner — ``pmod(murmur3(key), n)`` — lands bucket i on
+        partition i, a bijection. Cost of the alternative (measured on the
+        64M-event replay): plain ``repartition(bucket)`` into 2x-cores
+        partitions stacked up to 8 near-equal buckets / 1.96x mean bytes
+        in the hottest task, a write-stage straggler tail worth ~11% of
+        wall at local[8] that GROWS with parallelism. Task count equals
+        n_buckets at every cluster size — the same work decomposition at
+        N and 4N cores, so scaling is pure scheduling.
+
+        element_at is deliberately strict (ANSI): a bucket id outside
+        [0, n) is a layout bug and must surface, not silently skew."""
+        pre = _PID_CACHE.get(n_buckets)
+        if pre is None:
+            pre = _PID_CACHE[n_buckets] = _pid_preimages(n_buckets)
+        arr = F.array(*[F.lit(v) for v in pre])
+        return n_buckets, F.element_at(arr, F.col(BUCKET_COL) + F.lit(1))
+
+    def _salted_spread(self, snap: "Snapshot", key_cols: list[str]):
+        """Spread for the MERGE write: the collision-free bijection above,
+        PLUS size-aware splitting of genuinely hot buckets into
+        ~average-sized salt units (each unit gets its own preimage-keyed
+        task and writes its own file — valid under MoR, buckets hold file
+        lists and read-time LWW resolves across them; the compaction
+        trigger counts delta GENERATIONS, not files, so split writes don't
+        masquerade as read-amplification). Split factors are SELF-TUNING
+        from the table's own layout: each bucket's stored bytes
+        (driver-side stat of its referenced files — an object-store
+        deployment would read catalog-recorded sizes; very wide layouts
+        would ship the unit map as a broadcast join instead of literals)
+        decide how many units its incoming rows decompose into, capped at
+        16. Under stationary CDC skew (hot repos stay hot — the north-star
+        workload) the stored distribution predicts the batch's; the first
+        merge into an empty table and the no-skew case run the plain
+        bijection. ``merge_balance="plain"`` opts out entirely."""
+        if snap.props.get("merge_balance", "salted") != "salted":
+            return None
+        n = snap.n_buckets
+        sizes: dict[int, int] = {}
+        for b, fl in snap.buckets.items():
+            tot = 0
+            for f in fl:
+                try:
+                    tot += os.stat(os.path.join(self.path, f)).st_size
+                except OSError:
+                    pass
+            sizes[b] = tot
+        mean = sum(sizes.values()) / max(n, 1)
+        factors = {
+            b: min(16, int(round(s / mean)))
+            for b, s in sizes.items() if mean > 0 and s >= 1.5 * mean
+        }
+        if not factors:
+            return self._bijection_spread(n)
+        # unit layout: bucket b owns pids [offset_b, offset_b + k_b)
+        offsets: list[int] = []
+        total_units = 0
+        for b in range(n):
+            offsets.append(total_units)
+            total_units += factors.get(b, 1)
+        pre = _pid_preimages(total_units)
+        k_items: list = []
+        for b, k in sorted(factors.items()):
+            k_items += [F.lit(b), F.lit(k)]
+        kcol = F.coalesce(
+            F.try_element_at(F.create_map(*k_items), F.col(BUCKET_COL)),
+            F.lit(1),
+        )
+        off = F.element_at(
+            F.array(*[F.lit(o) for o in offsets]), F.col(BUCKET_COL) + F.lit(1)
+        )
+        # salt hash: xxhash64 with an extra literal, decorrelated from the
+        # bucket hash over the same key columns
+        unit = off + F.when(kcol > 1, F.pmod(
+            F.xxhash64(*[F.col(c) for c in key_cols], F.lit("__salt")), kcol
+        ).cast("int")).otherwise(F.lit(0))
+        return total_units, F.element_at(
+            F.array(*[F.lit(v) for v in pre]), unit + F.lit(1))
 
     def _write_buckets(
         self, merged: DataFrame, version: int, tag: str = "",
         coarse_metrics: bool = False,
         sort_cols: list[str] | None = None,
+        spread=None,
     ) -> tuple[dict[int, list[str]], int, int]:
         """Write per-bucket parquet files; return bucket→relative paths.
 
@@ -942,7 +1308,21 @@ class LakeTable:
         seg_rel = f"{_DATA_DIR}/v{version:010d}{tag}-{tok}"
         seg_abs = os.path.join(self.path, seg_rel)
         staging = seg_abs + ".stage"
-        shaped = merged.repartition(F.col(BUCKET_COL))
+        # spread = (num_partitions, partition_key): the collision-free
+        # bucket→task bijection (optionally salted for hot buckets — see
+        # _bijection_spread / _salted_spread). Measured alternatives at
+        # 64M events, all rejected: plain repartition(bucket) stacks up to
+        # 8 near-equal buckets (1.96x mean bytes) in one task; AQE
+        # REBALANCE by bucket balances local[8] well (-16% wall) but
+        # splits by MAP RANGE so every split task writes every bucket in
+        # its range — 3.9 files/bucket at 8 cores ballooned to 14.8 at 2
+        # cores, file count scaling with splits x buckets; blind 2x
+        # over-partitioning balances nearly as well but costs +14% cpu in
+        # shuffle-stream overhead and still collides.
+        if spread is not None:
+            shaped = merged.repartition(spread[0], spread[1])
+        else:
+            shaped = merged.repartition(F.col(BUCKET_COL))
         if sort_cols:
             shaped = shaped.sortWithinPartitions(*sort_cols)
         (
@@ -1175,6 +1555,14 @@ class LakeTable:
             snap = self.current_snapshot()
             props = dict(snap.props)
             for k, v in updates.items():
+                if k == "update_semantics" and \
+                        ("row" if v is None else str(v)) != \
+                        snap.props.get("update_semantics", "row"):
+                    # resolution semantics are baked into every delta file
+                    # already on disk (raw partial rows vs total rows) —
+                    # flipping them reinterprets history
+                    raise ValueError(
+                        "update_semantics is fixed at create time")
                 if v is None:
                     props.pop(k, None)
                 else:
@@ -1206,9 +1594,12 @@ class LakeTable:
         bcols = snap.bloom_cols()
         if bcols:
             validate_bloom_cols(snap.schema, bcols)
+        # column-level check, not entry-level: a file may already carry a
+        # bloom entry (so it IS in file_stats) yet predate a newly added
+        # stats column — its zone maps still need harvesting
         missing = [
             f for fl in snap.buckets.values() for f in fl
-            if f not in snap.file_stats
+            if any(c not in snap.file_stats.get(f, {}) for c in cols)
         ] if cols else []
         bloom_missing = [
             f for fl in snap.buckets.values() for f in fl
@@ -1283,7 +1674,14 @@ class LakeTable:
         the feed may carry several versions of a key per range; every row
         still carries the version columns, so a consumer applies the same
         LWW reduction this table's reads do (or replays into another
-        LakeTable, whose merge does it for free)."""
+        LakeTable, whose merge does it for free).
+
+        Patch tables (``update_semantics="patch"``) emit their raw
+        PARTIAL rows — NULL meaning "keep the previous value" — which is
+        the faithful patch-image feed, but is only replayable into a
+        destination with the SAME semantics; ``cdc.sync.sync_changes``
+        enforces the match (row-LWW applied to partial rows, or
+        per-column LWW applied to total rows, silently corrupts)."""
         if to_version is None:
             to_version = self.current_version()
         snap_to = self.snapshot(to_version)

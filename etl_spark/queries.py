@@ -3075,6 +3075,95 @@ FROM kept k JOIN documents d ON d.doc_id = k.doc_id
 """
 
 
+def q_cdc_patch_upsert(spark, sf_dir):
+    """Partial-image CDC replay (``update_semantics="patch"``): the events
+    WAL re-cut as Debezium-style partial rows — each non-insert update
+    carries ONE of the three payload columns (a deterministic
+    ``event_id % 3`` rule; signups carry full rows), NULL meaning "keep
+    the previous value" — merged epoch-by-epoch through LakeTable with
+    per-column LWW resolution (lake/table.py::_patch_rows). Final state:
+    each column holds the latest value that actually set it, reset by any
+    newer tombstone; a key exists iff a non-delete row outlives its last
+    delete. Deltas land raw (no batch fold can represent delete-then-set),
+    read-time resolution stays one combinable aggregate — the same
+    single-shuffle skew story as row-LWW. Reference: per-field REST
+    detail re-capture over previously captured records
+    (/root/reference/src/impulsoetl/scnes/estabelecimentos_identificados/
+    tratamento.py — field-subset updates folded onto earlier vintages)."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events")
+    full = F.col("event_type") == "signup"
+    pick = F.pmod(F.col("event_id"), F.lit(3))
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "ts", "user_id",
+        F.when(full | (pick == 0), F.col("event_type"))
+        .alias("event_type"),
+        F.when(full | (pick == 1), F.col("value")).alias("value"),
+        F.when(full | (pick == 2), F.col("props")).alias("props"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_patch_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, _ = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=16,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        table_props={"update_semantics": "patch",
+                     "write_metrics": "coarse"},
+    )
+    return table.read().select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+# Scalar version key: zero-padded (epoch_ms, event_id) concatenation is
+# lexicographically ordered exactly like the engine's struct(ts, event_id)
+# comparison, and is bit-identical across engines (no struct-compare
+# dialect risk). Per column: the winner is the max-versioned non-delete
+# row that SET the column, alive only if newer than the last tombstone.
+SQL_CDC_PATCH = """
+WITH wal AS (
+  SELECT user_id, ts, event_id,
+         (event_type = 'error') AS is_del,
+         printf('%018d%012d', epoch_ms(ts), event_id) AS vk,
+         CASE WHEN event_type='signup' OR event_id % 3 = 0
+              THEN event_type END AS etp,
+         CASE WHEN event_type='signup' OR event_id % 3 = 1
+              THEN value END AS vp,
+         CASE WHEN event_type='signup' OR event_id % 3 = 2
+              THEN props END AS pp
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         max_by(ts, vk) AS ts, max_by(event_id, vk) AS event_id,
+         max(vk) AS latest,
+         max(vk) FILTER (WHERE is_del) AS dv,
+         max(vk) FILTER (WHERE NOT is_del AND etp IS NOT NULL) AS ev_v,
+         max_by(etp, vk) FILTER (WHERE NOT is_del AND etp IS NOT NULL)
+           AS ev_x,
+         max(vk) FILTER (WHERE NOT is_del AND vp IS NOT NULL) AS va_v,
+         max_by(vp, vk) FILTER (WHERE NOT is_del AND vp IS NOT NULL)
+           AS va_x,
+         max(vk) FILTER (WHERE NOT is_del AND pp IS NOT NULL) AS pr_v,
+         max_by(pp, vk) FILTER (WHERE NOT is_del AND pp IS NOT NULL)
+           AS pr_x
+  FROM wal GROUP BY user_id
+)
+SELECT user_id, event_id, ts,
+       CASE WHEN dv IS NULL OR ev_v > dv THEN ev_x END AS event_type,
+       CASE WHEN dv IS NULL OR va_v > dv THEN va_x END AS value,
+       CASE WHEN dv IS NULL OR pr_v > dv THEN pr_x END AS props
+FROM agg
+WHERE dv IS NULL OR latest > dv
+"""
+
+
 def q_quality_repetition(spark, sf_dir):
     """Gopher-style repetition quality gate: per-document duplicate-line
     fraction, duplicate-line character fraction, and top-bigram
@@ -3473,6 +3562,7 @@ QUERIES = {
     "snapshot_audit_diff": q_snapshot_audit_diff,
     "cdc_purge_erasure": q_cdc_purge_erasure,
     "cdc_dedup_ingest": q_cdc_dedup_ingest,
+    "cdc_patch_upsert": q_cdc_patch_upsert,
     "pending_capture_scan": q_pending_capture_scan,
     "lww_compact_parity": q_lww_compact_parity,
     "period_lead": q_period_lead,
@@ -3560,6 +3650,7 @@ ORACLES = {
     "snapshot_audit_diff": SQL_SNAPSHOT_AUDIT_DIFF,
     "cdc_purge_erasure": SQL_CDC_PURGE,
     "cdc_dedup_ingest": SQL_CDC_DEDUP_INGEST,
+    "cdc_patch_upsert": SQL_CDC_PATCH,
     "pending_capture_scan": SQL_PENDING_SCAN,
     "lww_compact_parity": SQL_LWW_COMPACT_PARITY,
     "period_lead": SQL_PERIOD_LEAD,

@@ -446,3 +446,28 @@ def test_nullable_bloom_column_keeps_exact_hashes(spark, tmp_root):
     # and the probe path still finds every row through lookup()
     got = t.read(where=[("commit", "=", "c1")]).collect()
     assert [r["commit"] for r in got] == ["c1"]
+
+
+def test_backfill_adds_zone_maps_to_bloom_only_files(spark, tmp_root):
+    """Regression: a file already carrying a bloom entry IS in file_stats,
+    so the old entry-level 'missing' test skipped it when stats_cols was
+    declared later — its zone maps were never backfilled. The check is
+    column-level now."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "tbz"), StructType.fromDDL(SCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=2, props={"bloom_cols": "path", "bloom_bits": "8192"},
+    )
+    _merge(spark, t, "e:0", _rows(0, 100, "c0"))
+    snap = t.current_snapshot()
+    f0 = next(f for fl in snap.buckets.values() for f in fl)
+    assert "path" + BLOOM_SUFFIX in snap.file_stats[f0]
+    assert "event_id" not in snap.file_stats[f0]
+    t.alter_props({"stats_cols": "event_id"})     # zone maps come later
+    assert t.backfill_stats() > 0
+    snap = t.current_snapshot()
+    for fl in snap.buckets.values():
+        for f in fl:
+            assert "event_id" in snap.file_stats[f]      # zone map gained
+            assert "path" + BLOOM_SUFFIX in snap.file_stats[f]  # bloom kept
+    assert t.backfill_stats() == 0  # idempotent

@@ -246,3 +246,58 @@ def test_stream_join_sync_follows_both_feeds_and_resumes(spark, tmp_root):
 
     assert list(stream_join_sync(fact, dim, dst, dim_on=["repo"],
                                  poll_interval=0.01, stop=stop)) == []
+
+
+def test_sync_join_survives_upstream_rebucket_mid_feed(spark, tmp_root):
+    """Layout evolution between rounds on EITHER upstream: rebuckets are
+    maintenance commits (added=[], feed-invisible) and later epochs land
+    under the new layout; _changed_buckets hashes per snapshot version,
+    so the pruned state reads stay correct across the layout change."""
+    fact, dim = _fact(spark, tmp_root, "f7"), _dim(spark, tmp_root, "d7")
+    _md(spark, dim, "d:0", [(T0, "r1", "alice", "gold", "I"),
+                            (T0, "r2", "bob", "silver", "I")])
+    _mf(spark, fact, "e:0", [(1, T0, "r1", "a", "v1", "I"),
+                             (2, T0, "r2", "a", "v1", "I")])
+    dst = create_join_table(spark, os.path.join(tmp_root, "view7"),
+                            fact, dim, dim_on=["repo"])
+    sync_join(fact, dim, dst, dim_on=["repo"])
+
+    fact.rebucket(8)
+    dim.rebucket(4)
+    _mf(spark, fact, "e:1", [(3, T0 + dt.timedelta(minutes=1), "r1", "a",
+                              "v2", "U")])
+    _md(spark, dim, "d:1", [(T0 + dt.timedelta(minutes=1), "r2", "bo",
+                             "gold", "U")])
+    st = sync_join(fact, dim, dst, dim_on=["repo"])
+    assert [s.applied for s in st] == [True, True]
+    assert _got(dst) == _expected(fact, dim)
+    assert _got(dst)[("r1", "a")] == ("v2", "alice", "gold")
+    assert _got(dst)[("r2", "a")] == ("v1", "bo", "gold")
+    assert sync_join(fact, dim, dst, dim_on=["repo"]) == []
+
+
+def test_sync_join_lapsed_cursor_raises_and_refresh_recovers(spark,
+                                                             tmp_root):
+    """A consumer that falls past either upstream's snapshot-retention
+    horizon must get a loud error naming the recovery, and full_refresh
+    must actually recover (fresh destination)."""
+    fact, dim = _fact(spark, tmp_root, "f8"), _dim(spark, tmp_root, "d8")
+    _md(spark, dim, "d:0", [(T0, "r1", "alice", "gold", "I")])
+    _mf(spark, fact, "e:0", [(1, T0, "r1", "a", "v1", "I")])
+    dst = create_join_table(spark, os.path.join(tmp_root, "view8"),
+                            fact, dim, dim_on=["repo"])
+    sync_join(fact, dim, dst, dim_on=["repo"])
+
+    for i in range(4):
+        _mf(spark, fact, f"e:{i+1}",
+            [(10 + i, T0 + dt.timedelta(minutes=i + 1), "r1", f"p{i}",
+              "v1", "I")])
+    fact.expire_snapshots(keep_last=2)
+    with pytest.raises(RuntimeError, match="retention horizon"):
+        sync_join(fact, dim, dst, dim_on=["repo"])
+
+    dst2 = create_join_table(spark, os.path.join(tmp_root, "view8b"),
+                             fact, dim, dim_on=["repo"])
+    st = sync_join(fact, dim, dst2, dim_on=["repo"], full_refresh=True)
+    assert [s.applied for s in st] == [True, True]
+    assert _got(dst2) == _expected(fact, dim)

@@ -492,3 +492,93 @@ def test_rollback_restores_state_and_guards_the_feed(spark, tmp_root):
     t.expire_snapshots(keep_last=2)
     t.vacuum(older_than_sec=0.0)
     assert rows(t)[("r", "b")] == ("good-b", 2)
+
+
+def test_murmur3_parity_and_write_bijection(spark, tmp_root):
+    """The balanced write relies on driver-side murmur3 preimages: (1) the
+    pure-Python _murmur3_int32 must equal Spark's hash() for ints, (2) the
+    preimage array must make repartition(n, key) a true bucket->partition
+    bijection through Spark's real partitioner, and (3) a skewed table's
+    salted merge must split ONLY the hot bucket into multiple delta files
+    while state parity holds."""
+    from etl_spark.lake.table import (_bucket_of, _murmur3_int32,
+                                      _pid_preimages)
+    from pyspark.sql.types import StructType
+
+    rows = spark.range(0, 512).select(
+        F.col("id").cast("int").alias("v")).select(
+        "v", F.hash("v").alias("h")).collect()
+    assert all(r["h"] == _murmur3_int32(r["v"]) for r in rows)
+
+    pre = _pid_preimages(32)
+    arr = F.array(*[F.lit(v) for v in pre])
+    got = (
+        spark.range(0, 32).select(F.col("id").cast("int").alias("b"))
+        .repartition(32, F.element_at(arr, F.col("b") + F.lit(1)))
+        .select("b", F.spark_partition_id().alias("p")).collect()
+    )
+    assert all(r["b"] == r["p"] for r in got)
+
+    # skewed table: one BUCKET holds ~10x the keys of the others (bucket
+    # heat from MANY keys — the shape salting splits; a single mega-key
+    # stays one unit by design, key-hash salts preserve key locality).
+    # Keys are picked by computing their bucket up front.
+    schema = StructType.fromDDL(
+        "event_id bigint, op_ts timestamp, repo string, path string, "
+        "content string")
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "skewed"), schema,
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=4, props={"compact_threshold": "999"},
+    )
+    import datetime as dt
+    import hashlib
+    t0 = dt.datetime(2024, 1, 1)
+
+    key_rows = (
+        spark.range(0, 20_000)
+        .select(F.lit("r").alias("repo"),
+                F.concat(F.lit("p"), F.col("id")).alias("path"))
+        .withColumn("b", _bucket_of(["repo", "path"], 4))
+        .collect()
+    )
+    by_bucket: dict = {0: [], 1: [], 2: [], 3: []}
+    for r in key_rows:
+        by_bucket[r["b"]].append(r["path"])
+    hot_bucket = max(by_bucket, key=lambda b: len(by_bucket[b]))
+    hot = by_bucket[hot_bucket][:3000]
+    cold = [p for b, ps in by_bucket.items() if b != hot_bucket
+            for p in ps[:100]]
+
+    from pyspark.sql.types import StringType, StructField
+
+    batch_schema = StructType(
+        list(schema.fields) + [StructField("op", StringType(), False)])
+
+    # per-row md5 chains: snappy can't compress the skew away (stored
+    # BYTES are the salting signal)
+    def blob(s):
+        return "".join(
+            hashlib.md5(f"{s}:{j}".encode()).hexdigest() for j in range(12))
+
+    m0 = [(i, t0, "r", p, blob(p), "I") for i, p in enumerate(hot)] + \
+         [(10_000 + i, t0, "r", p, "x" * 8, "I") for i, p in enumerate(cold)]
+    t.merge(spark.createDataFrame(m0, batch_schema), "m0")
+    snap = t.current_snapshot()
+
+    # merge 1: salted spread should split ONLY the hot bucket
+    m1 = [(20_000 + i, t0 + dt.timedelta(minutes=1), "r", p,
+           "Z" + blob(p)[1:], "U") for i, p in enumerate(hot)]
+    t.merge(spark.createDataFrame(m1, batch_schema), "m1")
+    snap2 = t.current_snapshot()
+    added = {b: [f for f in snap2.buckets.get(b, [])
+                 if f not in set(snap.buckets.get(b, []))]
+             for b in snap2.buckets}
+    assert len(added.get(hot_bucket, [])) > 1          # hot bucket split
+    for b, fl in added.items():
+        if b != hot_bucket and fl:
+            assert len(fl) == 1                        # cold buckets intact
+    # state parity: latest version wins everywhere
+    got = {r["path"]: r["content"][:1]
+           for r in t.read().filter(F.col("path").isin(hot[:50])).collect()}
+    assert got == {p: "Z" for p in hot[:50]}

@@ -262,3 +262,74 @@ def test_sync_survives_upstream_rebucket_mid_feed(spark, tmp_root):
         {"a": "v2", "b": "v1", "c": "v1"}
     # caught up afterwards — the rebucket commit itself is feed-invisible
     assert sync_changes(src, dst) is None
+
+
+PATCH_SCHEMA = "id bigint, ts bigint, seq bigint, a string, b bigint"
+
+
+def _mk_patch(spark, root, name, props=None):
+    p = {"update_semantics": "patch"}
+    p.update(props or {})
+    return LakeTable.create(
+        spark, os.path.join(root, name), StructType.fromDDL(PATCH_SCHEMA),
+        key_cols=["id"], version_cols=["ts", "seq"], n_buckets=2, props=p,
+    )
+
+
+def _mp(spark, t, key, rows):
+    t.merge(spark.createDataFrame(rows, PATCH_SCHEMA + ", op string"), key)
+
+
+def _pstate(t):
+    return {r["id"]: (r["ts"], r["seq"], r["a"], r["b"])
+            for r in t.read().collect()}
+
+
+def test_sync_semantics_mismatch_raises(spark, tmp_root):
+    import pytest
+
+    src = _mk_patch(spark, tmp_root, "sp1")
+    dst = _mk(spark, tmp_root, "sd1", props={"cursor_prefixes": "sync"})
+    with pytest.raises(ValueError, match="update_semantics mismatch"):
+        sync_changes(src, dst)
+    src2 = _mk(spark, tmp_root, "sp1b")
+    dst2 = _mk_patch(spark, tmp_root, "sd1b",
+                     props={"cursor_prefixes": "sync"})
+    with pytest.raises(ValueError, match="update_semantics mismatch"):
+        sync_changes(src2, dst2)
+
+
+def test_sync_patch_to_patch_incremental(spark, tmp_root):
+    """Partial rows replay through the feed into a patch replica: NULL
+    keeps the previous value END TO END (src resolution == dst
+    resolution), including a tombstone reset mid-feed."""
+    src = _mk_patch(spark, tmp_root, "sp2", {"compact_threshold": "2"})
+    dst = _mk_patch(spark, tmp_root, "sd2", {"cursor_prefixes": "sync"})
+    _mp(spark, src, "m0", [(1, 10, 1, "alice", 5, "I"),
+                           (2, 10, 2, "bob", 7, "I")])
+    assert sync_changes(src, dst).applied
+    _mp(spark, src, "m1", [(1, 20, 3, None, 6, "U")])       # patch b only
+    _mp(spark, src, "m2", [(2, 20, 4, None, None, "D"),      # reset key 2
+                           (2, 30, 5, None, 9, "U")])        # partial revive
+    assert sync_changes(src, dst).applied
+    assert _pstate(dst) == _pstate(src) == {
+        1: (20, 3, "alice", 6), 2: (30, 5, None, 9)}
+    assert sync_changes(src, dst) is None
+
+
+def test_sync_patch_bootstrap_preserves_column_provenance(spark, tmp_root):
+    """THE reason bootstrap copies folded_state, not the resolved image:
+    key 1 has a@2 and b@8; a replica bootstrapped from the resolved image
+    would stamp BOTH columns at version 8, so a late delete at version 5
+    (arriving only after the bootstrap, via the feed) would kill nothing —
+    but a (set @2, before the delete) must die. The folded bootstrap keeps
+    a's true winner version, so src and replica agree."""
+    src = _mk_patch(spark, tmp_root, "sp3")
+    dst = _mk_patch(spark, tmp_root, "sd3", {"cursor_prefixes": "sync"})
+    _mp(spark, src, "m0", [(1, 2, 1, "keepme", None, "U"),
+                           (1, 8, 2, None, 42, "U")])
+    assert sync_changes(src, dst, full_refresh=True).applied  # bootstrap
+    _mp(spark, src, "m1", [(1, 5, 3, None, None, "D")])       # late delete
+    assert sync_changes(src, dst).applied
+    assert _pstate(src) == {1: (8, 2, None, 42)}
+    assert _pstate(dst) == _pstate(src)
