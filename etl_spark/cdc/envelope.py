@@ -1,0 +1,175 @@
+"""Debezium/binlog-style CDC envelope adapter.
+
+Real CDC pipelines rarely hand the consumer a flat WAL: Debezium, AWS
+DMS and Maxwell all emit a JSON *envelope* per change —
+``{"op": "c|u|d|r", "before": {...}, "after": {...}, "ts_ms": ...,
+"source": {"table": ..., "lsn": ...}, "transaction": {...}}`` — while
+this engine's internal schema (cdc/events.py) is flat ``I/U/D`` + key +
+payload + version. This module normalizes an envelope stream into that
+flat schema so the entire replay / merge / sync / SCD2 stack applies
+unchanged, the same way the reference normalizes each upstream's
+transport quirks into one tratamento shape before loading
+(/root/reference/src/impulsoetl/scripts/geral.py:36-116 — every capture
+funnels through the same per-period idempotent apply regardless of
+whether it arrived via FTP, REST or Selenium).
+
+Semantics (documented, test-pinned):
+
+- ``op`` mapping: ``c`` (create) and ``r`` (snapshot read) → ``I``;
+  ``u`` → ``U``; ``d`` → ``D``. Snapshot reads are inserts because the
+  engine's MERGE upsert is idempotent per key/version.
+- Payload comes from ``after``, except deletes, which take ``before``
+  (Debezium deletes carry ``after = null`` and at least the key in
+  ``before``).
+- Version: ``op_ts = timestamp_millis(ts_ms)`` with ``seq =
+  coalesce(source.lsn, transaction.total_order, 0)`` as the tiebreak —
+  feed ``version_cols=["op_ts", "seq"]`` to replay/merge.
+- Kafka *tombstones* (NULL value) are dropped, not quarantined: the
+  Debezium ``d`` envelope precedes them and carries the delete; the
+  tombstone exists only for topic compaction.
+- Key-changing updates need no special case: Debezium emits them as a
+  ``d`` + ``c`` pair, never as a ``u`` whose before/after keys differ.
+- Malformed rows (unparseable JSON, unknown ``op``, missing ``ts_ms``)
+  are quarantined with a reason — a poison message must never abort a
+  10^10-event replay, and silently dropping it would corrupt downstream
+  state invisibly.
+
+Scale notes: parsing is one codegen'd projection (``from_json`` +
+conditional struct flatten) — no shuffle, no Python, streams through
+whole-stage codegen at WAL-scan speed. The good/quarantine split is two
+filters over the same projection; in batch each triggers its own scan
+of the (columnar, pruned) source, in streaming split once per
+micro-batch inside ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["envelope_schema", "make_envelope", "parse_envelopes"]
+
+#: Debezium source-block fields the adapter understands. Extra fields in
+#: the payload JSON are ignored by from_json (PERMISSIVE), so richer
+#: connectors parse fine.
+SOURCE_SCHEMA = StructType(
+    [
+        StructField("connector", StringType(), True),
+        StructField("db", StringType(), True),
+        StructField("table", StringType(), True),
+        StructField("lsn", LongType(), True),
+    ]
+)
+
+TRANSACTION_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), True),
+        StructField("total_order", LongType(), True),
+    ]
+)
+
+_OPS = ("c", "u", "d", "r")
+
+
+def envelope_schema(payload_schema: StructType) -> StructType:
+    """The full envelope struct for a given row-payload schema."""
+    return StructType(
+        [
+            StructField("op", StringType(), True),
+            StructField("before", payload_schema, True),
+            StructField("after", payload_schema, True),
+            StructField("ts_ms", LongType(), True),
+            StructField("source", SOURCE_SCHEMA, True),
+            StructField("transaction", TRANSACTION_SCHEMA, True),
+        ]
+    )
+
+
+def make_envelope(
+    op: Column,
+    before: Column | None,
+    after: Column | None,
+    ts_ms: Column,
+    source: Column | None = None,
+    transaction: Column | None = None,
+) -> Column:
+    """Serialize envelope parts to the JSON wire form (the inverse of
+    :func:`parse_envelopes`; used by tests and fixtures — a real deploy
+    receives these bytes from the connector). NULL fields are omitted,
+    matching Debezium's serialization of absent before/after blocks."""
+    parts = [F.lit("op"), op, F.lit("ts_ms"), ts_ms]
+    if before is not None:
+        parts += [F.lit("before"), before]
+    if after is not None:
+        parts += [F.lit("after"), after]
+    if source is not None:
+        parts += [F.lit("source"), source]
+    if transaction is not None:
+        parts += [F.lit("transaction"), transaction]
+    return F.to_json(F.named_struct(*parts))
+
+
+def parse_envelopes(
+    df: DataFrame,
+    payload_schema: StructType,
+    value_col: str = "value",
+    table: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Normalize a JSON envelope stream to the engine's flat event shape.
+
+    Returns ``(events, quarantine)``:
+
+    - ``events``: ``op`` (I/U/D), ``op_ts`` (timestamp), ``seq`` (long
+      version tiebreak), ``_table`` (source table name, for fan-out
+      routing of multi-table streams), then the payload columns in
+      ``payload_schema`` order. Pass ``table=`` to keep only one
+      table's events (the filter lands before the flatten, so Catalyst
+      prunes the rest at the scan when the source is columnar).
+    - ``quarantine``: the raw ``value`` plus a ``reason`` column
+      (``null_envelope`` / ``bad_op`` / ``null_ts``) for dead-letter
+      landing; replaying the quarantine after a connector fix is just
+      ``parse_envelopes`` again.
+
+    Kafka tombstones (NULL ``value_col``) appear in neither output.
+    """
+    raw = F.col(value_col)
+    parsed = F.from_json(raw, envelope_schema(payload_schema))
+    base = df.filter(raw.isNotNull()).select(
+        raw.alias("__raw"), parsed.alias("__env")
+    )
+    env = F.col("__env")
+
+    reason = (
+        F.when(env.isNull(), F.lit("null_envelope"))
+        .when(env["op"].isNull() | ~env["op"].isin(*_OPS), F.lit("bad_op"))
+        .when(env["ts_ms"].isNull(), F.lit("null_ts"))
+    )
+    quarantine = base.select(
+        F.col("__raw").alias("value"), reason.alias("reason")
+    ).filter(F.col("reason").isNotNull())
+
+    payload = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
+    good = base.filter(reason.isNull())
+    if table is not None:
+        good = good.filter(env["source"]["table"] == F.lit(table))
+    events = good.select(
+        F.when(env["op"] == "u", F.lit("U"))
+        .when(env["op"] == "d", F.lit("D"))
+        .otherwise(F.lit("I"))  # c and r
+        .alias("op"),
+        F.timestamp_millis(env["ts_ms"]).alias("op_ts"),
+        F.coalesce(
+            env["source"]["lsn"],
+            env["transaction"]["total_order"],
+            F.lit(0),
+        ).alias("seq"),
+        env["source"]["table"].alias("_table"),
+        *[payload[f.name].alias(f.name) for f in payload_schema.fields],
+    )
+    return events, quarantine
