@@ -98,6 +98,9 @@ def run_replay_bench(spark, n_events: int, n_buckets: int, parallelism: int,
 BENCH_QUERIES = [
     "cdc_lww_latest_state",
     "cdc_replay_final_state",
+    "cdc_envelope_ingest",
+    # envelope_route_fanout is fixture-dominated (builds two LakeTables);
+    # the wire-parse throughput it shares is what cdc_envelope_ingest times
     # cdc_change_feed and cdc_dedup_ingest are deliberately absent: their
     # wall time is dominated by building a multi-merge LakeTable fixture,
     # not by the operator under measurement — both are correctness-gated

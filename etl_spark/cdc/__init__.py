@@ -28,14 +28,35 @@ from etl_spark.cdc.dedup_ingest import (
     dedup_gated_merge,
     minhash_sketch,
 )
+from etl_spark.cdc.envelope import (
+    envelope_schema,
+    infer_payload_schema,
+    make_envelope,
+    parse_envelopes,
+)
 from etl_spark.cdc.events import EVENT_SCHEMA, synth_events, write_event_epochs
 from etl_spark.cdc.join_sync import JSYNC_SEQ, create_join_table, sync_join
 from etl_spark.cdc.lww import lww_dedup
+from etl_spark.cdc.reconcile import (
+    ReconcileStats,
+    reconcile_snapshot,
+    snapshot_corrections,
+)
+from etl_spark.cdc.router import apply_envelope_batch, route_envelopes
 from etl_spark.cdc.replay import replay_batches, replay_events
 from etl_spark.cdc.sync import last_synced_version, sync_changes
 
 __all__ = [
     "DedupIngestStats",
+    "apply_envelope_batch",
+    "envelope_schema",
+    "infer_payload_schema",
+    "make_envelope",
+    "parse_envelopes",
+    "route_envelopes",
+    "ReconcileStats",
+    "reconcile_snapshot",
+    "snapshot_corrections",
     "create_dedup_state",
     "dedup_gated_merge",
     "minhash_sketch",

@@ -53,7 +53,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["envelope_schema", "make_envelope", "parse_envelopes"]
+__all__ = [
+    "envelope_schema",
+    "infer_payload_schema",
+    "make_envelope",
+    "parse_envelopes",
+    "quarantine_reason",
+]
 
 #: Debezium source-block fields the adapter understands. Extra fields in
 #: the payload JSON are ignored by from_json (PERMISSIVE), so richer
@@ -115,6 +121,76 @@ def make_envelope(
     return F.to_json(F.named_struct(*parts))
 
 
+def quarantine_reason(env: Column) -> Column:
+    """Why a parsed envelope struct is unusable (NULL = it's fine):
+    ``null_envelope`` (unparseable JSON), ``bad_op``, ``null_ts``."""
+    return (
+        F.when(env.isNull(), F.lit("null_envelope"))
+        .when(env["op"].isNull() | ~env["op"].isin(*_OPS), F.lit("bad_op"))
+        .when(env["ts_ms"].isNull(), F.lit("null_ts"))
+    )
+
+
+def infer_payload_schema(
+    df: DataFrame,
+    base: StructType,
+    value_col: str = "value",
+) -> StructType:
+    """Additive wire-schema drift discovery: scan a batch of envelopes for
+    payload keys absent from ``base`` and return ``base`` extended with
+    them (sorted by name, appended — existing fields never change, so the
+    downstream lake evolution stays additive, the way the reference folds
+    late-vintage ADICIONAIS columns onto earlier captures).
+
+    Types are inferred per new key from the values actually present, by
+    consensus over the whole batch: BIGINT if every non-null occurrence
+    casts, else DOUBLE, else BOOLEAN, else STRING. The payload objects are
+    read as ``map<string,string>`` — a JSON *string* that happens to look
+    numeric is indistinguishable from a number at that point (same caveat
+    as CSV inference); pin the real type in ``base`` when it matters.
+
+    One distributed pass: both payload sides exploded to ``(key, value)``,
+    map-side-combinable consensus aggregate over the (tiny) new-key set,
+    then a driver collect of #new-keys rows — the usual control-plane
+    schema job. Deterministic given the batch.
+    """
+    from pyspark.sql.types import BooleanType, DoubleType
+
+    known = set(base.fieldNames())
+    raw = F.col(value_col)
+    sides = [
+        F.from_json(F.get_json_object(raw, f"$.{side}"), "map<string,string>")
+        for side in ("after", "before")
+    ]
+    nonnull = df.filter(raw.isNotNull())
+    kv = nonnull.select(F.explode(sides[0]).alias("k", "v")).unionAll(
+        nonnull.select(F.explode(sides[1]).alias("k", "v"))
+    )
+    consensus = (
+        kv.filter(~F.col("k").isin(*known) if known else F.lit(True))
+        .filter(F.col("v").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.min(F.col("v").try_cast("bigint").isNotNull()).alias("is_long"),
+            F.min(F.col("v").try_cast("double").isNotNull()).alias("is_dbl"),
+            F.min(F.col("v").isin("true", "false")).alias("is_bool"),
+        )
+        .collect()
+    )
+    new_fields = []
+    for r in sorted(consensus, key=lambda r: r["k"]):
+        if r["is_long"]:
+            t = LongType()
+        elif r["is_dbl"]:
+            t = DoubleType()
+        elif r["is_bool"]:
+            t = BooleanType()
+        else:
+            t = StringType()
+        new_fields.append(StructField(r["k"], t, True))
+    return StructType(list(base.fields) + new_fields)
+
+
 def parse_envelopes(
     df: DataFrame,
     payload_schema: StructType,
@@ -145,11 +221,7 @@ def parse_envelopes(
     )
     env = F.col("__env")
 
-    reason = (
-        F.when(env.isNull(), F.lit("null_envelope"))
-        .when(env["op"].isNull() | ~env["op"].isin(*_OPS), F.lit("bad_op"))
-        .when(env["ts_ms"].isNull(), F.lit("null_ts"))
-    )
+    reason = quarantine_reason(env)
     quarantine = base.select(
         F.col("__raw").alias("value"), reason.alias("reason")
     ).filter(F.col("reason").isNotNull())

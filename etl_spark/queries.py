@@ -3164,6 +3164,359 @@ WHERE dv IS NULL OR latest > dv
 """
 
 
+def q_cdc_envelope_ingest(spark, sf_dir):
+    """Debezium-envelope wire ingest (cdc/envelope.py): the events table
+    serialized to per-change JSON envelopes (error→``d`` carrying only
+    the key in ``before``; signup→``c``; rest→``u``; ``lsn=event_id``),
+    with three poison messages and a Kafka tombstone spliced into the
+    stream, then normalized back to the engine's flat I/U/D shape by
+    ``parse_envelopes``. Output = the good-side events (op mapping,
+    delete-payload-from-before, ms-precision version, lsn seq); the
+    poison rows must land in quarantine (not here) and the tombstone in
+    neither. One codegen'd projection — no shuffle, no Python.
+    Reference: every upstream transport normalized into one tratamento
+    shape before loading (/root/reference/src/impulsoetl/scripts/
+    geral.py:36-116)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_spark.cdc.envelope import make_envelope, parse_envelopes
+
+    payload_schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+    ev = _t(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    full = F.struct("user_id", "event_type", "value", "props")
+    key_only = F.struct(
+        F.col("user_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    wire = ev.select(
+        make_envelope(
+            op=F.when(is_del, F.lit("d"))
+            .when(F.col("event_type") == "signup", F.lit("c"))
+            .otherwise(F.lit("u")),
+            before=F.when(is_del, key_only),
+            after=F.when(~is_del, full),
+            # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the cast
+            # is the identity DuckDB's epoch_ms applies to naive values
+            ts_ms=F.unix_millis(F.col("ts").cast("timestamp")),
+            source=F.named_struct(
+                F.lit("table"), F.lit("events"),
+                F.lit("lsn"), F.col("event_id"),
+            ),
+        ).alias("value")
+    )
+    poison = spark.createDataFrame(
+        [
+            ("{not json",),                            # unparseable
+            ('{"op":"z","ts_ms":1,"after":{"user_id":1}}',),  # bad op
+            ('{"op":"c","after":{"user_id":2}}',),     # missing ts
+            (None,),                                   # Kafka tombstone
+        ],
+        "value string",
+    )
+    good, _bad = parse_envelopes(
+        wire.unionAll(poison), payload_schema, table="events"
+    )
+    return good.select(
+        "op",
+        F.unix_millis("op_ts").alias("ts_ms"),
+        "seq",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "props",
+    )
+
+
+SQL_CDC_ENVELOPE = """
+SELECT CASE WHEN event_type = 'error' THEN 'D'
+            WHEN event_type = 'signup' THEN 'I'
+            ELSE 'U' END AS op,
+       epoch_ms(ts) AS ts_ms,
+       event_id AS seq,
+       user_id,
+       CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+         AS event_type,
+       CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 2) END
+         AS value,
+       CASE WHEN event_type = 'error' THEN NULL ELSE props END AS props
+FROM events
+"""
+
+
+def q_envelope_route_fanout(spark, sf_dir):
+    """Multi-table envelope routing (cdc/router.py): orders and customer
+    re-cut as one interleaved Debezium wire stream — orders as creates
+    (plus a later delete per 'F'-status order, lsn-disambiguated),
+    customer as updates, two poison messages and one unknown-table
+    envelope spliced in — routed by the ``source.table`` header probe
+    into two LakeTables under per-table exactly-once merges. Output =
+    both final states, discriminated by ``tbl``: deleted orders gone,
+    poison dead-lettered, neither table sees the other's rows."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from etl_spark.cdc.envelope import make_envelope
+    from etl_spark.cdc.router import apply_envelope_batch
+    from etl_spark.lake import LakeTable
+
+    orders_schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    cust_schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_acctbal", DoubleType()),
+        ]
+    )
+    schemas = {"orders": orders_schema, "customer": cust_schema}
+
+    o = _t(spark, sf_dir, "orders")
+    ts_ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    creates = o.select(
+        make_envelope(
+            op=F.lit("c"),
+            before=None,
+            after=F.struct("o_orderkey", "o_custkey", "o_totalprice"),
+            ts_ms=ts_ms,
+            source=F.named_struct(
+                F.lit("table"), F.lit("orders"),
+                F.lit("lsn"), F.col("o_orderkey"),
+            ),
+        ).alias("value")
+    )
+    deletes = o.filter(F.col("o_orderstatus") == "F").select(
+        make_envelope(
+            op=F.lit("d"),
+            before=F.struct(
+                F.col("o_orderkey"),
+                F.lit(None).cast("long").alias("o_custkey"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+            ),
+            after=None,
+            ts_ms=ts_ms + F.lit(86_400_000),
+            source=F.named_struct(
+                F.lit("table"), F.lit("orders"),
+                F.lit("lsn"), F.col("o_orderkey") + F.lit(1_000_000_000),
+            ),
+        ).alias("value")
+    )
+    c = _t(spark, sf_dir, "customer")
+    cust = c.select(
+        make_envelope(
+            op=F.lit("u"),
+            before=None,
+            after=F.struct("c_custkey", "c_name", "c_acctbal"),
+            ts_ms=F.lit(1000),
+            source=F.named_struct(
+                F.lit("table"), F.lit("customer"),
+                F.lit("lsn"), F.col("c_custkey"),
+            ),
+        ).alias("value")
+    )
+    poison = spark.createDataFrame(
+        [
+            ("{broken",),
+            ('{"op":"q","ts_ms":1,"source":{"table":"orders"}}',),
+            ('{"op":"c","ts_ms":1,"source":{"table":"lineitem"},'
+             '"after":{"x":1}}',),
+        ],
+        "value string",
+    )
+    wire = creates.unionAll(deletes).unionAll(cust).unionAll(poison)
+
+    def versioned(payload):
+        return StructType(
+            [StructField("op_ts", TimestampType()),
+             StructField("seq", LongType())] + list(payload.fields)
+        )
+
+    tmp = _tmpdir("etl_spark_route_")
+    tables = {
+        "orders": LakeTable.create(
+            spark, os.path.join(tmp, "orders"), versioned(orders_schema),
+            key_cols=["o_orderkey"], version_cols=["op_ts", "seq"],
+            n_buckets=8,
+        ),
+        "customer": LakeTable.create(
+            spark, os.path.join(tmp, "customer"), versioned(cust_schema),
+            key_cols=["c_custkey"], version_cols=["op_ts", "seq"],
+            n_buckets=8,
+        ),
+    }
+    apply_envelope_batch(
+        wire, schemas, tables, "route:0",
+        quarantine_dir=os.path.join(tmp, "dead"),
+    )
+    out_o = tables["orders"].read().select(
+        F.lit("orders").alias("tbl"),
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 2).alias("v"),
+    )
+    out_c = tables["customer"].read().select(
+        F.lit("customer").alias("tbl"),
+        F.col("c_custkey").alias("k"),
+        F.round("c_acctbal", 2).alias("v"),
+    )
+    return out_o.unionAll(out_c)
+
+
+SQL_ENVELOPE_ROUTE = """
+SELECT 'orders' AS tbl, o_orderkey AS k, round(o_totalprice, 2) AS v
+FROM orders WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT 'customer' AS tbl, c_custkey AS k, round(c_acctbal, 2) AS v
+FROM customer
+"""
+
+
+def q_snapshot_reconcile(spark, sf_dir):
+    """Anti-entropy repair (cdc/reconcile.py): a lake table replayed from
+    a WAL with a silently dropped slice (every third event missing —
+    connector-bug drift) is reconciled against one fresh full snapshot of
+    the upstream truth; the diff becomes corrective I/U/D events through
+    the normal exactly-once MERGE (so the change feed carries the repair
+    downstream), and the repaired state must equal the truth exactly."""
+    from datetime import datetime
+
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.lww import lww_dedup
+    from etl_spark.cdc.reconcile import reconcile_snapshot
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    # the drifted tail: a third of the WAL never arrived
+    wal = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) != 0).select(
+        "event_id", op.alias("op"), "ts", "user_id", "event_type",
+        "value", "props",
+        F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_reconcile_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, _ = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=16,
+        key_cols=["user_id"], version_cols=["ts", "event_id"],
+        table_props={"write_metrics": "coarse"},
+    )
+    # one consistent full read of the upstream truth
+    truth = (
+        lww_dedup(ev, ["user_id"], ["ts", "event_id"])
+        .filter(F.col("event_type") != "error")
+        .select("user_id", "event_type", "value", "props")
+    )
+    reconcile_snapshot(
+        table, truth,
+        version={"ts": datetime(2100, 1, 1), "event_id": 0},
+        manifest_key="reconcile:0",
+    )
+    return table.read().select(
+        "user_id", "event_type", F.round("value", 2).alias("value"), "props"
+    )
+
+
+SQL_SNAPSHOT_RECONCILE = """
+SELECT user_id, event_type, round(value, 2) AS value, props
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_envelope_schema_drift(spark, sf_dir):
+    """Wire-schema drift (cdc/envelope.py::infer_payload_schema): odd
+    event_ids carry an ``event_type`` payload key the base schema lacks;
+    the consensus inference pass discovers it (string, by veto), the
+    parse applies the evolved schema, and even rows surface NULL for the
+    column they never sent — the ADICIONAIS late-vintage column flow at
+    wire level."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from etl_spark.cdc.envelope import (
+        infer_payload_schema,
+        make_envelope,
+        parse_envelopes,
+    )
+
+    base = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    ev = _t(spark, sf_dir, "events")
+    odd = F.pmod(F.col("event_id"), F.lit(2)) == 1
+    wire = ev.select(
+        make_envelope(
+            op=F.lit("c"),
+            before=None,
+            after=F.struct(
+                F.col("user_id"),
+                F.col("value"),
+                F.when(odd, F.col("event_type")).alias("event_type"),
+            ),
+            ts_ms=F.unix_millis(F.col("ts").cast("timestamp")),
+            source=F.named_struct(
+                F.lit("table"), F.lit("events"),
+                F.lit("lsn"), F.col("event_id"),
+            ),
+        ).alias("value")
+    )
+    evolved = infer_payload_schema(wire, base)
+    good, _bad = parse_envelopes(wire, evolved)
+    return good.select(
+        "seq",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        "event_type",
+    )
+
+
+SQL_ENVELOPE_DRIFT = """
+SELECT event_id AS seq, user_id, round(value, 2) AS value,
+       CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+FROM events
+"""
+
+
 def q_quality_repetition(spark, sf_dir):
     """Gopher-style repetition quality gate: per-document duplicate-line
     fraction, duplicate-line character fraction, and top-bigram
@@ -3563,6 +3916,10 @@ QUERIES = {
     "cdc_purge_erasure": q_cdc_purge_erasure,
     "cdc_dedup_ingest": q_cdc_dedup_ingest,
     "cdc_patch_upsert": q_cdc_patch_upsert,
+    "cdc_envelope_ingest": q_cdc_envelope_ingest,
+    "envelope_route_fanout": q_envelope_route_fanout,
+    "envelope_schema_drift": q_envelope_schema_drift,
+    "snapshot_reconcile": q_snapshot_reconcile,
     "pending_capture_scan": q_pending_capture_scan,
     "lww_compact_parity": q_lww_compact_parity,
     "period_lead": q_period_lead,
@@ -3651,6 +4008,10 @@ ORACLES = {
     "cdc_purge_erasure": SQL_CDC_PURGE,
     "cdc_dedup_ingest": SQL_CDC_DEDUP_INGEST,
     "cdc_patch_upsert": SQL_CDC_PATCH,
+    "cdc_envelope_ingest": SQL_CDC_ENVELOPE,
+    "envelope_route_fanout": SQL_ENVELOPE_ROUTE,
+    "envelope_schema_drift": SQL_ENVELOPE_DRIFT,
+    "snapshot_reconcile": SQL_SNAPSHOT_RECONCILE,
     "pending_capture_scan": SQL_PENDING_SCAN,
     "lww_compact_parity": SQL_LWW_COMPACT_PARITY,
     "period_lead": SQL_PERIOD_LEAD,

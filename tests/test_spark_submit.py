@@ -226,3 +226,72 @@ def test_spark_submit_dedup_ingest(spark, tmp_root):
     from etl_spark.lake import LakeTable
     kept = {r["doc_id"] for r in LakeTable.load(spark, docs).read().collect()}
     assert len(kept) == 3 and len(kept & {1, 11}) == 1 and {2, 3} <= kept
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on this machine")
+def test_spark_submit_envelope_ingest(spark, tmp_root):
+    wire = os.path.join(tmp_root, "wire")
+    os.makedirs(wire, exist_ok=True)
+
+    def env(op, after, ts_ms, table, lsn, before=None):
+        e = {"op": op, "ts_ms": ts_ms,
+             "source": {"table": table, "lsn": lsn}}
+        if after is not None:
+            e["after"] = after
+        if before is not None:
+            e["before"] = before
+        return json.dumps(e)
+
+    with open(os.path.join(wire, "b1.jsonl"), "w") as f:
+        f.write("\n".join([
+            env("c", {"k": 1, "name": "a"}, 1000, "files", 1),
+            env("u", {"k": 1, "name": "a2"}, 2000, "files", 2),
+            env("c", {"cid": 7, "msg": "init"}, 1000, "commits", 3),
+            "{poison",
+        ]) + "\n")
+    with open(os.path.join(wire, "b2.jsonl"), "w") as f:
+        f.write("\n".join([
+            env("c", {"k": 2, "name": "b"}, 1000, "files", 4),
+            env("d", None, 3000, "files", 5, before={"k": 2}),
+        ]) + "\n")
+
+    cfg = os.path.join(tmp_root, "tables.json")
+    with open(cfg, "w") as f:
+        json.dump({
+            "files": {"ddl": "k bigint, name string", "key_cols": ["k"],
+                      "n_buckets": 2},
+            "commits": {"ddl": "cid bigint, msg string",
+                        "key_cols": ["cid"], "n_buckets": 2},
+        }, f)
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "package.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+
+    root = os.path.join(tmp_root, "tables")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    dead = os.path.join(tmp_root, "dead")
+    out = _submit("envelope_ingest_job.py", "--wire-dir", wire,
+                  "--tables-root", root, "--checkpoint", ckpt,
+                  "--config", cfg, "--quarantine-dir", dead,
+                  "--max-files-per-trigger", "1", zip_path=zip_path)
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["tables"] == {"commits": 1, "files": 1}
+
+    # separate driver process: checkpoint resume, nothing re-applied
+    out2 = _submit("envelope_ingest_job.py", "--wire-dir", wire,
+                   "--tables-root", root, "--checkpoint", ckpt,
+                   "--config", cfg, "--quarantine-dir", dead,
+                   zip_path=zip_path)
+    report2 = json.loads(out2.strip().splitlines()[-1])
+    assert report2 == report
+
+    from etl_spark.lake import LakeTable
+    files = LakeTable.load(spark, os.path.join(root, "files"))
+    assert [(r["k"], r["name"]) for r in files.read().collect()] == [
+        (1, "a2")]
+    dead_rows = spark.read.option("recursiveFileLookup", "true").parquet(
+        dead).collect()
+    assert len(dead_rows) == 1
