@@ -45,6 +45,7 @@ from etl_spark.cdc.reconcile import (
 from etl_spark.cdc.router import apply_envelope_batch, route_envelopes
 from etl_spark.cdc.replay import replay_batches, replay_events
 from etl_spark.cdc.sync import last_synced_version, sync_changes
+from etl_spark.cdc.txn import TxnGate, TxnWaveStats, create_txn_gate
 
 __all__ = [
     "DedupIngestStats",
@@ -57,6 +58,9 @@ __all__ = [
     "ReconcileStats",
     "reconcile_snapshot",
     "snapshot_corrections",
+    "TxnGate",
+    "TxnWaveStats",
+    "create_txn_gate",
     "create_dedup_state",
     "dedup_gated_merge",
     "minhash_sketch",

@@ -3456,6 +3456,88 @@ FROM (
 """
 
 
+def q_txn_boundary_gate(spark, sf_dir):
+    """Transaction-boundary gating (cdc/txn.py): the events wire re-cut
+    so even event_ids ride in source transactions of 5-consecutive-id
+    groups (odd ids are autocommit); END markers — carrying each
+    transaction's true row count — exist only for groups with
+    ``group % 3 != 0``. The gate releases autocommit rows plus whole
+    completed transactions; rows of markerless transactions stay
+    buffered and MUST NOT appear — a consumer never observes half an
+    upstream transaction."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_spark.cdc.envelope import make_envelope, parse_envelopes
+    from etl_spark.cdc.txn import create_txn_gate
+
+    ev = _t(spark, sf_dir, "events")
+    is_txn = F.pmod(F.col("event_id"), F.lit(2)) == 0
+    gid = F.floor(F.col("event_id") / F.lit(5)).cast("long")
+    rows = ev.select(
+        make_envelope(
+            op=F.lit("c"),
+            before=None,
+            after=F.struct("user_id", "event_type", "value"),
+            ts_ms=F.unix_millis(F.col("ts").cast("timestamp")),
+            source=F.named_struct(
+                F.lit("table"), F.lit("events"),
+                F.lit("lsn"), F.col("event_id"),
+            ),
+            transaction=F.when(
+                is_txn,
+                F.named_struct(
+                    F.lit("id"), F.concat(F.lit("t"), gid),
+                    F.lit("total_order"), F.col("event_id"),
+                ),
+            ),
+        ).alias("value")
+    )
+    markers = (
+        ev.filter(is_txn)
+        .groupBy(gid.alias("gid"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.pmod(F.col("gid"), F.lit(3)) != 0)
+        .select(
+            F.to_json(
+                F.named_struct(
+                    F.lit("status"), F.lit("END"),
+                    F.lit("id"), F.concat(F.lit("t"), F.col("gid")),
+                    F.lit("event_count"), F.col("n"),
+                )
+            ).alias("value")
+        )
+    )
+    gate = create_txn_gate(spark, os.path.join(_tmpdir("etl_spark_txn_"),
+                                               "gate"), n_buckets=8)
+    released, _stats = gate.apply_wave(rows.unionAll(markers), wave=0)
+    payload = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    good, _bad = parse_envelopes(released, payload)
+    return good.select(
+        "seq", "user_id", "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+SQL_TXN_GATE = """
+SELECT event_id AS seq, user_id, event_type, round(value, 2) AS value
+FROM events
+WHERE event_id % 2 = 1
+   OR CAST(floor(event_id / 5) AS BIGINT) % 3 <> 0
+"""
+
+
 def q_envelope_schema_drift(spark, sf_dir):
     """Wire-schema drift (cdc/envelope.py::infer_payload_schema): odd
     event_ids carry an ``event_type`` payload key the base schema lacks;
@@ -3920,6 +4002,7 @@ QUERIES = {
     "envelope_route_fanout": q_envelope_route_fanout,
     "envelope_schema_drift": q_envelope_schema_drift,
     "snapshot_reconcile": q_snapshot_reconcile,
+    "txn_boundary_gate": q_txn_boundary_gate,
     "pending_capture_scan": q_pending_capture_scan,
     "lww_compact_parity": q_lww_compact_parity,
     "period_lead": q_period_lead,
@@ -4012,6 +4095,7 @@ ORACLES = {
     "envelope_route_fanout": SQL_ENVELOPE_ROUTE,
     "envelope_schema_drift": SQL_ENVELOPE_DRIFT,
     "snapshot_reconcile": SQL_SNAPSHOT_RECONCILE,
+    "txn_boundary_gate": SQL_TXN_GATE,
     "pending_capture_scan": SQL_PENDING_SCAN,
     "lww_compact_parity": SQL_LWW_COMPACT_PARITY,
     "period_lead": SQL_PERIOD_LEAD,

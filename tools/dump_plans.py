@@ -88,6 +88,16 @@ SHOW = [
      "produced per-row and equi-joined against corpus bucket state "
      "grouped on (band, bucket) with the max_bucket skew guard — the "
      "corpus documents themselves are never re-scanned or re-shingled"),
+    ("cdc_envelope_ingest",
+     "envelope normalization: wire JSON -> flat I/U/D events in ONE "
+     "codegen'd projection (from_json + conditional struct flatten) — "
+     "no Exchange, no Python; good/quarantine split is two filters over "
+     "the same projection"),
+    ("envelope_schema_drift",
+     "wire-schema drift: the inference pass is a separate control-plane "
+     "job (explode payload maps + one combinable consensus aggregate); "
+     "the returned parse itself stays a single no-shuffle projection "
+     "with the evolved schema"),
 ]
 
 INTERESTING = re.compile(
