@@ -143,17 +143,24 @@ def reconcile_snapshot(
         )
     # A stamp that doesn't outrank the current state loses every LWW race
     # it exists to win — fail loudly instead of silently not repairing.
-    # One combinable max over the version tuple.
-    top = table.read().agg(
-        F.max(F.struct(*[F.col(c) for c in ver_cols])).alias("v")
-    ).collect()[0]["v"]
-    if top is not None:
-        stamp = tuple(version[c] for c in ver_cols)
-        if tuple(top) >= stamp:
-            raise ValueError(
-                f"version stamp {stamp} does not outrank current max "
-                f"{tuple(top)}"
-            )
+    # One combinable max over the version tuple; the comparison runs in
+    # Spark so stamp values cast through the columns' own types (the
+    # spark-submit face passes strings).
+    types = {f.name: f.dataType for f in snap_meta.schema.fields}
+    stamped = F.struct(
+        *[F.lit(version[c]).cast(types[c]).alias(c) for c in ver_cols]
+    )
+    row = (
+        table.read()
+        .agg(F.max(F.struct(*[F.col(c) for c in ver_cols])).alias("v"))
+        .select("v", (F.col("v") >= stamped).alias("not_outranked"))
+        .collect()[0]
+    )
+    if row["v"] is not None and row["not_outranked"]:
+        raise ValueError(
+            f"version stamp {dict(version)} does not outrank current "
+            f"max {tuple(row['v'])}"
+        )
     corrections = snapshot_corrections(table, snapshot, version)
     # The corrections are consumed twice (counts + merge) and derive from
     # a join over the table's CURRENT state — pin them so the merge can't

@@ -4023,7 +4023,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
-    "lang_id": q_lang_id,
+    "order_revenue_topk": q_order_revenue_topk,
     "token_stats_bpe": q_token_stats_bpe,
     "kmeans_clusters": q_kmeans_clusters,
     "ann_bruteforce": q_ann_bruteforce,
@@ -4066,7 +4066,7 @@ QUERIES = {
     "month_pt": q_month_pt,
     "sentinel_blank_zeros": q_sentinel_blank_zeros,
     "content_key": q_content_key,
-    "order_revenue_topk": q_order_revenue_topk,
+    "lang_id": q_lang_id,
     "value_percentiles_approx": q_value_percentiles_approx,
 }
 

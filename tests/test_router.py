@@ -245,3 +245,29 @@ def test_drift_flows_into_lake_evolution(spark, tmp_root):
 
     state = {r["k"]: (r["name"], r["lang"]) for r in table.read().collect()}
     assert state == {1: ("a2", "py"), 2: ("b", "rs")}
+
+
+def test_dead_letter_replay_after_fix(spark, tmp_root):
+    """Ops fixed the config (the unknown table got a schema): feeding the
+    dead letters back through the router ingests the releasable ones and
+    re-quarantines only the genuinely poison rows."""
+    tables = _mk_tables(spark, tmp_root)
+    qdir = os.path.join(tmp_root, "dead")
+    df = spark.createDataFrame([(v,) for v in _wire_rows()], "value string")
+    apply_envelope_batch(df, SCHEMAS, tables, "b:0", quarantine_dir=qdir)
+
+    branches_schema = StructType([StructField("x", LongType())])
+    branches = LakeTable.create(
+        spark, os.path.join(tmp_root, "branches"),
+        _versioned(branches_schema),
+        key_cols=["x"], version_cols=["op_ts", "seq"], n_buckets=2,
+    )
+    dead = read_quarantine(spark, qdir).select("value")
+    schemas2 = dict(SCHEMAS, branches=branches_schema)
+    tables2 = dict(tables, branches=branches)
+    qdir2 = os.path.join(tmp_root, "dead2")
+    apply_envelope_batch(dead, schemas2, tables2, "replay:0",
+                         quarantine_dir=qdir2)
+    assert [r["x"] for r in branches.read().collect()] == [1]
+    # the two poison rows re-quarantine; the unknown-table row is gone
+    assert read_quarantine(spark, qdir2).count() == 2

@@ -295,3 +295,38 @@ def test_spark_submit_envelope_ingest(spark, tmp_root):
     dead_rows = spark.read.option("recursiveFileLookup", "true").parquet(
         dead).collect()
     assert len(dead_rows) == 1
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on this machine")
+def test_spark_submit_reconcile(spark, tmp_root):
+    from etl_spark.lake import LakeTable
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "t"),
+        StructType([StructField("k", LongType()),
+                    StructField("v", LongType()),
+                    StructField("name", StringType())]),
+        key_cols=["k"], version_cols=["v"], n_buckets=2,
+    )
+    table.merge(spark.createDataFrame(
+        [(1, 1, "stale", "I"), (3, 1, "ghost", "I")],
+        "k bigint, v bigint, name string, op string"), manifest_key="seed")
+    snap = os.path.join(tmp_root, "snap")
+    spark.createDataFrame([(1, "fresh"), (2, "new")],
+                          "k bigint, name string").write.parquet(snap)
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "package.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    out = _submit("reconcile_job.py", "--table", os.path.join(tmp_root, "t"),
+                  "--snapshot", snap, "--version-json", '{"v": 2}',
+                  "--manifest-key", "r:1", zip_path=zip_path)
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report == {"inserts": 1, "updates": 1, "deletes": 1,
+                      "applied": True, "dry_run": False}
+    state = {r["k"]: r["name"] for r in table.read().collect()}
+    assert state == {1: "fresh", 2: "new"}
