@@ -92,7 +92,15 @@ def snapshot_corrections(
         raise ValueError(f"snapshot missing table columns: {missing}")
 
     state = table.read()
-    s = snapshot.select(
+    # Align the snapshot to the table's types BEFORE digesting: a
+    # representational difference (int vs double, varchar date) would
+    # otherwise digest differently and re-"repair" the whole table on
+    # every run.
+    types = {f.name: f.dataType for f in snap_meta.schema.fields}
+    aligned = snapshot.select(
+        *[F.col(c).cast(types[c]).alias(c) for c in key_cols + payload_cols]
+    )
+    s = aligned.select(
         *key_cols,
         *[F.col(c) for c in payload_cols],
         _payload_digest(payload_cols).alias("__s_digest"),

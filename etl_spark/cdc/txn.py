@@ -27,6 +27,11 @@ Semantics (test-pinned):
   destination MERGE is LWW + manifest-keyed), so the composed effect is
   exactly-once — the same discipline as the rest of the engine. The
   buffer mutations themselves are manifest-keyed by wave.
+- Connector redelivery: a redelivered WHOLE transaction (rows + END)
+  re-completes, re-releases and re-evicts — idempotent downstream. A
+  PARTIAL redelivery after eviction (rows without their marker)
+  re-buffers and, with the marker gone, surfaces in ``pending()`` like
+  any abandoned transaction rather than double-applying.
 
 Scale notes: the buffer is an ordinary LakeTable keyed
 ``(txn_id, total_order)`` — bucketed, mergeable, vacuumable — and the

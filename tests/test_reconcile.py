@@ -124,3 +124,14 @@ def test_repair_flows_through_change_feed(spark, tmp_root):
     assert by_k[1]["name"] == "fresh" and by_k[1]["_op"] == "U"
     # the extra key leaves as a tombstone the feed exposes
     assert by_k[3]["_op"] == "D"
+
+
+def test_type_aligned_snapshot_is_no_repair(spark, tmp_root):
+    """A snapshot delivering ints where the table stores doubles (or any
+    representational difference) must not re-'repair' equal rows."""
+    table = _mk(spark, tmp_root, [(1, 1, "a", 2.0, "I")])
+    snapshot = spark.createDataFrame([(1, "a", 2)],
+                                     "k bigint, name string, score int")
+    stats = reconcile_snapshot(table, snapshot, {"v": 2}, "r:1",
+                               dry_run=True)
+    assert stats.corrections == 0
