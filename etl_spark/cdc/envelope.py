@@ -216,8 +216,16 @@ def parse_envelopes(
     """
     raw = F.col(value_col)
     parsed = F.from_json(raw, envelope_schema(payload_schema))
+    # The explode(array(...)) is a deliberate barrier: projected directly,
+    # every downstream field access is rewritten by Catalyst's
+    # OptimizeJsonExprs into its OWN schema-pruned from_json (measured 12
+    # parses per row on this shape — ~6x the whole operator's cost); a
+    # Generate materializes the struct once and field accesses bind to
+    # the attribute. A NULL parse survives as a one-element NULL array,
+    # so quarantine classification is unaffected.
     base = df.filter(raw.isNotNull()).select(
-        raw.alias("__raw"), parsed.alias("__env")
+        raw.alias("__raw"),
+        F.explode(F.array(parsed)).alias("__env"),
     )
     env = F.col("__env")
 

@@ -330,3 +330,45 @@ def test_spark_submit_reconcile(spark, tmp_root):
                       "applied": True, "dry_run": False}
     state = {r["k"]: r["name"] for r in table.read().collect()}
     assert state == {1: "fresh", 2: "new"}
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on this machine")
+def test_spark_submit_txn_ingest(spark, tmp_root):
+    wire = os.path.join(tmp_root, "wire")
+    os.makedirs(wire, exist_ok=True)
+
+    def env(op, after, ts_ms, lsn, tid=None, order=None):
+        e = {"op": op, "ts_ms": ts_ms,
+             "source": {"table": "files", "lsn": lsn}, "after": after}
+        if tid is not None:
+            e["transaction"] = {"id": tid, "total_order": order}
+        return json.dumps(e)
+
+    with open(os.path.join(wire, "b1.jsonl"), "w") as f:
+        f.write("\n".join([
+            env("c", {"k": 1, "name": "auto"}, 1000, 1),
+            env("c", {"k": 2, "name": "txn"}, 1000, 2, tid="t1", order=1),
+            json.dumps({"status": "END", "id": "t1", "event_count": 1}),
+            env("c", {"k": 9, "name": "half"}, 1000, 3, tid="t2", order=1),
+        ]) + "\n")
+
+    cfg = os.path.join(tmp_root, "tables.json")
+    with open(cfg, "w") as f:
+        json.dump({"files": {"ddl": "k bigint, name string",
+                             "key_cols": ["k"], "n_buckets": 2}}, f)
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "package.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    out = _submit("txn_ingest_job.py", "--wire-dir", wire,
+                  "--tables-root", os.path.join(tmp_root, "tables"),
+                  "--gate-path", os.path.join(tmp_root, "gate"),
+                  "--checkpoint", os.path.join(tmp_root, "ckpt"),
+                  "--config", cfg, "--gate-buckets", "2",
+                  zip_path=zip_path)
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["tables"] == {"files": 2}
+    assert report["pending_txns"] == [
+        {"txn_id": "t2", "rows_buffered": 1, "expected": None}]

@@ -89,10 +89,11 @@ SHOW = [
      "grouped on (band, bucket) with the max_bucket skew guard — the "
      "corpus documents themselves are never re-scanned or re-shingled"),
     ("cdc_envelope_ingest",
-     "envelope normalization: wire JSON -> flat I/U/D events in ONE "
-     "codegen'd projection (from_json + conditional struct flatten) — "
-     "no Exchange, no Python; good/quarantine split is two filters over "
-     "the same projection"),
+     "envelope normalization: wire JSON -> flat I/U/D events with "
+     "EXACTLY ONE from_json per row (a Generate barrier pins the parsed "
+     "struct; projected naively, Catalyst's OptimizeJsonExprs fans each "
+     "field access into its own pruned parse — measured 12x) — no "
+     "Exchange, no Python"),
     ("envelope_schema_drift",
      "wire-schema drift: the inference pass is a separate control-plane "
      "job (explode payload maps + one combinable consensus aggregate); "
