@@ -32,7 +32,11 @@ Semantics (documented, test-pinned):
 - Malformed rows (unparseable JSON, unknown ``op``, missing ``ts_ms``)
   are quarantined with a reason — a poison message must never abort a
   10^10-event replay, and silently dropping it would corrupt downstream
-  state invisibly.
+  state invisibly. Debezium's rare ``t`` (truncate) op lands in the
+  quarantine too, deliberately: a truncate's "all rows, as of this
+  stream position" semantics cannot be expressed as a LWW merge (rows
+  arriving later with older versions must still lose), so it needs an
+  operator decision — surface it, don't guess.
 
 Scale notes: parsing is one codegen'd projection (``from_json`` +
 conditional struct flatten) — no shuffle, no Python, streams through

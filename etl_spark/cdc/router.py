@@ -51,6 +51,7 @@ def route_envelopes(
     df: DataFrame,
     schemas: dict[str, StructType],
     value_col: str = "value",
+    infer_drift: bool = False,
 ) -> tuple[dict[str, DataFrame], DataFrame]:
     """Split an envelope batch by ``source.table``.
 
@@ -61,14 +62,26 @@ def route_envelopes(
     ``unknown_table`` for well-formed envelopes naming a table this
     router has no schema for (a new upstream table appearing mid-stream
     must surface in the dead letter, not vanish).
+
+    ``infer_drift=True`` runs :func:`~etl_spark.cdc.envelope
+    .infer_payload_schema` per table over that table's own rows before
+    parsing, so payload keys the declared schema lacks surface as extra
+    (consensus-typed) columns instead of being silently dropped — the
+    live wire-drift path into the lake's additive evolution. One
+    control-plane aggregation per table per batch.
     """
+    from etl_spark.cdc.envelope import infer_payload_schema
+
     raw = F.col(value_col)
     probed_table = F.get_json_object(raw, _TABLE_PROBE)
     events: dict[str, DataFrame] = {}
     quarantines: list[DataFrame] = []
     for name in sorted(schemas):
         subset = df.filter(raw.isNotNull() & (probed_table == F.lit(name)))
-        good, bad = parse_envelopes(subset, schemas[name], value_col)
+        schema = schemas[name]
+        if infer_drift:
+            schema = infer_payload_schema(subset, schema, value_col)
+        good, bad = parse_envelopes(subset, schema, value_col)
         events[name] = good
         quarantines.append(
             bad.withColumn("_table", F.lit(name))
@@ -104,6 +117,7 @@ def apply_envelope_batch(
     quarantine_dir: str | None = None,
     value_col: str = "value",
     drop_cols: tuple[str, ...] = ("_table",),
+    infer_drift: bool = False,
 ) -> dict[str, object]:
     """Route one batch and MERGE each table's events into its LakeTable.
 
@@ -113,6 +127,10 @@ def apply_envelope_batch(
     lands under ``{quarantine_dir}/{manifest_key with ':'→'='}/`` in
     overwrite mode — idempotent under the same replays. Returns
     ``{table: MergeStats}``.
+
+    ``infer_drift=True`` discovers payload keys beyond each declared
+    schema (see :func:`route_envelopes`) and lets the MERGE's additive
+    evolution add them to the lake table mid-stream.
     """
     if set(schemas) != set(tables):
         raise ValueError(
@@ -123,7 +141,9 @@ def apply_envelope_batch(
 
     batch_df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        events, quarantine = route_envelopes(batch_df, schemas, value_col)
+        events, quarantine = route_envelopes(
+            batch_df, schemas, value_col, infer_drift=infer_drift
+        )
         stats = {}
         for name in sorted(tables):
             flat = events[name].drop(

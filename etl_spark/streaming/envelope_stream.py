@@ -41,13 +41,16 @@ def stream_envelope_ingest(
     available_now: bool = True,
     stream_id: str | None = None,
     metrics_sink=None,
+    infer_drift: bool = False,
 ):
     """Tail ``wire_dir`` (newline-delimited envelope JSON files) and keep
     every routed LakeTable current; returns the StreamingQuery.
 
     ``available_now=True`` drains what's landed and stops (catch-up);
     otherwise tails forever. Restart with the same ``checkpoint_dir`` to
-    resume exactly-once."""
+    resume exactly-once. ``infer_drift=True`` discovers payload keys
+    beyond the declared schemas per micro-batch and evolves the lake
+    tables additively mid-stream (cdc/envelope.py::infer_payload_schema)."""
     import time
 
     from etl_spark.cdc.router import apply_envelope_batch
@@ -69,6 +72,7 @@ def stream_envelope_ingest(
             tables,
             manifest_key=f"env:{stream_id}:{batch_id}",
             quarantine_dir=quarantine_dir,
+            infer_drift=infer_drift,
         )
         if metrics_sink is not None:
             for s in stats.values():

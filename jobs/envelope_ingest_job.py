@@ -50,6 +50,10 @@ def main() -> None:
                     help="JSON file: {table: {ddl, key_cols[, n_buckets]}}")
     ap.add_argument("--quarantine-dir", default=None)
     ap.add_argument("--max-files-per-trigger", type=int, default=8)
+    ap.add_argument("--infer-drift", action="store_true",
+                    help="discover payload keys beyond the declared DDL "
+                         "per micro-batch and evolve the lake tables "
+                         "additively mid-stream")
     ap.add_argument("--follow", action="store_true",
                     help="tail the wire directory forever instead of a "
                          "bounded availableNow drain")
@@ -97,6 +101,7 @@ def main() -> None:
         quarantine_dir=args.quarantine_dir,
         max_files_per_trigger=args.max_files_per_trigger,
         available_now=not args.follow,
+        infer_drift=args.infer_drift,
     )
     q.awaitTermination()
     summary = {

@@ -271,3 +271,42 @@ def test_dead_letter_replay_after_fix(spark, tmp_root):
     assert [r["x"] for r in branches.read().collect()] == [1]
     # the two poison rows re-quarantine; the unknown-table row is gone
     assert read_quarantine(spark, qdir2).count() == 2
+
+
+def test_live_drift_evolves_lake_mid_stream(spark, tmp_root):
+    """infer_drift=True on the streaming face: a later micro-batch whose
+    payloads carry a new key evolves the lake table additively while the
+    stream runs; earlier rows read NULL for the column they never sent."""
+    wire = os.path.join(tmp_root, "wire")
+    _land_wire(wire, "b1.jsonl", [
+        _env("c", {"k": 1, "name": "a"}, 1000, "files", 1),
+    ])
+    _land_wire(wire, "b2.jsonl", [
+        _env("u", {"k": 1, "name": "a2", "stars": 5}, 2000, "files", 2),
+        _env("c", {"k": 2, "name": "b", "stars": 7}, 2000, "files", 3),
+    ])
+    files = LakeTable.create(
+        spark, os.path.join(tmp_root, "files"), _versioned(FILES),
+        key_cols=["k"], version_cols=["op_ts", "seq"], n_buckets=2,
+    )
+    q = stream_envelope_ingest(
+        spark, wire, {"files": FILES}, {"files": files},
+        os.path.join(tmp_root, "ckpt"), max_files_per_trigger=1,
+        infer_drift=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    out = files.read()
+    assert "stars" in out.columns
+    state = {r["k"]: (r["name"], r["stars"]) for r in out.collect()}
+    assert state == {1: ("a2", 5), 2: ("b", 7)}
+
+    # without drift inference the same wire would have dropped the key
+    # (sanity that the flag is what did it)
+    events, _ = route_envelopes(
+        spark.createDataFrame(
+            [(_env("c", {"k": 9, "stars": 1}, 1000, "files", 9),)],
+            "value string"),
+        {"files": FILES})
+    assert "stars" not in events["files"].columns
