@@ -256,9 +256,11 @@ class TxnGate:
     # ------------------------------------------------------ operations
 
     def pending(self) -> DataFrame:
-        """Open transactions still buffered: ``txn_id, rows_buffered,
-        expected (NULL until the END marker arrives), oldest_wave`` —
-        the ops surface for spotting abandoned transactions."""
+        """Open transactions: ``txn_id, rows_buffered, expected (NULL
+        until the END marker arrives), oldest_wave`` — the ops surface
+        for spotting abandoned transactions. Full outer: a marker whose
+        rows never arrived (rows_buffered = 0, oldest_wave NULL) is just
+        as abandoned as rows without their marker."""
         buf = self.buffer.read().groupBy("txn_id").agg(
             F.count("*").alias("rows_buffered"),
             F.min("wave").alias("oldest_wave"),
@@ -266,7 +268,13 @@ class TxnGate:
         marks = self.markers.read().select(
             "txn_id", F.col("event_count").alias("expected")
         )
-        return buf.join(marks, on="txn_id", how="left")
+        return buf.join(marks, on="txn_id", how="full_outer").select(
+            "txn_id",
+            F.coalesce(F.col("rows_buffered"), F.lit(0))
+            .alias("rows_buffered"),
+            "expected",
+            "oldest_wave",
+        )
 
     def discard(self, txn_id: str, wave: int) -> int:
         """Drop an abandoned transaction's buffered rows (and marker, if
@@ -274,4 +282,14 @@ class TxnGate:
         doomed = self.buffer.read().filter(F.col("txn_id") == txn_id)
         n = doomed.count()
         self._evict(doomed.localCheckpoint(eager=True), wave, kind="discard")
+        # a marker whose rows never arrived has nothing buffered, so the
+        # row-derived eviction above misses it — tombstone it directly
+        mark = self.markers.read().filter(F.col("txn_id") == txn_id).select(
+            "txn_id", (F.col("wave") + F.lit(1)).alias("wave"),
+            F.lit(None).cast("long").alias("event_count"),
+            F.lit("D").alias("op"),
+        )
+        self.markers.merge(
+            mark, manifest_key=f"txn:{self._p}discardmark:{wave}"
+        )
         return n

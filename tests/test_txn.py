@@ -218,3 +218,18 @@ def test_stream_txn_ingest_atomic_and_resumes(spark, tmp_root):
     assert {r["k"] for r in tables["files"].read().collect()} == {1, 2, 3}
     gate = TxnGate.load(spark, gate_path)
     assert gate.buffer.read().count() == 0
+
+
+def test_marker_only_txn_is_visible_and_discardable(spark, tmp_root):
+    """An END marker whose rows never arrive is abandoned state too: it
+    must surface in pending() (rows_buffered=0) and discard() must
+    remove it, or the marker table grows forever."""
+    gate = _gate(spark, tmp_root)
+    gate.apply_wave(_df(spark, [_end("orphan", 3)]), wave=0)
+    gate.confirm_released(0)
+    pend = {r["txn_id"]: (r["rows_buffered"], r["expected"])
+            for r in gate.pending().collect()}
+    assert pend == {"orphan": (0, 3)}
+    assert gate.discard("orphan", wave=1) == 0
+    assert gate.pending().count() == 0
+    assert gate.markers.read().count() == 0
