@@ -28,6 +28,12 @@ from etl_spark.cdc.dedup_ingest import (
     dedup_gated_merge,
     minhash_sketch,
 )
+from etl_spark.cdc.bootstrap import (
+    BootstrapStats,
+    bootstrap_active,
+    bootstrap_snapshot,
+    bootstrap_status,
+)
 from etl_spark.cdc.envelope import (
     envelope_schema,
     infer_payload_schema,
@@ -48,6 +54,10 @@ from etl_spark.cdc.sync import last_synced_version, sync_changes
 from etl_spark.cdc.txn import TxnGate, TxnWaveStats, create_txn_gate
 
 __all__ = [
+    "BootstrapStats",
+    "bootstrap_active",
+    "bootstrap_snapshot",
+    "bootstrap_status",
     "DedupIngestStats",
     "apply_envelope_batch",
     "envelope_schema",

@@ -1048,6 +1048,16 @@ class LakeTable:
         Returns the number of buckets compacted. Runs as its own snapshot
         commit with a deterministic manifest key."""
         snap = self.current_snapshot()
+        if expire_tombstones_before is not None and \
+                snap.props.get("bootstrap_floor"):
+            # A snapshot chunk for a key the tail deleted mid-bootstrap
+            # may not have arrived yet; only the tombstone's physical
+            # survival keeps the chunk from resurrecting the row
+            # (cdc/bootstrap.py). Refuse loudly rather than clamp.
+            raise ValueError(
+                f"tombstone expiry is blocked while bootstrap "
+                f"{snap.props['bootstrap_floor']!r} is in flight"
+            )
         nonuniq = set(snap.nonunique)
         target = {
             b: fl for b, fl in snap.buckets.items()

@@ -3456,6 +3456,71 @@ FROM (
 """
 
 
+def q_cdc_bootstrap_handoff(spark, sf_dir):
+    """Chunked initial-snapshot bootstrap with live-tail handoff
+    (cdc/bootstrap.py — the DBLog / Debezium incremental-snapshot shape):
+    the events table is a source whose position IS event_id; a full
+    snapshot read at position CUT loads in 4 bucket-aligned exactly-once
+    chunks (each row stamped with its own last position) while the live
+    tail — started BEFORE the cut, so the overlap exercises
+    at-least-once re-delivery — keeps merging around it. The handoff is
+    pure LWW: no watermark-window dedup pass exists anywhere, yet the
+    final state must equal a replay of the WHOLE history."""
+    from etl_spark.cdc.bootstrap import bootstrap_snapshot
+    from etl_spark.cdc.lww import lww_dedup
+    from etl_spark.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    cut = int(ev.agg(F.max("event_id")).collect()[0][0] * 3 // 5)
+    overlap = cut - cut // 10
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    # one consistent source read at position `cut`: per-key winners by
+    # position, deleted keys absent, each row carrying its own last
+    # position as the version stamp (the faithful per-row-stamp form)
+    snapshot = (
+        lww_dedup(ev.filter(F.col("event_id") <= cut), ["user_id"],
+                  ["event_id"])
+        .filter(F.col("event_type") != "error")
+        .select("user_id", "event_id", "ts", "event_type", "value",
+                "props")
+    )
+    tail = ev.filter(F.col("event_id") > overlap).select(
+        op.alias("op"), "user_id", "event_id", "ts", "event_type",
+        "value", "props",
+    )
+    tmp = _tmpdir("etl_spark_bootstrap_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "tbl"), snapshot.schema,
+        key_cols=["user_id"], version_cols=["event_id"], n_buckets=16,
+        props={"write_metrics": "coarse"},
+    )
+    # tail wave A → snapshot chunks → tail wave B (true interleave: the
+    # bootstrap lands between live merges, LWW decides every race)
+    table.merge(tail.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0),
+                manifest_key="tail:0")
+    bootstrap_snapshot(table, snapshot, None, tag="init", n_chunks=4)
+    table.merge(tail.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1),
+                manifest_key="tail:1")
+    return table.read().select(
+        "user_id", "event_id", "ts", "event_type",
+        F.round("value", 2).alias("value"), "props",
+    )
+
+
+SQL_CDC_BOOTSTRAP = """
+SELECT user_id, event_id, ts, event_type, round(value, 2) AS value, props
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def q_txn_boundary_gate(spark, sf_dir):
     """Transaction-boundary gating (cdc/txn.py): the events wire re-cut
     so even event_ids ride in source transactions of 5-consecutive-id
@@ -4002,6 +4067,7 @@ QUERIES = {
     "envelope_route_fanout": q_envelope_route_fanout,
     "envelope_schema_drift": q_envelope_schema_drift,
     "snapshot_reconcile": q_snapshot_reconcile,
+    "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
     "txn_boundary_gate": q_txn_boundary_gate,
     "pending_capture_scan": q_pending_capture_scan,
     "lww_compact_parity": q_lww_compact_parity,
@@ -4095,6 +4161,7 @@ ORACLES = {
     "envelope_route_fanout": SQL_ENVELOPE_ROUTE,
     "envelope_schema_drift": SQL_ENVELOPE_DRIFT,
     "snapshot_reconcile": SQL_SNAPSHOT_RECONCILE,
+    "cdc_bootstrap_handoff": SQL_CDC_BOOTSTRAP,
     "txn_boundary_gate": SQL_TXN_GATE,
     "pending_capture_scan": SQL_PENDING_SCAN,
     "lww_compact_parity": SQL_LWW_COMPACT_PARITY,
