@@ -41,6 +41,7 @@ from etl_spark.cdc.envelope import (
     parse_envelopes,
 )
 from etl_spark.cdc.events import EVENT_SCHEMA, synth_events, write_event_epochs
+from etl_spark.cdc.gaps import sequence_gap_stats, sequence_gaps
 from etl_spark.cdc.join_sync import JSYNC_SEQ, create_join_table, sync_join
 from etl_spark.cdc.lww import lww_dedup
 from etl_spark.cdc.reconcile import (
@@ -77,6 +78,8 @@ __all__ = [
     "EVENT_SCHEMA",
     "synth_events",
     "write_event_epochs",
+    "sequence_gap_stats",
+    "sequence_gaps",
     "lww_dedup",
     "replay_batches",
     "replay_events",

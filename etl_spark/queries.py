@@ -3521,6 +3521,43 @@ FROM (
 """
 
 
+def q_wire_gap_audit(spark, sf_dir):
+    """Wire sequence-gap audit (cdc/gaps.py): the events table re-cut as
+    a Kafka-shaped wire (partition = event_id % 4, offset = event_id/4 —
+    dense per partition) with a connector fault injected (a contiguous
+    dropped window plus scattered losses); the audit must report every
+    maximal missing offset run per partition — found without any global
+    sort (windows run only within coarse seq buckets; cross-bucket runs
+    come from the tiny per-bucket summary)."""
+    from etl_spark.cdc.gaps import sequence_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    wire = ev.select(
+        F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("src_part"),
+        F.floor(F.col("event_id") / 4).cast("long").alias("seq_off"),
+    ).where(
+        (F.pmod(F.col("event_id"), F.lit(97)) >= 3)
+        & ~F.col("event_id").between(1000, 1400)
+    )
+    return sequence_gaps(wire, "seq_off", ["src_part"], bucket_span=256)
+
+
+SQL_WIRE_GAPS = """
+WITH w AS (
+  SELECT DISTINCT event_id % 4 AS src_part, event_id // 4 AS seq_off
+  FROM events
+  WHERE event_id % 97 >= 3 AND event_id NOT BETWEEN 1000 AND 1400
+), g AS (
+  SELECT src_part, seq_off,
+         lag(seq_off) OVER (PARTITION BY src_part ORDER BY seq_off) AS prev
+  FROM w
+)
+SELECT src_part, prev + 1 AS gap_lo, seq_off - 1 AS gap_hi,
+       seq_off - prev - 1 AS missing
+FROM g WHERE seq_off - prev > 1
+"""
+
+
 def q_txn_boundary_gate(spark, sf_dir):
     """Transaction-boundary gating (cdc/txn.py): the events wire re-cut
     so even event_ids ride in source transactions of 5-consecutive-id
@@ -4068,6 +4105,7 @@ QUERIES = {
     "envelope_schema_drift": q_envelope_schema_drift,
     "snapshot_reconcile": q_snapshot_reconcile,
     "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
+    "wire_gap_audit": q_wire_gap_audit,
     "txn_boundary_gate": q_txn_boundary_gate,
     "pending_capture_scan": q_pending_capture_scan,
     "lww_compact_parity": q_lww_compact_parity,
@@ -4162,6 +4200,7 @@ ORACLES = {
     "envelope_schema_drift": SQL_ENVELOPE_DRIFT,
     "snapshot_reconcile": SQL_SNAPSHOT_RECONCILE,
     "cdc_bootstrap_handoff": SQL_CDC_BOOTSTRAP,
+    "wire_gap_audit": SQL_WIRE_GAPS,
     "txn_boundary_gate": SQL_TXN_GATE,
     "pending_capture_scan": SQL_PENDING_SCAN,
     "lww_compact_parity": SQL_LWW_COMPACT_PARITY,
