@@ -34,6 +34,7 @@ from etl_spark.cdc.bootstrap import (
     bootstrap_snapshot,
     bootstrap_status,
 )
+from etl_spark.cdc.consistent import aligned_version, read_group, route_keys
 from etl_spark.cdc.envelope import (
     envelope_schema,
     infer_payload_schema,
@@ -60,6 +61,9 @@ __all__ = [
     "bootstrap_snapshot",
     "bootstrap_status",
     "DedupIngestStats",
+    "aligned_version",
+    "read_group",
+    "route_keys",
     "apply_envelope_batch",
     "envelope_schema",
     "infer_payload_schema",

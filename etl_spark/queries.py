@@ -3521,6 +3521,72 @@ FROM (
 """
 
 
+def q_consistent_read_group(spark, sf_dir):
+    """Consistent cross-table read group (cdc/consistent.py): orders and
+    customer arrive as a routed fan-out in 3 wire batches; the live tail
+    runs one batch AHEAD on orders (the mid-wave / crash shape). A join
+    at "latest" would see a torn wave; read_group pins each table to the
+    snapshot that FIRST applied batch 1's manifest key — metadata-only
+    resolution, ordinary pruned time-travel reads — so the join sees
+    exactly batches ≤ 1 on both sides."""
+    from etl_spark.cdc.consistent import read_group, route_keys
+    from etl_spark.lake import LakeTable
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    tmp = _tmpdir("etl_spark_group_")
+    t_ord = LakeTable.create(
+        spark, os.path.join(tmp, "orders"),
+        orders.select("o_orderkey", "o_custkey", "o_totalprice").schema
+        .add("v", "long"),
+        key_cols=["o_orderkey"], version_cols=["v"], n_buckets=8,
+        props={"write_metrics": "coarse"},
+    )
+    t_cust = LakeTable.create(
+        spark, os.path.join(tmp, "customer"),
+        customer.select("c_custkey", "c_mktsegment").schema.add("v", "long"),
+        key_cols=["c_custkey"], version_cols=["v"], n_buckets=8,
+        props={"write_metrics": "coarse"},
+    )
+    for i in range(3):
+        o = orders.filter(F.pmod("o_orderkey", F.lit(3)) == i).select(
+            F.lit("I").alias("op"), "o_orderkey", "o_custkey",
+            "o_totalprice", F.lit(i).cast("long").alias("v"),
+        )
+        t_ord.merge(o, manifest_key=f"env:s:{i}:orders")
+        if i < 2:  # customer's batch 2 hasn't landed yet
+            c = customer.filter(F.pmod("c_custkey", F.lit(3)) == i).select(
+                F.lit("I").alias("op"), "c_custkey", "c_mktsegment",
+                F.lit(i).cast("long").alias("v"),
+            )
+            t_cust.merge(c, manifest_key=f"env:s:{i}:customer")
+    group = read_group(
+        {"orders": t_ord, "customer": t_cust},
+        route_keys(["orders", "customer"], "s", 1),
+    )
+    return (
+        group["orders"]
+        .join(group["customer"],
+              group["orders"]["o_custkey"] == group["customer"]["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("orders_n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("revenue_cents"),
+        )
+    )
+
+
+SQL_CONSISTENT_GROUP = """
+SELECT c_mktsegment, count(*) AS orders_n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 3 <= 1 AND c_custkey % 3 <= 1
+GROUP BY c_mktsegment
+"""
+
+
 def q_wire_gap_audit(spark, sf_dir):
     """Wire sequence-gap audit (cdc/gaps.py): the events table re-cut as
     a Kafka-shaped wire (partition = event_id % 4, offset = event_id/4 —
@@ -4106,6 +4172,7 @@ QUERIES = {
     "snapshot_reconcile": q_snapshot_reconcile,
     "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
     "wire_gap_audit": q_wire_gap_audit,
+    "consistent_read_group": q_consistent_read_group,
     "txn_boundary_gate": q_txn_boundary_gate,
     "pending_capture_scan": q_pending_capture_scan,
     "lww_compact_parity": q_lww_compact_parity,
@@ -4201,6 +4268,7 @@ ORACLES = {
     "snapshot_reconcile": SQL_SNAPSHOT_RECONCILE,
     "cdc_bootstrap_handoff": SQL_CDC_BOOTSTRAP,
     "wire_gap_audit": SQL_WIRE_GAPS,
+    "consistent_read_group": SQL_CONSISTENT_GROUP,
     "txn_boundary_gate": SQL_TXN_GATE,
     "pending_capture_scan": SQL_PENDING_SCAN,
     "lww_compact_parity": SQL_LWW_COMPACT_PARITY,
