@@ -145,6 +145,12 @@ BENCH_QUERIES = [
     "scd2_purge_erasure",
     "bloom_point_lookup",
     "bloom_pair_lookup",
+    # onboarding/audit tier (late round 4): bootstrap wall time is the
+    # chunked-merge path itself; gap audit is the no-global-sort window
+    "cdc_bootstrap_handoff",
+    "wire_gap_audit",
+    "consistent_read_group",
+    "sketch_distinct_sync",
 ]
 
 

@@ -52,6 +52,8 @@ from etl_spark.cdc.reconcile import (
 )
 from etl_spark.cdc.router import apply_envelope_batch, route_envelopes
 from etl_spark.cdc.replay import replay_batches, replay_events
+from etl_spark.cdc.sketch_sync import create_sketch_table, \
+    sync_aggregate_sketch
 from etl_spark.cdc.sync import last_synced_version, sync_changes
 from etl_spark.cdc.txn import TxnGate, TxnWaveStats, create_txn_gate
 
@@ -96,6 +98,8 @@ __all__ = [
     "create_rollup_table",
     "sync_aggregate",
     "sync_aggregate_recompute",
+    "create_sketch_table",
+    "sync_aggregate_sketch",
     "apply_scd2",
     "create_scd2_tables",
     "purge_scd2",

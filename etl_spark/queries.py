@@ -3624,6 +3624,48 @@ FROM g WHERE seq_off - prev > 1
 """
 
 
+def q_sketch_distinct_sync(spark, sf_dir):
+    """HLL sketch-maintained approx distinct rollup (cdc/sketch_sync.py):
+    distinct-ever users per event_type kept from the change feed alone —
+    three incremental rounds over a replayed upstream, each folding only
+    the changed keys' values into the stored per-group sketch (one
+    union, no history re-read). No DuckDB oracle by design: DataSketches
+    HLL registers aren't replayable in SQL — the error-envelope and
+    semantics gates live in tests/test_sketch_sync.py; the driver
+    records the rows-only check."""
+    from pyspark.sql.types import StringType, StructField
+
+    from etl_spark.cdc.sketch_sync import (
+        create_sketch_table,
+        sync_aggregate_sketch,
+    )
+    from etl_spark.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = _tmpdir("etl_spark_sketch_")
+    src = LakeTable.create(
+        spark, os.path.join(tmp, "src"),
+        ev.select("event_id", "user_id", "event_type").schema
+        .add("v", "long"),
+        key_cols=["event_id"], version_cols=["v"], n_buckets=8,
+        props={"write_metrics": "coarse"},
+    )
+    dst = create_sketch_table(
+        spark, os.path.join(tmp, "dst"),
+        [StructField("event_type", StringType())], ["users"], n_buckets=4,
+        props={"write_metrics": "coarse"},
+    )
+    for i in range(3):
+        batch = ev.filter(F.pmod("event_id", F.lit(3)) == i).select(
+            F.lit("I").alias("op"), "event_id", "user_id", "event_type",
+            F.lit(i).cast("long").alias("v"),
+        )
+        src.merge(batch, manifest_key=f"e:{i}")
+        sync_aggregate_sketch(src, dst, ["event_type"],
+                              {"users": F.col("user_id")})
+    return dst.read().select("event_type", "users")
+
+
 def q_txn_boundary_gate(spark, sf_dir):
     """Transaction-boundary gating (cdc/txn.py): the events wire re-cut
     so even event_ids ride in source transactions of 5-consecutive-id
@@ -4173,6 +4215,7 @@ QUERIES = {
     "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
     "wire_gap_audit": q_wire_gap_audit,
     "consistent_read_group": q_consistent_read_group,
+    "sketch_distinct_sync": q_sketch_distinct_sync,
     "txn_boundary_gate": q_txn_boundary_gate,
     "pending_capture_scan": q_pending_capture_scan,
     "lww_compact_parity": q_lww_compact_parity,
