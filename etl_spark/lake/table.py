@@ -83,6 +83,27 @@ def _bucket_of(key_cols: list[str], n_buckets: int):
     ).cast("int")
 
 
+def _sort_order(snap) -> list[str]:
+    """File sort order for background rewrites (compaction / rebucket):
+    the ``cluster_cols`` table prop first — so pushed range predicates on
+    those columns prune parquet ROW GROUPS inside each compacted bucket
+    file — then the key columns as the tiebreak. With no prop the order
+    is the key columns alone (point-lookup row-group pruning, the
+    default). The trade is explicit: clustering by a value column demotes
+    key-sorted pruning inside the file — point reads should then lean on
+    Bloom filters (``bloom_cols``), which need no sort order, leaving the
+    one physical order free for the range dimension. The ingest hot path
+    stays unsorted either way; only background rewrites pay the sort."""
+    raw = snap.props.get("cluster_cols", "")
+    cluster = [c.strip() for c in raw.split(",") if c.strip()]
+    if cluster:
+        known = {f.name for f in snap.schema.fields}
+        bad = [c for c in cluster if c not in known]
+        if bad:
+            raise ValueError(f"cluster_cols not in table schema: {bad}")
+    return cluster + [c for c in snap.key_cols if c not in cluster]
+
+
 def _murmur3_int32(value: int, seed: int = 42) -> int:
     """Spark's ``hash()`` of an INT column: Murmur3_x86_32 over the 4-byte
     int, seed 42 (the public algorithm Catalyst's Murmur3Hash uses for
@@ -1037,7 +1058,7 @@ class LakeTable:
         new_files, _, _ = self._write_buckets(
             compacted, version, tag="c",
             coarse_metrics=snap.props.get("write_metrics", "full") == "coarse",
-            sort_cols=snap.key_cols,
+            sort_cols=_sort_order(snap),
             spread=self._bijection_spread(snap.n_buckets),
         )
         return new_files
@@ -1197,7 +1218,7 @@ class LakeTable:
         coarse = snap.props.get("write_metrics", "full") == "coarse"
         new_files, _, _ = self._write_buckets(
             resolved, snap.version + 1, tag="r", coarse_metrics=coarse,
-            sort_cols=snap.key_cols,
+            sort_cols=_sort_order(snap),
             spread=self._bijection_spread(new_n_buckets),
         )
         child = self._child(
@@ -1334,7 +1355,15 @@ class LakeTable:
         else:
             shaped = merged.repartition(F.col(BUCKET_COL))
         if sort_cols:
-            shaped = shaped.sortWithinPartitions(*sort_cols)
+            # BUCKET_COL must LEAD the ordering: FileFormatWriter requires
+            # task rows sorted by the dynamic-partition columns and inserts
+            # its own (non-stable) sort when the child ordering doesn't
+            # already satisfy that — which would silently destroy the
+            # clustering this sort exists to produce (reproduced: ts-sorted
+            # partitions came out unsorted per bucket dir). Leading with the
+            # bucket satisfies the writer's requirement, so no extra sort
+            # is planned and the within-bucket order survives verbatim.
+            shaped = shaped.sortWithinPartitions(BUCKET_COL, *sort_cols)
         (
             shaped.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
