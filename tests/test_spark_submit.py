@@ -372,3 +372,40 @@ def test_spark_submit_txn_ingest(spark, tmp_root):
     assert report["tables"] == {"files": 2}
     assert report["pending_txns"] == [
         {"txn_id": "t2", "rows_buffered": 1, "expected": None}]
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on this machine")
+def test_spark_submit_bootstrap(spark, tmp_root):
+    from etl_spark.cdc.bootstrap import bootstrap_active
+    from etl_spark.lake import LakeTable
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    dest = LakeTable.create(
+        spark, os.path.join(tmp_root, "t"),
+        StructType([StructField("k", LongType()),
+                    StructField("v", LongType()),
+                    StructField("name", StringType())]),
+        key_cols=["k"], version_cols=["v"], n_buckets=2,
+    )
+    # the live tail is already flowing: k=1 updated at v=5 (> stamp)
+    dest.merge(spark.createDataFrame(
+        [("U", 1, 5, "live")], "op string, k bigint, v bigint, name string"),
+        manifest_key="tail:0")
+    snap = os.path.join(tmp_root, "snap")
+    spark.createDataFrame([(1, "stale"), (2, "from-snap")],
+                          "k bigint, name string").write.parquet(snap)
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "package.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    out = _submit("bootstrap_job.py", "--snapshot", snap,
+                  "--dest", os.path.join(tmp_root, "t"),
+                  "--stamp", "v=3", "--chunks", "2", zip_path=zip_path)
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["chunks_applied"] == 2 and report["chunks_skipped"] == 0
+    state = {r["k"]: r["name"] for r in dest.read().collect()}
+    assert state == {1: "live", 2: "from-snap"}  # tail outranks the stamp
+    assert bootstrap_active(dest) is None
