@@ -99,6 +99,17 @@ SHOW = [
      "job (explode payload maps + one combinable consensus aggregate); "
      "the returned parse itself stays a single no-shuffle projection "
      "with the evolved schema"),
+    ("wire_gap_audit",
+     "gap audit without a global sort: every lag window partitions by "
+     "(src_part, coarse seq bucket) — each Sort is within a bounded "
+     "composite key, never one global ordering; cross-bucket runs come "
+     "from the tiny per-bucket min/max summary's second window"),
+    ("consistent_read_group",
+     "consistent group read: both pinned time-travel sides are plain "
+     "parquet scans of the aligned snapshots' files (version resolution "
+     "was metadata-only, nothing of the snapshot log enters the data "
+     "plane), joined then partially aggregated before the single "
+     "shuffle"),
 ]
 
 INTERESTING = re.compile(
