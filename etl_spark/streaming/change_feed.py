@@ -94,17 +94,20 @@ def stream_agg_sync(
     group_cols: list[str],
     sum_exprs=None,
     agg_exprs=None,
+    distinct_exprs=None,
     prefix: str = "aggsync",
     poll_interval: float = 1.0,
     stop: Callable[[], bool] | None = None,
 ):
     """Continuous materialized-rollup maintenance: the streaming face of
     :func:`etl_spark.cdc.agg_sync.sync_aggregate` (pass ``sum_exprs`` —
-    exact signed-delta COUNT/SUM tier, O(changed keys) per round) or of
+    exact signed-delta COUNT/SUM tier, O(changed keys) per round), of
     :func:`~etl_spark.cdc.agg_sync.sync_aggregate_recompute` (pass
-    ``agg_exprs`` — any Spark aggregate, O(rows of affected groups);
-    exactly one of the two must be given, same split and same pricing as
-    the batch faces).
+    ``agg_exprs`` — any Spark aggregate, O(rows of affected groups)), or
+    of :func:`etl_spark.cdc.sketch_sync.sync_aggregate_sketch` (pass
+    ``distinct_exprs`` — HLL approx distinct-EVER, O(changed keys));
+    exactly one of the three must be given, same split and same pricing
+    as the batch faces.
 
     Resume/exactly-once contract is identical to :func:`stream_sync`: the
     cursor IS the destination's ``{prefix}:{upstream_version}`` manifest,
@@ -112,16 +115,22 @@ def stream_agg_sync(
     call again, and the next round picks up every upstream commit wave
     since the last applied one as a single round."""
     from etl_spark.cdc.agg_sync import sync_aggregate, sync_aggregate_recompute
+    from etl_spark.cdc.sketch_sync import sync_aggregate_sketch
 
-    if (sum_exprs is None) == (agg_exprs is None):
-        raise ValueError("pass exactly one of sum_exprs (delta tier) or "
-                         "agg_exprs (recompute tier)")
+    given = [x is not None for x in (sum_exprs, agg_exprs, distinct_exprs)]
+    if sum(given) != 1:
+        raise ValueError("pass exactly one of sum_exprs (delta tier), "
+                         "agg_exprs (recompute tier) or distinct_exprs "
+                         "(sketch tier)")
     if sum_exprs is not None:
         round_fn = lambda: sync_aggregate(  # noqa: E731
             src, dst, group_cols, sum_exprs, prefix=prefix)
-    else:
+    elif agg_exprs is not None:
         round_fn = lambda: sync_aggregate_recompute(  # noqa: E731
             src, dst, group_cols, agg_exprs, prefix=prefix)
+    else:
+        round_fn = lambda: sync_aggregate_sketch(  # noqa: E731
+            src, dst, group_cols, distinct_exprs, prefix=prefix)
     yield from _stream_rounds(round_fn, poll_interval, stop)
 
 

@@ -159,3 +159,32 @@ def test_guards(spark, tmp_root):
     )
     with pytest.raises(ValueError, match="at least one"):
         sync_aggregate_sketch(src, dst, ["g"], {})
+
+
+def test_stream_sketch_sync_follows_commits_and_resumes(spark, tmp_root):
+    """Streaming face: stream_agg_sync(distinct_exprs=...) drives the
+    sketch tier with the same no-checkpoint manifest-cursor resume."""
+    from etl_spark.streaming import stream_agg_sync
+
+    src, dst = _mk(spark, tmp_root)
+    _merge(spark, src, "e:0", [("I", 1, 1, "a", 10), ("I", 2, 1, "b", 20)])
+    it = stream_agg_sync(src, dst, ["g"],
+                         distinct_exprs={"users": F.col("u")},
+                         prefix="sketchsync", poll_interval=0.05)
+    assert next(it).applied
+    it.close()  # "kill" the consumer
+    assert _est(dst) == {"a": 1, "b": 1}
+
+    # two waves while down; restart folds them into one round
+    _merge(spark, src, "e:1", [("I", 3, 2, "a", 11)])
+    _merge(spark, src, "e:2", [("I", 4, 3, "a", 12), ("U", 2, 3, "b", 21)])
+    it2 = stream_agg_sync(src, dst, ["g"],
+                          distinct_exprs={"users": F.col("u")},
+                          prefix="sketchsync", poll_interval=0.05)
+    assert next(it2).applied
+    it2.close()
+    assert _est(dst) == {"a": 3, "b": 2}
+
+    with pytest.raises(ValueError, match="exactly one"):
+        next(stream_agg_sync(src, dst, ["g"],
+                             sum_exprs={}, distinct_exprs={}))
