@@ -1230,6 +1230,135 @@ class LakeTable:
         self._publish(child)
         return child.version
 
+    # (old simpleString, new simpleString) the parquet vectorized reader
+    # converts on the fly (probed on this Spark: int->long, int->double,
+    # float->double read old files correctly under the widened schema;
+    # long->double and any->string raise PARQUET_COLUMN_DATA_TYPE_MISMATCH)
+    _READ_WIDENINGS = {("int", "bigint"), ("int", "double"),
+                       ("float", "double")}
+    # safe value-preserving promotions the reader can NOT do — they need a
+    # one-time O(table) rewrite (same price as rebucket)
+    _REWRITE_WIDENINGS = {("bigint", "double"), ("int", "string"),
+                          ("bigint", "string"), ("float", "string"),
+                          ("double", "string")}
+
+    def alter_column_type(self, col: str, new_type, rewrite: bool = False,
+                          max_retries: int = 3) -> int:
+        """Widen a column's type (Iceberg type-promotion analogue) —
+        the evolution path when a drifting wire outgrows a column (a
+        field that sent ``1`` for months starts sending ``1.5``: the
+        merge's ANSI cast fails loudly; this is the fix).
+
+        Two tiers, priced honestly:
+
+        - ``int→long``, ``int→double``, ``float→double``: METADATA-ONLY
+          commit — the parquet vectorized reader converts old files on
+          the fly under the widened read schema (probed; pinned by
+          tests), merges cast incoming batches to the new type, nothing
+          is rewritten.
+        - ``long→double`` and ``→string``: the reader cannot convert, so
+          the promotion is a one-time O(table) rewrite (pass
+          ``rewrite=True`` to acknowledge the price — same cost shape as
+          :meth:`rebucket`, and like it resolves LWW for free).
+
+        Narrowing and non-value-preserving changes are refused. Key
+        columns are refused outright (bucket placement hashes the key's
+        binary representation — widening would scramble the layout);
+        columns carrying zone maps or Bloom filters are refused until
+        those props are unset (their stored entries encode the old type;
+        re-enable + backfill after). Version columns are allowed: numeric
+        widening preserves LWW order. Downstream replicas maintained by
+        ``cdc.sync`` must apply the same promotion before their next
+        round (their own ANSI cast of the feed fails loudly otherwise —
+        never silently)."""
+        for attempt in range(max_retries + 1):
+            snap = self.current_snapshot()
+            by_name = {f.name: f for f in snap.schema.fields}
+            if col not in by_name:
+                raise ValueError(f"no such column {col!r}")
+            if col in snap.key_cols:
+                raise ValueError(
+                    f"cannot widen key column {col!r}: bucket placement "
+                    f"hashes the key's binary representation"
+                )
+            if col in snap.stats_cols():
+                raise ValueError(
+                    f"column {col!r} carries zone maps typed as "
+                    f"{by_name[col].dataType.simpleString()}: unset "
+                    f"stats_cols for it first, re-add + backfill_stats "
+                    f"after the widening"
+                )
+            from etl_spark.lake.bloom import COMPOSITE_SEP
+            hit = [e for e in snap.bloom_cols()
+                   if col in e.split(COMPOSITE_SEP)]
+            if hit:
+                raise ValueError(
+                    f"column {col!r} is part of bloom entries {hit}: "
+                    f"unset bloom_cols for them first (stored bitmaps "
+                    f"hash the old type)"
+                )
+            old_s = by_name[col].dataType.simpleString()
+            new_s = new_type.simpleString()
+            if old_s == new_s:
+                return snap.version
+            pair = (old_s, new_s)
+            evolved = StructType([
+                StructField(f.name, new_type if f.name == col else f.dataType,
+                            True)
+                for f in snap.schema.fields
+            ])
+            try:
+                if pair in self._READ_WIDENINGS:
+                    child = self._child(snap, evolved, snap.buckets, None,
+                                        added=[])
+                    self._publish(child)
+                    return child.version
+                if pair in self._REWRITE_WIDENINGS:
+                    if not rewrite:
+                        raise ValueError(
+                            f"{old_s} -> {new_s} is not read-convertible "
+                            f"by parquet: pass rewrite=True to accept the "
+                            f"one-time O(table) rewrite"
+                        )
+                    return self._rewrite_widened(snap, col, evolved)
+                raise ValueError(
+                    f"unsupported promotion {old_s} -> {new_s}: only "
+                    f"value-preserving widenings are allowed"
+                )
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _rewrite_widened(self, snap: "Snapshot", col: str,
+                         evolved: StructType) -> int:
+        """One-time full rewrite casting ``col`` (rebucket's shape, same
+        bucket count — bucket placement never involves non-key columns,
+        so every row stays in its bucket)."""
+        files = [f for fl in snap.buckets.values() for f in fl]
+        user_cols = [f.name for f in snap.schema.fields]
+        types = {f.name: f.dataType for f in evolved.fields}
+        storage = self._read_files(snap, files).select(
+            *[F.col(c).cast(types[c]).alias(c) for c in user_cols],
+            F.col(META_DELETED).alias(DEL_FLAG),
+        )
+        resolved = _folder(snap.props)(
+            storage, snap.key_cols, snap.version_cols, user_cols, types
+        ).withColumn(BUCKET_COL, _bucket_of(snap.key_cols, snap.n_buckets))
+        coarse = snap.props.get("write_metrics", "full") == "coarse"
+        new_files, _, _ = self._write_buckets(
+            resolved, snap.version + 1, tag="w", coarse_metrics=coarse,
+            sort_cols=_sort_order(snap),
+            spread=self._bijection_spread(snap.n_buckets),
+        )
+        child = self._child(
+            snap, evolved, new_files, None, added=[],
+            add_nonunique=[f for fl in new_files.values() for f in fl]
+            if _is_patch(snap.props) else (),
+            new_stats=self._harvest_stats(snap, new_files))
+        self._publish(child)
+        return child.version
+
     @staticmethod
     def _bijection_spread(n_buckets: int):
         """``(num_partitions, partition_key)`` making the bucket-aligned
