@@ -40,6 +40,7 @@ from etl_spark.cdc.envelope import (
     infer_payload_schema,
     make_envelope,
     parse_envelopes,
+    suggest_promotions,
 )
 from etl_spark.cdc.events import EVENT_SCHEMA, synth_events, write_event_epochs
 from etl_spark.cdc.gaps import sequence_gap_stats, sequence_gaps
@@ -71,6 +72,7 @@ __all__ = [
     "infer_payload_schema",
     "make_envelope",
     "parse_envelopes",
+    "suggest_promotions",
     "route_envelopes",
     "ReconcileStats",
     "reconcile_snapshot",

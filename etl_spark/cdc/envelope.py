@@ -63,6 +63,7 @@ __all__ = [
     "make_envelope",
     "parse_envelopes",
     "quarantine_reason",
+    "suggest_promotions",
 ]
 
 #: Debezium source-block fields the adapter understands. Extra fields in
@@ -193,6 +194,71 @@ def infer_payload_schema(
             t = StringType()
         new_fields.append(StructField(r["k"], t, True))
     return StructType(list(base.fields) + new_fields)
+
+
+def suggest_promotions(
+    df: DataFrame,
+    base: StructType,
+    value_col: str = "value",
+) -> dict[str, tuple[str, str]]:
+    """Detect EXISTING payload columns a batch has outgrown: the other
+    half of wire drift beside :func:`infer_payload_schema`'s new keys.
+    A field that sent ``1`` for months and starts sending ``1.5`` can't
+    evolve additively — and ANSI casts would TRUNCATE the fraction
+    silently (they are loud only for overflow/garbage), which is why
+    the merge refuses fractional-into-integral casts outright. This
+    tells the operator exactly which column to widen and to what, i.e.
+    the input to :meth:`etl_spark.lake.LakeTable.alter_column_type`.
+
+    Returns ``{column: (declared, needed)}`` in simpleString form for
+    every declared payload column whose batch-consensus type outranks
+    its declared type on the value-preserving lattice int < bigint <
+    double < string (float → double; a non-boolean value in a BOOLEAN
+    column needs string). Empty dict = the batch fits. Same one-pass
+    distributed consensus job as the inference; no data moves twice."""
+    known = {f.name: f.dataType.simpleString() for f in base.fields}
+    if not known:
+        return {}
+    raw = F.col(value_col)
+    sides = [
+        F.from_json(F.get_json_object(raw, f"$.{side}"), "map<string,string>")
+        for side in ("after", "before")
+    ]
+    nonnull = df.filter(raw.isNotNull())
+    kv = nonnull.select(F.explode(sides[0]).alias("k", "v")).unionAll(
+        nonnull.select(F.explode(sides[1]).alias("k", "v"))
+    )
+    consensus = (
+        kv.filter(F.col("k").isin(*known))
+        .filter(F.col("v").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.min(F.col("v").try_cast("bigint").isNotNull()).alias("is_long"),
+            F.min(F.col("v").try_cast("double").isNotNull()).alias("is_dbl"),
+            F.min(F.col("v").isin("true", "false")).alias("is_bool"),
+        )
+        .collect()
+    )
+    rank = {"int": 0, "bigint": 1, "float": 2, "double": 2, "string": 3}
+    out: dict[str, tuple[str, str]] = {}
+    for r in sorted(consensus, key=lambda r: r["k"]):
+        inferred = ("bigint" if r["is_long"]
+                    else "double" if r["is_dbl"]
+                    else "boolean" if r["is_bool"]
+                    else "string")
+        declared = known[r["k"]]
+        if declared == "boolean":
+            if inferred != "boolean":
+                out[r["k"]] = (declared, "string")
+            continue
+        if inferred == "boolean":
+            inferred = "string"  # true/false landing in a numeric column
+        if declared not in rank:
+            continue  # timestamps etc.: parse-level concerns, not lattice
+        if rank[inferred] > rank[declared]:
+            # float declared + double inferred is NOT drift (same rank)
+            out[r["k"]] = (declared, inferred)
+    return out
 
 
 def parse_envelopes(

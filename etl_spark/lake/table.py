@@ -864,6 +864,30 @@ class LakeTable:
         user_cols = [f.name for f in evolved_schema.fields]
         types = {f.name: f.dataType for f in evolved_schema.fields}
 
+        # ---- silent-truncation guard ---------------------------------
+        # ANSI casts are loud for overflow and garbage strings but NOT
+        # for fraction loss: cast(10.5 AS BIGINT) quietly yields 10. A
+        # wire whose field drifted long→double would therefore mangle
+        # data without a single error. Refuse the one silent case —
+        # fractional batch column into an integral table column — and
+        # point at the promotion path (alter_column_type /
+        # cdc.envelope.suggest_promotions names the column from the raw
+        # wire). Everything else keeps ANSI's loud-or-exact semantics.
+        batch_types = {f.name: f.dataType.simpleString()
+                       for f in batch.schema.fields}
+        for c in user_cols:
+            bt = batch_types.get(c)
+            if bt in ("double", "float") and \
+                    types[c].simpleString() in ("int", "bigint"):
+                raise ValueError(
+                    f"batch column {c!r} is {bt} but the table stores "
+                    f"{types[c].simpleString()}: the cast would silently "
+                    f"truncate fractions — widen the table first "
+                    f"(alter_column_type; see "
+                    f"cdc.envelope.suggest_promotions) or round/cast "
+                    f"explicitly upstream"
+                )
+
         # ---- align batch to evolved schema + bucket + tombstone flag --
         aligned = batch.select(
             *[
@@ -1246,8 +1270,9 @@ class LakeTable:
                           max_retries: int = 3) -> int:
         """Widen a column's type (Iceberg type-promotion analogue) —
         the evolution path when a drifting wire outgrows a column (a
-        field that sent ``1`` for months starts sending ``1.5``: the
-        merge's ANSI cast fails loudly; this is the fix).
+        field that sent ``1`` for months starts sending ``1.5``: ANSI
+        casts would TRUNCATE that silently — merge refuses the cast
+        instead, and this is the fix).
 
         Two tiers, priced honestly:
 
@@ -1269,7 +1294,7 @@ class LakeTable:
         re-enable + backfill after). Version columns are allowed: numeric
         widening preserves LWW order. Downstream replicas maintained by
         ``cdc.sync`` must apply the same promotion before their next
-        round (their own ANSI cast of the feed fails loudly otherwise —
+        round (their own merge refuses the narrowing cast loudly —
         never silently)."""
         for attempt in range(max_retries + 1):
             snap = self.current_snapshot()

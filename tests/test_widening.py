@@ -121,3 +121,57 @@ def test_same_type_is_noop_and_string_needs_rewrite(spark, tmp_root):
         t.alter_column_type("x", StringType())
     t.alter_column_type("x", StringType(), rewrite=True)
     assert {r["x"] for r in t.read().collect()} == {"42"}
+
+
+def test_drift_promotion_ops_loop(spark, tmp_root):
+    """The full drift repair: a wire batch outgrows a BIGINT column —
+    ANSI cast would SILENTLY truncate 10.5 to 10, so merge refuses the
+    narrowing cast loudly; suggest_promotions names the exact promotion,
+    alter_column_type applies it, the same batch then lands."""
+    import json
+
+    from etl_spark.cdc import suggest_promotions
+
+    t = _mk(spark, tmp_root, LongType())
+    t.merge(spark.createDataFrame([("I", 1, 1, 10)],
+                                  "op string, k bigint, v bigint, x bigint"),
+            manifest_key="e:0")
+    drifted = spark.createDataFrame(
+        [("U", 1, 2, 10.5)], "op string, k bigint, v bigint, x double")
+    with pytest.raises(ValueError, match="silently truncate"):
+        t.merge(drifted, manifest_key="e:1")
+
+    wire = spark.createDataFrame(
+        [(json.dumps({"op": "u", "ts_ms": 2,
+                      "after": {"k": 1, "v": 2, "x": 10.5}}),)],
+        "value string")
+    base = t.current_snapshot().schema
+    assert suggest_promotions(wire, base) == {"x": ("bigint", "double")}
+
+    t.alter_column_type("x", DoubleType(), rewrite=True)
+    st = t.merge(drifted, manifest_key="e:1")
+    assert st.applied
+    assert {r["x"] for r in t.read().collect()} == {10.5}
+
+
+def test_suggest_promotions_lattice(spark, tmp_root):
+    import json
+
+    from etl_spark.cdc import suggest_promotions
+
+    base = StructType([
+        StructField("a", LongType()),      # gets "1.5"  -> double
+        StructField("b", DoubleType()),    # gets "abc"  -> string
+        StructField("c", LongType()),      # gets "2"    -> fits
+        StructField("d", StringType()),    # anything fits a string
+        StructField("e", IntegerType()),   # gets 2**40  -> bigint
+    ])
+    rows = [json.dumps({"op": "u", "ts_ms": 1, "after": {
+        "a": 1.5, "b": "abc", "c": 2, "d": 9, "e": 2**40}})]
+    wire = spark.createDataFrame([(r,) for r in rows], "value string")
+    assert suggest_promotions(wire, base) == {
+        "a": ("bigint", "double"),
+        "b": ("double", "string"),
+        "e": ("int", "bigint"),
+    }
+    assert suggest_promotions(wire, StructType([])) == {}
