@@ -175,3 +175,36 @@ def test_suggest_promotions_lattice(spark, tmp_root):
         "e": ("int", "bigint"),
     }
     assert suggest_promotions(wire, StructType([])) == {}
+
+
+def test_replica_must_promote_before_next_sync(spark, tmp_root):
+    """Docstring contract made real: after the upstream widens int→long
+    and lands a value an INT can't hold, the replica's next sync round
+    fails LOUDLY (ANSI overflow on the narrowing cast) until the replica
+    applies the same promotion — never a silent wrap."""
+    from etl_spark.cdc import sync_changes
+
+    src = _mk(spark, tmp_root, IntegerType())
+    src.merge(spark.createDataFrame([("I", 1, 1, 7)],
+                                    "op string, k bigint, v bigint, x int"),
+              manifest_key="e:0")
+    replica = LakeTable.create(
+        spark, os.path.join(tmp_root, "rep"),
+        StructType([StructField("k", LongType()),
+                    StructField("v", LongType()),
+                    StructField("x", IntegerType())]),
+        key_cols=["k"], version_cols=["v"], n_buckets=2,
+        props={"cursor_prefixes": "sync"},
+    )
+    sync_changes(src, replica)
+    assert {r["x"] for r in replica.read().collect()} == {7}
+
+    src.alter_column_type("x", LongType())
+    src.merge(spark.createDataFrame([("U", 1, 2, 2**40)],
+                                    "op string, k bigint, v bigint, x bigint"),
+              manifest_key="e:1")
+    with pytest.raises(Exception, match="CAST_OVERFLOW|overflow|ARITHMETIC"):
+        sync_changes(src, replica)
+    replica.alter_column_type("x", LongType())
+    sync_changes(src, replica)
+    assert {r["x"] for r in replica.read().collect()} == {2**40}
