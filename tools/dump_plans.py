@@ -104,6 +104,11 @@ SHOW = [
      "(src_part, coarse seq bucket) — each Sort is within a bounded "
      "composite key, never one global ordering; cross-bucket runs come "
      "from the tiny per-bucket min/max summary's second window"),
+    ("type_promotion_read",
+     "metadata-only widening: ReadSchema asks for bigint while half the "
+     "files physically store int — the parquet vectorized reader "
+     "converts on the fly, no rewrite happened (both vintages resolve "
+     "through the same LWW aggregate)"),
     ("consistent_read_group",
      "consistent group read: both pinned time-travel sides are plain "
      "parquet scans of the aligned snapshots' files (version resolution "
