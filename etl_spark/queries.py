@@ -3716,6 +3716,85 @@ def q_sketch_distinct_sync(spark, sf_dir):
     return dst.read().select("event_type", "users")
 
 
+def _dml_table(spark, sf_dir, prefix):
+    """Shared DML fixture: every event landed as an insert (version =
+    event_id), value kept as a double payload."""
+    from etl_spark.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = _tmpdir(prefix)
+    base = ev.select(F.lit("I").alias("op"), "user_id", "event_id",
+                     "event_type", "value", "props")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "tbl"), base.drop("op").schema,
+        key_cols=["user_id"], version_cols=["event_id"], n_buckets=8,
+        props={"write_metrics": "coarse"},
+    )
+    table.merge(base, manifest_key="e:0")
+    stamp = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    return table, stamp
+
+
+def q_dml_delete_where(spark, sf_dir):
+    """Predicate DELETE (lake/dml.py): ``DELETE FROM state WHERE
+    event_type = 'error'`` lands as version-stamped tombstones through
+    the exactly-once MERGE — feed-visible, LWW-outranking (a late event
+    older than the edit still loses), O(affected rows) via the same
+    pruned read every query uses."""
+    from etl_spark.lake.dml import delete_where
+
+    table, stamp = _dml_table(spark, sf_dir, "etl_spark_dmld_")
+    delete_where(table, [("event_type", "=", "error")],
+                 {"event_id": stamp}, manifest_key="dml:1")
+    return table.read().select(
+        "user_id", "event_id", "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+SQL_DML_DELETE = """
+SELECT user_id, event_id, event_type, round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_dml_update_where(spark, sf_dir):
+    """Predicate UPDATE (lake/dml.py): ``UPDATE state SET value = value
+    * 2 WHERE event_type = 'click'`` — matched rows rewritten at an
+    outranking stamp through the normal MERGE, untouched rows keep their
+    original versions, and the whole edit is one exactly-once commit."""
+    from etl_spark.lake.dml import update_where
+
+    table, stamp = _dml_table(spark, sf_dir, "etl_spark_dmlu_")
+    update_where(table, [("event_type", "=", "click")],
+                 {"value": F.col("value") * 2},
+                 {"event_id": stamp}, manifest_key="dml:1")
+    return table.read().select(
+        "user_id", "event_id", "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+SQL_DML_UPDATE = """
+SELECT user_id,
+       CASE WHEN event_type = 'click'
+            THEN (SELECT max(event_id) FROM events) + 1
+            ELSE event_id END AS event_id,
+       event_type,
+       round(CASE WHEN event_type = 'click' THEN value * 2
+                  ELSE value END, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def q_txn_boundary_gate(spark, sf_dir):
     """Transaction-boundary gating (cdc/txn.py): the events wire re-cut
     so even event_ids ride in source transactions of 5-consecutive-id
@@ -4267,6 +4346,8 @@ QUERIES = {
     "consistent_read_group": q_consistent_read_group,
     "sketch_distinct_sync": q_sketch_distinct_sync,
     "type_promotion_read": q_type_promotion_read,
+    "dml_delete_where": q_dml_delete_where,
+    "dml_update_where": q_dml_update_where,
     "txn_boundary_gate": q_txn_boundary_gate,
     "pending_capture_scan": q_pending_capture_scan,
     "lww_compact_parity": q_lww_compact_parity,
@@ -4285,8 +4366,6 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "quality_repetition": q_quality_repetition,
     "salient_terms": q_salient_terms,
-    "pii_scrub": q_pii_scrub,
-    "doc_fingerprint": q_doc_fingerprint,
     "order_revenue_topk": q_order_revenue_topk,
     "token_stats_bpe": q_token_stats_bpe,
     "kmeans_clusters": q_kmeans_clusters,
@@ -4301,6 +4380,8 @@ QUERIES = {
     "anti_join_fill": q_anti_join_fill,
     # ---- positions 50+: outside the driver's first-50 window; still
     # verified every round by tools/check_correctness.py's full sweep ----
+    "pii_scrub": q_pii_scrub,
+    "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
     "dim_broadcast_enrich": q_dim_broadcast_enrich,
     "pricing_summary": q_pricing_summary,
@@ -4363,6 +4444,8 @@ ORACLES = {
     "cdc_bootstrap_handoff": SQL_CDC_BOOTSTRAP,
     "wire_gap_audit": SQL_WIRE_GAPS,
     "type_promotion_read": SQL_TYPE_PROMOTION,
+    "dml_delete_where": SQL_DML_DELETE,
+    "dml_update_where": SQL_DML_UPDATE,
     "consistent_read_group": SQL_CONSISTENT_GROUP,
     "txn_boundary_gate": SQL_TXN_GATE,
     "pending_capture_scan": SQL_PENDING_SCAN,
