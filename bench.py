@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "wire_gap_audit",
     "consistent_read_group",
     "sketch_distinct_sync",
+    "type_promotion_read",
+    "dml_update_where",
 ]
 
 
