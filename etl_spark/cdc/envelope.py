@@ -278,9 +278,12 @@ def parse_envelopes(
       table's events (the filter lands before the flatten, so Catalyst
       prunes the rest at the scan when the source is columnar).
     - ``quarantine``: the raw ``value`` plus a ``reason`` column
-      (``null_envelope`` / ``bad_op`` / ``null_ts``) for dead-letter
-      landing; replaying the quarantine after a connector fix is just
-      ``parse_envelopes`` again.
+      (``null_envelope`` / ``bad_op`` / ``null_ts``; with ``table=``
+      also ``null_table`` — a well-formed envelope whose
+      ``source.table`` is NULL can't be attributed to any table, so it
+      dead-letters rather than silently vanishing between the two
+      outputs) for dead-letter landing; replaying the quarantine after
+      a connector fix is just ``parse_envelopes`` again.
 
     Kafka tombstones (NULL ``value_col``) appear in neither output.
     """
@@ -300,6 +303,14 @@ def parse_envelopes(
     env = F.col("__env")
 
     reason = quarantine_reason(env)
+    if table is not None:
+        # single-table mode: an otherwise-good envelope with NULL
+        # source.table would fail the equality filter below and land in
+        # NEITHER output — quarantine it instead (never silently drop)
+        reason = F.coalesce(
+            reason,
+            F.when(env["source"]["table"].isNull(), F.lit("null_table")),
+        )
     quarantine = base.select(
         F.col("__raw").alias("value"), reason.alias("reason")
     ).filter(F.col("reason").isNotNull())

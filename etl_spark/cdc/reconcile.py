@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_spark.lake import LakeTable
+from etl_spark.lake.stamp import validate_outranking_stamp
 
 __all__ = ["reconcile_snapshot", "snapshot_corrections", "ReconcileStats"]
 
@@ -142,33 +143,14 @@ def reconcile_snapshot(
     counts plus the MergeStats. ``dry_run`` computes the counts without
     committing (the reference's ``teste=True`` posture). Re-running with
     the same ``manifest_key`` after a crash is a metadata no-op."""
-    snap_meta = table.current_snapshot()
-    ver_cols = snap_meta.version_cols
-    if set(version) != set(ver_cols):
-        raise ValueError(
-            f"version stamp must cover exactly {ver_cols}, got "
-            f"{sorted(version)}"
-        )
     # A stamp that doesn't outrank the current state loses every LWW race
     # it exists to win — fail loudly instead of silently not repairing.
-    # One combinable max over the version tuple; the comparison runs in
-    # Spark so stamp values cast through the columns' own types (the
-    # spark-submit face passes strings).
-    types = {f.name: f.dataType for f in snap_meta.schema.fields}
-    stamped = F.struct(
-        *[F.lit(version[c]).cast(types[c]).alias(c) for c in ver_cols]
-    )
-    row = (
-        table.read()
-        .agg(F.max(F.struct(*[F.col(c) for c in ver_cols])).alias("v"))
-        .select("v", (F.col("v") >= stamped).alias("not_outranked"))
-        .collect()[0]
-    )
-    if row["v"] is not None and row["not_outranked"]:
-        raise ValueError(
-            f"version stamp {dict(version)} does not outrank current "
-            f"max {tuple(row['v'])}"
-        )
+    # Shared validator (lake/stamp.py): tombstone versions PARTICIPATE in
+    # the max (a key deleted at a high version must still force the stamp
+    # past it, or an 'I' correction would "apply" while the row stays
+    # dead), and the check is metadata-only when zone maps cover the
+    # version columns.
+    validate_outranking_stamp(table, version)
     corrections = snapshot_corrections(table, snapshot, version)
     # The corrections are consumed twice (counts + merge) and derive from
     # a join over the table's CURRENT state — pin them so the merge can't

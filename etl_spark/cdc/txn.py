@@ -176,9 +176,23 @@ class TxnGate:
 
         autocommit = probed.filter(~is_marker & ~is_txn_row).select("value")
 
+        # A transactional row missing total_order (malformed wire —
+        # Debezium always emits it) gets a synthesized NEGATIVE tiebreak:
+        # the hash of its raw line. Coalescing to a constant would make
+        # two such rows collide on the (txn_id, total_order) buffer key —
+        # one silently overwritten, the buffered count never reaching
+        # event_count, the transaction stuck pending forever with a row
+        # lost on discard. Negative keeps it disjoint from the
+        # connector's own nonnegative orders; hashing the raw line keeps
+        # it idempotent across redelivery (the duplicate LWW-collapses,
+        # exactly as a redelivered well-formed row does).
         new_rows = probed.filter(is_txn_row).select(
             F.col("__tid").alias("txn_id"),
-            F.coalesce(F.col("__ord"), F.lit(0)).alias("total_order"),
+            F.coalesce(
+                F.col("__ord"),
+                -(F.pmod(F.xxhash64(F.col("value")), F.lit(2**62))
+                  + F.lit(1)),
+            ).alias("total_order"),
             F.lit(wave).cast("long").alias("wave"),
             "value",
         ).withColumn("op", F.lit("I"))

@@ -326,12 +326,19 @@ def build_file_blooms(
     (``<data file>.<digest8>.bloom``) and the payload becomes
     ``"@<rel sidecar path>"`` — the snapshot then carries a pointer,
     not the bitmap. Sidecar writes are deterministic and idempotent
-    (same bitmap, same path), so a commit retry just overwrites.
+    (same bitmap, same path; tmp + atomic rename, so a commit retry or
+    a speculative duplicate task just overwrites).
 
-    Zero-shuffle: raw hash bases JVM-side, per-partition partial bitmaps
-    in an Arrow kernel (mod-m per file), driver ORs the partials (a
-    handful of compressed KiB per file — the bitmaps, never the
-    positions, cross to the driver)."""
+    Execution shape: raw hash bases JVM-side, per-partition partial
+    bitmaps in an Arrow kernel (mod-m per file), then ONE narrow shuffle
+    of the compressed partials groups each file's partials onto a single
+    task, which ORs them and — for sidecar-sized bitmaps — writes the
+    sidecar right there. The driver collects only
+    ``(file, entry, payload-or-pointer, m)`` rows: at a 10^5-file
+    commit with megabit bitmaps, no bitmap bytes cross the driver for
+    any bloom large enough to be a sidecar (inline ones are by
+    definition snapshot-sized). Most files are written by one task, so
+    the shuffle typically moves one partial per (file, entry)."""
     import pandas as pd  # Arrow kernel only (CLAUDE.md: no row-at-a-time)
 
     if not cols:
@@ -383,30 +390,51 @@ def build_file_blooms(
             out["bm"].append(zlib.compress(bm.tobytes(), 1))
         yield pd.DataFrame(out)
 
-    rows = slim.mapInPandas(_kernel, schema="f string, i int, bm binary") \
-        .collect()
+    partials = slim.mapInPandas(_kernel,
+                                schema="f string, i int, bm binary")
 
-    import numpy as np
+    digests = [
+        hashlib.md5((c + BLOOM_SUFFIX).encode("utf-8")).hexdigest()[:8]
+        for c in cols
+    ]
 
-    merged: dict[tuple[str, int], "np.ndarray"] = {}
-    for r in rows:
-        key = (r["f"], r["i"])
-        bm = np.frombuffer(zlib.decompress(r["bm"]), np.uint8)
-        got = merged.get(key)
-        merged[key] = bm if got is None else (got | bm)
-    out: dict[str, dict[str, list]] = {}
-    for (rel, i), bm in merged.items():
+    def _finish(pdf):
+        """One (file, entry) group: OR the partials, write the sidecar
+        EXECUTOR-side when over inline_max (tmp + atomic rename —
+        idempotent under retry/speculation), emit only the pointer or
+        the inline payload."""
+        import numpy as np
+
+        rel = pdf["f"].iloc[0]
+        i = int(pdf["i"].iloc[0])
+        bm = None
+        for raw in pdf["bm"]:
+            part = np.frombuffer(zlib.decompress(raw), np.uint8)
+            bm = part if bm is None else (bm | part)
         packed = zlib.compress(bm.tobytes(), 6)
         if inline_max is not None and len(packed) > inline_max:
-            digest = hashlib.md5(
-                (cols[i] + BLOOM_SUFFIX).encode("utf-8")).hexdigest()[:8]
-            side_rel = f"{rel}.{digest}.bloom"
-            with open(os.path.join(root, side_rel), "wb") as fh:
+            side_rel = f"{rel}.{digests[i]}.bloom"
+            abs_path = os.path.join(root, side_rel)
+            tmp = f"{abs_path}.{os.getpid()}.tmp"
+            with open(tmp, "wb") as fh:
                 fh.write(packed)
+            os.replace(tmp, abs_path)
             payload = "@" + side_rel
         else:
             payload = base64.b64encode(packed).decode("ascii")
-        out.setdefault(rel, {})[cols[i] + BLOOM_SUFFIX] = [
-            payload, len(bm) * 8, k,
+        return pd.DataFrame(
+            {"f": [rel], "i": [i], "payload": [payload],
+             "m": [len(bm) * 8]})
+
+    rows = (
+        partials.groupBy("f", "i")
+        .applyInPandas(_finish,
+                       schema="f string, i int, payload string, m long")
+        .collect()
+    )
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        out.setdefault(r["f"], {})[cols[r["i"]] + BLOOM_SUFFIX] = [
+            r["payload"], int(r["m"]), k,
         ]
     return out

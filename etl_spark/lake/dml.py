@@ -19,8 +19,11 @@ file-surgery implementation never gets for free:
 
 Scale: the affected-row read is the ordinary pruned scan —
 bucket/zone-map/bloom pruning all apply to the WHERE — and the merge is
-O(affected rows), never O(table). ``dry_run`` prices the edit first
-(the reference's ``teste=True`` posture).
+O(affected rows), never O(table). The outranking-stamp validation is
+metadata-only when ``stats_cols`` covers the version columns (zero data
+I/O — see lake/stamp.py); only a stats-less table pays a scan, loudly.
+``dry_run`` prices the edit first (the reference's ``teste=True``
+posture).
 """
 
 from __future__ import annotations
@@ -28,36 +31,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_spark.lake.stamp import validate_outranking_stamp
 from etl_spark.lake.table import LakeTable, MergeStats
 
 __all__ = ["delete_where", "update_where"]
 
 
 def _validated_stamp(table: LakeTable, version: dict[str, object]):
-    snap = table.current_snapshot()
-    ver_cols = snap.version_cols
-    if set(version) != set(ver_cols):
-        raise ValueError(
-            f"version stamp must cover exactly {ver_cols}, got "
-            f"{sorted(version)}"
-        )
-    types = {f.name: f.dataType for f in snap.schema.fields}
-    stamped = F.struct(
-        *[F.lit(version[c]).cast(types[c]).alias(c) for c in ver_cols]
-    )
-    row = (
-        table.read()
-        .agg(F.max(F.struct(*[F.col(c) for c in ver_cols])).alias("v"))
-        .select("v", (F.col("v") >= stamped).alias("not_outranked"))
-        .collect()[0]
-    )
-    if row["v"] is not None and row["not_outranked"]:
-        raise ValueError(
-            f"version stamp {dict(version)} does not outrank current "
-            f"max {tuple(row['v'])} — the edit would lose the LWW races "
-            f"it exists to win"
-        )
-    return snap, types
+    return validate_outranking_stamp(table, version)
 
 
 def _stamped(version: dict, types: dict, ver_cols: list[str]):

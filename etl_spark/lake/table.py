@@ -866,19 +866,29 @@ class LakeTable:
 
         # ---- silent-truncation guard ---------------------------------
         # ANSI casts are loud for overflow and garbage strings but NOT
-        # for fraction loss: cast(10.5 AS BIGINT) quietly yields 10. A
-        # wire whose field drifted long→double would therefore mangle
-        # data without a single error. Refuse the one silent case —
-        # fractional batch column into an integral table column — and
-        # point at the promotion path (alter_column_type /
-        # cdc.envelope.suggest_promotions names the column from the raw
-        # wire). Everything else keeps ANSI's loud-or-exact semantics.
-        batch_types = {f.name: f.dataType.simpleString()
-                       for f in batch.schema.fields}
+        # for fraction loss: cast(10.5 AS BIGINT) quietly yields 10 (and
+        # cast(DECIMAL '10.5' AS BIGINT) likewise). A wire whose field
+        # drifted long→double would therefore mangle data without a
+        # single error. Refuse the one silent case — fractional batch
+        # column (double/float/decimal with nonzero scale) into an
+        # integral table column — and point at the promotion path
+        # (alter_column_type / cdc.envelope.suggest_promotions names the
+        # column from the raw wire). Everything else keeps ANSI's
+        # loud-or-exact semantics.
+        from pyspark.sql.types import DecimalType as _Dec
+
+        def _fractional(dt):
+            s = dt.simpleString()
+            return (s in ("double", "float")
+                    or (isinstance(dt, _Dec) and dt.scale > 0))
+
+        batch_dts = {f.name: f.dataType for f in batch.schema.fields}
         for c in user_cols:
-            bt = batch_types.get(c)
-            if bt in ("double", "float") and \
-                    types[c].simpleString() in ("int", "bigint"):
+            bdt = batch_dts.get(c)
+            bt = bdt.simpleString() if bdt is not None else None
+            if bdt is not None and _fractional(bdt) and \
+                    types[c].simpleString() in (
+                        "int", "bigint", "smallint", "tinyint"):
                 raise ValueError(
                     f"batch column {c!r} is {bt} but the table stores "
                     f"{types[c].simpleString()}: the cast would silently "

@@ -170,3 +170,27 @@ def test_envelope_to_replay_end_to_end(spark, tmp_root):
     )
     state = {r["k"]: r["name"] for r in table.read().collect()}
     assert state == {1: "v3", 3: "x1"}
+
+
+def test_null_table_quarantined_in_single_table_mode(spark):
+    """With table= set, a well-formed envelope whose source.table is
+    NULL can't be attributed — it must land in the QUARANTINE (reason
+    'null_table'), not vanish between the two outputs."""
+    import json
+
+    no_table = json.dumps({
+        "op": "c", "ts_ms": 1000, "source": {},
+        "after": {"k": 9, "name": "ghost", "score": 1.0},
+    })
+    good, bad = _parse(
+        spark,
+        [_env("c", None, {"k": 1, "name": "a", "score": 1.0}, 1000,
+              lsn=1, table="files"), no_table],
+        table="files",
+    )
+    assert [r["k"] for r in good] == [1]
+    assert [(r["reason"],) for r in bad] == [("null_table",)]
+    # multi-table mode (no table=) is unchanged: the row parses with a
+    # NULL _table for the router to classify
+    good2, bad2 = _parse(spark, [no_table])
+    assert len(good2) == 1 and good2[0]["_table"] is None and not bad2

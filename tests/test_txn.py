@@ -233,3 +233,44 @@ def test_marker_only_txn_is_visible_and_discardable(spark, tmp_root):
     assert gate.discard("orphan", wave=1) == 0
     assert gate.pending().count() == 0
     assert gate.markers.read().count() == 0
+
+
+def test_missing_total_order_rows_do_not_collide(spark, tmp_root):
+    """Two transactional rows whose blocks lack total_order must not
+    collapse on the (txn_id, total_order) buffer key: each gets a
+    synthesized NEGATIVE tiebreak (hash of its raw line), so the
+    buffered count reaches event_count and the transaction releases
+    whole — previously both coalesced to 0, one row was silently lost,
+    and the transaction was stuck pending forever."""
+    gate = _gate(spark, tmp_root)
+    out, st = gate.apply_wave(_df(spark, [
+        _row(1, "a", 1000, 1, tid="t1", order=None),
+        _row(2, "b", 1000, 2, tid="t1", order=None),
+        _row(3, "c", 1000, 3, tid="t1", order=1),
+        _end("t1", 3),
+    ]), wave=0)
+    assert st.released_rows == 3 and st.released_txns == 1
+    ks = {json.loads(r["value"])["after"]["k"] for r in out.collect()}
+    assert ks == {1, 2, 3}
+    gate.confirm_released(0)
+    assert gate.buffer.read().count() == 0
+    # synthesized tiebreaks stay disjoint from legit nonnegative orders:
+    # a genuine order=0 row coexists with an order-less one
+    out2, st2 = gate.apply_wave(_df(spark, [
+        _row(4, "d", 1000, 4, tid="t2", order=0),
+        _row(5, "e", 1000, 5, tid="t2", order=None),
+        _end("t2", 2),
+    ]), wave=1)
+    assert st2.released_rows == 2 and st2.released_txns == 1
+
+
+def test_missing_total_order_redelivery_is_idempotent(spark, tmp_root):
+    """A redelivered order-less row hashes to the same tiebreak and
+    LWW-collapses — exactly like a redelivered well-formed row."""
+    gate = _gate(spark, tmp_root)
+    r = _row(1, "a", 1000, 1, tid="t1", order=None)
+    out0, st0 = gate.apply_wave(_df(spark, [r]), wave=0)
+    assert st0.buffered_rows == 1
+    gate.confirm_released(0)
+    out1, st1 = gate.apply_wave(_df(spark, [r, _end("t1", 1)]), wave=1)
+    assert st1.released_rows == 1 and st1.released_txns == 1

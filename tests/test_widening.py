@@ -208,3 +208,38 @@ def test_replica_must_promote_before_next_sync(spark, tmp_root):
     replica.alter_column_type("x", LongType())
     sync_changes(src, replica)
     assert {r["x"] for r in replica.read().collect()} == {2**40}
+
+
+def test_merge_refuses_fractional_decimal_into_integral(spark, tmp_root):
+    """ANSI cast(DECIMAL '10.5' AS BIGINT) truncates silently, exactly
+    like double→bigint — the guard must refuse decimal(p, s>0) batch
+    columns into integral table columns, while scale-0 decimals (exact
+    integers, loud on overflow) stay allowed."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    t = _mk(spark, tmp_root, LongType())
+    frac = spark.createDataFrame(
+        [("I", 1, 1, Decimal("10.5"))],
+        StructType([
+            StructField("op", StringType()),
+            StructField("k", LongType()),
+            StructField("v", LongType()),
+            StructField("x", DecimalType(10, 2)),
+        ]),
+    )
+    with pytest.raises(ValueError, match="truncate"):
+        t.merge(frac, manifest_key="e:frac")
+    whole = spark.createDataFrame(
+        [("I", 1, 1, Decimal("10"))],
+        StructType([
+            StructField("op", StringType()),
+            StructField("k", LongType()),
+            StructField("v", LongType()),
+            StructField("x", DecimalType(10, 0)),
+        ]),
+    )
+    st = t.merge(whole, manifest_key="e:whole")
+    assert st.applied
+    assert [r["x"] for r in t.read().collect()] == [10]
