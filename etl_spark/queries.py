@@ -4351,7 +4351,11 @@ QUERIES = {
     "txn_boundary_gate": q_txn_boundary_gate,
     "pending_capture_scan": q_pending_capture_scan,
     "lww_compact_parity": q_lww_compact_parity,
-    "period_lead": q_period_lead,
+    # kmeans_clusters + pii_scrub promoted into the first-50 window in
+    # round 5: the only two oracled queries never driver-verified in any
+    # round (displacing period_lead + order_revenue_topk, driver-green
+    # r1-r4)
+    "kmeans_clusters": q_kmeans_clusters,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_buckets": q_minhash_lsh_buckets,
     "ngram_jaccard": q_ngram_jaccard,
@@ -4366,9 +4370,8 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "quality_repetition": q_quality_repetition,
     "salient_terms": q_salient_terms,
-    "order_revenue_topk": q_order_revenue_topk,
+    "pii_scrub": q_pii_scrub,
     "token_stats_bpe": q_token_stats_bpe,
-    "kmeans_clusters": q_kmeans_clusters,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_multiprobe": q_ann_multiprobe,
@@ -4380,7 +4383,8 @@ QUERIES = {
     "anti_join_fill": q_anti_join_fill,
     # ---- positions 50+: outside the driver's first-50 window; still
     # verified every round by tools/check_correctness.py's full sweep ----
-    "pii_scrub": q_pii_scrub,
+    "period_lead": q_period_lead,
+    "order_revenue_topk": q_order_revenue_topk,
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
     "dim_broadcast_enrich": q_dim_broadcast_enrich,
