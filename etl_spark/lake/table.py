@@ -93,7 +93,15 @@ def _sort_order(snap) -> list[str]:
     key-sorted pruning inside the file — point reads should then lean on
     Bloom filters (``bloom_cols``), which need no sort order, leaving the
     one physical order free for the range dimension. The ingest hot path
-    stays unsorted either way; only background rewrites pay the sort."""
+    stays unsorted either way; only background rewrites pay the sort.
+
+    Multi-dimension clustering: a LEXICOGRAPHIC order on 2+ cluster
+    columns prunes row groups on the first dimension only. Set
+    ``cluster_order: "zorder"`` to sort by the Morton-interleaved key
+    instead (lake/zorder.py) so EVERY cluster dimension prunes —
+    resolved by :meth:`LakeTable._sort_exprs`, which the background
+    rewrites call (this function stays the lexicographic base +
+    validation)."""
     raw = snap.props.get("cluster_cols", "")
     cluster = [c.strip() for c in raw.split(",") if c.strip()]
     if cluster:
@@ -1053,6 +1061,37 @@ class LakeTable:
             partitions=lineage,
         )
 
+    def _sort_exprs(self, snap: Snapshot, files: list[str],
+                    storage: DataFrame) -> list:
+        """Sort columns for a background rewrite. Lexicographic
+        ``_sort_order`` by default; with the ``cluster_order: "zorder"``
+        prop and 2+ cluster columns, the Morton key leads instead
+        (lake/zorder.py) so every cluster dimension prunes row groups.
+        Bounds for the rank cells come from snapshot zone maps when
+        ``stats_cols`` covers the cluster columns (metadata-only),
+        else one min/max aggregate over ``storage`` — the raw pre-fold
+        input read, never the folded frame (which would evaluate the
+        LWW aggregate twice)."""
+        order = _sort_order(snap)  # validates cluster cols exist
+        raw = snap.props.get("cluster_cols", "")
+        cluster = [c.strip() for c in raw.split(",") if c.strip()]
+        mode = snap.props.get("cluster_order", "lexicographic")
+        if mode not in ("lexicographic", "zorder"):
+            raise ValueError(
+                f"cluster_order must be 'lexicographic' or 'zorder', "
+                f"got {mode!r}")
+        if mode != "zorder" or len(cluster) < 2:
+            return order
+        from etl_spark.lake.zorder import (
+            DEFAULT_BITS, cluster_bounds, validate_zorder_cols, zorder_key,
+        )
+
+        validate_zorder_cols(snap.schema, cluster)
+        bits = int(snap.props.get("zorder_bits", DEFAULT_BITS))
+        bounds = cluster_bounds(snap, cluster, files, storage)
+        z = zorder_key(snap.schema, {c: bounds[c] for c in cluster}, bits)
+        return [z] + [c for c in snap.key_cols if c not in cluster]
+
     def _compact_files(
         self,
         snap: Snapshot,
@@ -1092,7 +1131,7 @@ class LakeTable:
         new_files, _, _ = self._write_buckets(
             compacted, version, tag="c",
             coarse_metrics=snap.props.get("write_metrics", "full") == "coarse",
-            sort_cols=_sort_order(snap),
+            sort_cols=self._sort_exprs(snap, files, storage),
             spread=self._bijection_spread(snap.n_buckets),
         )
         return new_files
@@ -1252,7 +1291,7 @@ class LakeTable:
         coarse = snap.props.get("write_metrics", "full") == "coarse"
         new_files, _, _ = self._write_buckets(
             resolved, snap.version + 1, tag="r", coarse_metrics=coarse,
-            sort_cols=_sort_order(snap),
+            sort_cols=self._sort_exprs(snap, files, storage),
             spread=self._bijection_spread(new_n_buckets),
         )
         child = self._child(
@@ -1383,7 +1422,7 @@ class LakeTable:
         coarse = snap.props.get("write_metrics", "full") == "coarse"
         new_files, _, _ = self._write_buckets(
             resolved, snap.version + 1, tag="w", coarse_metrics=coarse,
-            sort_cols=_sort_order(snap),
+            sort_cols=self._sort_exprs(snap, files, storage),
             spread=self._bijection_spread(snap.n_buckets),
         )
         child = self._child(

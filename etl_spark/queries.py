@@ -2845,6 +2845,99 @@ FROM (
 """
 
 
+def q_cdc_state_zorder_read(spark, sf_dir):
+    """Multi-dimension clustering (``cluster_order: "zorder"``,
+    lake/zorder.py — Iceberg ``zorder()`` sort-order / Delta OPTIMIZE
+    ZORDER parity; reference analogue: two-dimensional UF x month slice
+    pruning, procedimentos.py:210-219): events replay as an append-only
+    fact table (key = event_id) in five weekly delta waves, compaction
+    rewrites each bucket in MORTON order over (ts, value) with small
+    parquet row groups, and the gate PROVES second-dimension pruning
+    from the written footers — a band predicate on ``value`` must
+    refute a real fraction of row groups, which the lexicographic
+    (ts-first) order cannot do (every ts-run spans ~the whole value
+    domain; pinned comparatively in tests/test_zorder.py). The returned
+    rows exercise the read path under the reordered layout: a two-
+    dimensional predicate, exact residual semantics."""
+    import datetime as dt
+
+    import pyarrow.parquet as _pq
+
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.cdc.replay import replay_events
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id", F.lit("I").alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.floor((F.dayofmonth("ts") - 1) / 7).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_zorder_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    table, _ = replay_events(
+        spark, wal_dir, os.path.join(tmp, "tbl"), n_buckets=2,
+        key_cols=["event_id"], version_cols=["ts"],
+        table_props={
+            "cluster_cols": "ts,value",
+            "cluster_order": "zorder",
+            "stats_cols": "ts",
+            "compact_threshold": "100",
+        },
+    )
+    # small row groups for the rewrite so the footer audit sees several
+    # per file (the 100 TB shape in miniature); restored afterwards
+    hconf = spark._jsc.hadoopConfiguration()
+    saved = {k: hconf.get(k) for k in
+             ("parquet.block.size", "parquet.page.size")}
+    hconf.set("parquet.block.size", "16384")
+    hconf.set("parquet.page.size", "4096")
+    try:
+        assert table.compact() > 0
+    finally:
+        for k, v in saved.items():
+            (hconf.set(k, v) if v is not None else hconf.unset(k))
+    # the value dimension is exponentially skewed; min/max cell scaling
+    # (Iceberg-fixed-transform semantics, lake/zorder.py docstring) puts
+    # the bulk in the low cells, so the honest pruning demonstration is
+    # a selective band ABOVE the bulk — the "rare expensive events"
+    # slice a real consumer asks for
+    lo, hi = 250.0, 500.0
+    snap = table.current_snapshot()
+    refuted = total = 0
+    for fl in snap.buckets.values():
+        for f in fl:
+            md = _pq.ParquetFile(os.path.join(table.path, f)).metadata
+            rg0 = md.row_group(0)
+            vi = {rg0.column(i).path_in_schema: i
+                  for i in range(rg0.num_columns)}["value"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(vi).statistics
+                total += 1
+                if st is not None and st.has_min_max and \
+                        (st.max < lo or st.min > hi):
+                    refuted += 1
+    assert total >= 4, f"expected several row groups, got {total}"
+    # with only a handful of groups each curve segment spans most of the
+    # value domain and refutes nothing — the pruning evidence needs real
+    # volume (driver sf0.01 + bench sf0.1 both exercise it)
+    if total >= 8:
+        assert refuted > total // 4, (
+            f"z-order gave no second-dimension row-group pruning "
+            f"({refuted}/{total})")
+    cut = dt.datetime(2024, 1, 8)
+    return table.read(
+        where=[("ts", ">=", cut), ("value", "between", lo, hi)]
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+SQL_CDC_ZORDER_READ = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND value BETWEEN 250.0 AND 500.0
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic class-balanced downsampling (pretraining-mix
     curation): cut 'en' to 25% and 'zh' to 50% while keeping every other
@@ -4323,6 +4416,7 @@ QUERIES = {
     "bloom_point_lookup": q_bloom_point_lookup,
     "bloom_pair_lookup": q_bloom_pair_lookup,
     "cdc_state_range_read": q_cdc_state_range_read,
+    "cdc_state_zorder_read": q_cdc_state_zorder_read,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_incremental_sync": q_cdc_incremental_sync,
@@ -4364,7 +4458,6 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "decontamination": q_decontamination,
     "stratified_sample": q_stratified_sample,
-    "train_test_split": q_train_test_split,
     "mix_sample": q_mix_sample,
     "pack_budget": q_pack_budget,
     "chunk_documents": q_chunk_documents,
@@ -4385,6 +4478,7 @@ QUERIES = {
     # verified every round by tools/check_correctness.py's full sweep ----
     "period_lead": q_period_lead,
     "order_revenue_topk": q_order_revenue_topk,
+    "train_test_split": q_train_test_split,
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
     "dim_broadcast_enrich": q_dim_broadcast_enrich,
@@ -4427,6 +4521,7 @@ ORACLES = {
     "bloom_point_lookup": SQL_BLOOM_LOOKUP,
     "bloom_pair_lookup": SQL_BLOOM_PAIR_LOOKUP,
     "cdc_state_range_read": SQL_CDC_RANGE_READ,
+    "cdc_state_zorder_read": SQL_CDC_ZORDER_READ,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_incremental_sync": SQL_CDC_SYNC,
