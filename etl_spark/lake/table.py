@@ -740,7 +740,22 @@ class LakeTable:
         files the predicates refute before any data I/O — sound pruning
         rules per file in lake/stats.py — and the residual filter lands
         on the parquet scans for row-group-level pushdown besides."""
-        snap = self.snapshot(version)
+        return self._read_snap(
+            self.snapshot(version), with_meta=with_meta, buckets=buckets,
+            include_deleted=include_deleted, where=where,
+        )
+
+    def _read_snap(
+        self,
+        snap: Snapshot,
+        with_meta: bool = False,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+        where: list | None = None,
+    ) -> DataFrame:
+        """``read`` against an explicit snapshot object — the staged
+        (not-yet-published) snapshot of a write-audit-publish commit
+        reads through here (lake/wap.py)."""
         sel = snap.buckets if buckets is None else {
             b: snap.buckets.get(b, []) for b in buckets
         }
@@ -848,6 +863,46 @@ class LakeTable:
                     raise
         raise AssertionError("unreachable")
 
+    def merge_staged(
+        self,
+        batch: DataFrame,
+        manifest_key: str,
+        op_col: str = "op",
+        delete_op: str = "D",
+    ):
+        """Write-audit-publish: run the full merge WRITE path (same
+        shuffle shape, same data files, same stats/bloom harvest) but
+        stop BEFORE the snapshot commit. Returns a
+        :class:`etl_spark.lake.wap.StagedCommit`:
+
+        - ``.read()`` — the would-be table state (staged files + current
+          base) for validation gates to audit;
+        - ``.publish()`` — the O(1) metadata flip committing the SAME
+          staged files (no rewrite; MoR commits rebase past concurrent
+          writers like any merge retry);
+        - ``.abort()`` — deletes the staged files; the table stays
+          byte-identical and the manifest key unclaimed.
+
+        The reference's savepoint-then-commit posture
+        (/root/reference/src/impulsoetl/utilitarios/bd.py:224-257) as a
+        lake-native WAP. Threshold compaction is deferred to the next
+        ordinary merge; staged files look like orphans to ``vacuum``
+        until published, so audit within the vacuum grace window."""
+        snap = self.current_snapshot()
+        if snap.has_applied(manifest_key):
+            from etl_spark.lake.wap import StagedCommit
+
+            return StagedCommit(
+                table=self, parent_version=snap.version, snapshot=snap,
+                manifest_key=manifest_key,
+                mode=snap.props.get("merge_mode", "mor"),
+                schema=snap.schema, new_files={}, added=[],
+                add_nonunique=[], new_stats={}, rows_written=0,
+                lineage={}, already_applied=True,
+            )
+        return self._merge_once(snap, batch, manifest_key, op_col,
+                                delete_op, stage_only=True)
+
     def _merge_once(
         self,
         snap: Snapshot,
@@ -855,7 +910,8 @@ class LakeTable:
         manifest_key: str,
         op_col: str,
         delete_op: str,
-    ) -> MergeStats:
+        stage_only: bool = False,
+    ):
         key_cols, ver_cols = snap.key_cols, snap.version_cols
         for c in key_cols + ver_cols + [op_col]:
             if c not in batch.columns:
@@ -932,6 +988,16 @@ class LakeTable:
         if not affected:
             new_snap = self._child(snap, evolved_schema, snap.buckets, manifest_key,
                                    added=[])
+            if stage_only:
+                from etl_spark.lake.wap import StagedCommit
+
+                return StagedCommit(
+                    table=self, parent_version=snap.version,
+                    snapshot=new_snap, manifest_key=manifest_key,
+                    mode=mode, schema=evolved_schema, new_files={},
+                    added=[], add_nonunique=[], new_stats={},
+                    rows_written=0, lineage={},
+                )
             self._publish(new_snap)
             return MergeStats(manifest_key, True, new_snap.version, 0, 0, 0,
                               snap.n_buckets, 0)
@@ -1018,9 +1084,21 @@ class LakeTable:
         # snapshot ever pointed at them, silently dropping the merge from
         # every change feed (changes() provenance = the `added` list).
         added_files = [f for fl in new_files.values() for f in fl]
+        harvested = self._harvest_stats(snap, new_files)
         new_snap = self._child(snap, evolved_schema, buckets, manifest_key,
                                add_nonunique=add_nonunique, added=added_files,
-                               new_stats=self._harvest_stats(snap, new_files))
+                               new_stats=harvested)
+        if stage_only:
+            from etl_spark.lake.wap import StagedCommit
+
+            return StagedCommit(
+                table=self, parent_version=snap.version, snapshot=new_snap,
+                manifest_key=manifest_key, mode=mode,
+                schema=evolved_schema, new_files=new_files,
+                added=added_files, add_nonunique=add_nonunique,
+                new_stats=harvested, rows_written=rows_written,
+                lineage=lineage,
+            )
         self._publish(new_snap)
 
         if mode != "cow":

@@ -2938,6 +2938,56 @@ WHERE ts >= TIMESTAMP '2024-01-08' AND value BETWEEN 250.0 AND 500.0
 """
 
 
+def q_wap_publish(spark, sf_dir):
+    """Write-audit-publish (lake/wap.py — Iceberg WAP / the reference's
+    savepoint-then-commit posture, utilitarios/bd.py:224-257): wave 2
+    arrives first in a POISONED form (negated values); the audit gate
+    runs against the STAGED post-merge state and rejects it, leaving the
+    table at its seed version with the manifest key unclaimed — both
+    asserted. The clean wave 2 then re-captures under the SAME key and
+    publishes as an O(1) metadata flip of its staged files. The returned
+    rows are the final state: seed ∪ clean wave 2, nothing of the
+    poisoned stage."""
+    from etl_spark.lake import LakeTable, audit_capture
+    from etl_spark.pipeline import expect
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 7)
+    tmp = _tmpdir("etl_spark_wap_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "tbl"),
+        ev.select("event_id", "ts", "user_id", "event_type",
+                  "value", "props").schema,
+        key_cols=["event_id"], version_cols=["ts"], n_buckets=8,
+    )
+    wave = ev.select("event_id", F.lit("I").alias("op"), "ts", "user_id",
+                     "event_type", "value", "props")
+    table.merge(wave.filter(F.col("event_id") % 3 == 0),
+                manifest_key="wave:0")
+    v_seed = table.current_version()
+    gates = [expect("value >= 0", "negative value in published state")]
+    poisoned = (
+        wave.filter(F.col("event_id") % 3 == 1)
+        .withColumn("value", -F.col("value") - F.lit(1.0))
+    )
+    res = audit_capture(table, poisoned, manifest_key="wave:1",
+                        gates=gates)
+    assert res.status == "rejected", res
+    assert table.current_version() == v_seed, "rejected stage mutated table"
+    assert not table.current_snapshot().has_applied("wave:1")
+    res2 = audit_capture(table, wave.filter(F.col("event_id") % 3 == 1),
+                         manifest_key="wave:1", gates=gates)
+    assert res2.status == "applied" and res2.stats.version == v_seed + 1
+    return table.read().select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+SQL_WAP_PUBLISH = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE user_id % 10 = 7 AND event_id % 3 <= 1
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic class-balanced downsampling (pretraining-mix
     curation): cut 'en' to 25% and 'zh' to 50% while keeping every other
@@ -4417,6 +4467,7 @@ QUERIES = {
     "bloom_pair_lookup": q_bloom_pair_lookup,
     "cdc_state_range_read": q_cdc_state_range_read,
     "cdc_state_zorder_read": q_cdc_state_zorder_read,
+    "wap_publish": q_wap_publish,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_incremental_sync": q_cdc_incremental_sync,
@@ -4458,7 +4509,6 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "decontamination": q_decontamination,
     "stratified_sample": q_stratified_sample,
-    "mix_sample": q_mix_sample,
     "pack_budget": q_pack_budget,
     "chunk_documents": q_chunk_documents,
     "quality_repetition": q_quality_repetition,
@@ -4479,6 +4529,7 @@ QUERIES = {
     "period_lead": q_period_lead,
     "order_revenue_topk": q_order_revenue_topk,
     "train_test_split": q_train_test_split,
+    "mix_sample": q_mix_sample,
     "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
     "dim_broadcast_enrich": q_dim_broadcast_enrich,
@@ -4522,6 +4573,7 @@ ORACLES = {
     "bloom_pair_lookup": SQL_BLOOM_PAIR_LOOKUP,
     "cdc_state_range_read": SQL_CDC_RANGE_READ,
     "cdc_state_zorder_read": SQL_CDC_ZORDER_READ,
+    "wap_publish": SQL_WAP_PUBLISH,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_incremental_sync": SQL_CDC_SYNC,
