@@ -99,8 +99,6 @@ BENCH_QUERIES = [
     "cdc_lww_latest_state",
     "cdc_replay_final_state",
     "cdc_envelope_ingest",
-    # envelope_route_fanout is fixture-dominated (builds two LakeTables);
-    # the wire-parse throughput it shares is what cdc_envelope_ingest times
     # cdc_change_feed and cdc_dedup_ingest are deliberately absent: their
     # wall time is dominated by building a multi-merge LakeTable fixture,
     # not by the operator under measurement — both are correctness-gated
@@ -153,6 +151,16 @@ BENCH_QUERIES = [
     "sketch_distinct_sync",
     "type_promotion_read",
     "dml_update_where",
+    # wire tier (round 5): multi-table envelope routing and the
+    # transaction-boundary gate were driver-green since round 4 but never
+    # inside the driver's bench artifact — like the consumer tier above,
+    # their end-to-end wall (fixture merges included) is the quantity a
+    # regression would show up in; z-order + WAP are the round-5
+    # layout/commit paths
+    "envelope_route_fanout",
+    "txn_boundary_gate",
+    "cdc_state_zorder_read",
+    "wap_publish",
 ]
 
 
