@@ -161,6 +161,11 @@ BENCH_QUERIES = [
     "txn_boundary_gate",
     "cdc_state_zorder_read",
     "wap_publish",
+    # refs + metadata tables (round 5): end-to-end scenario walls like the
+    # consumer tier — multi-merge fixture + expire/vacuum (refs) and a
+    # compaction + executor-side footer sweep (meta)
+    "snapshot_ref_read",
+    "lake_metadata_audit",
 ]
 
 

@@ -287,7 +287,18 @@ def purge_scd2(
     Returns a combined report; both residuals MUST be 0.
     """
     from etl_spark.lake.purge import purge_keys
+    from etl_spark.lake.refs import list_refs
 
+    h_pins = list_refs(history.path)
+    if h_pins:
+        # same refusal as purge_keys (which covers `current`): a ref on
+        # the HISTORY table pins pre-purge snapshots whose files
+        # expire+vacuum could then never reclaim — silent erasure failure
+        raise ValueError(
+            f"scd2 purge refused: refs pin history snapshots "
+            f"({sorted((r.name, r.version) for r in h_pins.values())}); "
+            f"drop_ref()/move_branch() them past the purge first"
+        )
     csnap = current.current_snapshot()
     key_cols = csnap.key_cols
     if sorted(keys.columns) != sorted(key_cols):

@@ -22,10 +22,13 @@ semaphores (utilitarios/semaforos.py:26-119) and the versioned-table intent
 from etl_spark.lake.diff import snapshot_diff
 from etl_spark.lake.dml import delete_where, update_where
 from etl_spark.lake.port import TablePort
+from etl_spark.lake.planner import CompactionPlan, plan_compaction
 from etl_spark.lake.purge import purge_keys
+from etl_spark.lake.refs import Ref
 from etl_spark.lake.table import CommitConflict, LakeTable, MergeStats, Snapshot
 from etl_spark.lake.wap import StagedCommit, audit_capture
 
 __all__ = ["LakeTable", "Snapshot", "MergeStats", "CommitConflict", "purge_keys",
            "snapshot_diff", "delete_where", "update_where",
-           "StagedCommit", "audit_capture", "TablePort"]
+           "StagedCommit", "audit_capture", "TablePort", "Ref",
+           "plan_compaction", "CompactionPlan"]

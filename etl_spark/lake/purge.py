@@ -66,6 +66,21 @@ def purge_keys(
     concurrent-writer grace window; pass 0 only when no writer can be in
     flight (tests, single-writer maintenance windows).
     """
+    from etl_spark.lake.refs import list_refs
+
+    pins = list_refs(table.path)
+    if pins:
+        # A ref (tag/branch, lake/refs.py) makes its snapshot — and
+        # therefore its files — immune to expire+vacuum. Any pre-purge
+        # pin would silently keep the subject's payload on disk, which
+        # is exactly the physical-residue guarantee this module exists
+        # to give. Refuse loudly; the operator decides what the pin was
+        # protecting and drops or moves it first.
+        raise ValueError(
+            f"purge refused: refs pin snapshots that expire+vacuum could "
+            f"not reclaim ({sorted((r.name, r.version) for r in pins.values())}); "
+            f"drop_ref()/move_branch() them past the purge first"
+        )
     snap = table.current_snapshot()
     key_cols, ver_cols = snap.key_cols, snap.version_cols
     if sorted(keys.columns) != sorted(key_cols):

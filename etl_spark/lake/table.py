@@ -611,7 +611,14 @@ class LakeTable:
             raise FileNotFoundError(f"no snapshots in {self.path}")
         return versions[-1]
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def snapshot(self, version: int | str | None = None) -> Snapshot:
+        """Snapshot by version number, by REF NAME (a tag or branch
+        created with :meth:`tag` / :meth:`branch` — lake/refs.py), or
+        the current one. Every time-travel surface (``read``,
+        ``folded_state``, ``lookup``, ``meta``) resolves through here,
+        so they all accept ref names wherever they accept versions."""
+        if isinstance(version, str):
+            version = self.resolve_ref(version)
         if version is None:
             version = self.current_version()
         with open(self._snap_path(version)) as fh:
@@ -1965,19 +1972,95 @@ class LakeTable:
         """Drop snapshot metadata older than the newest ``keep_last``
         versions (time travel window). The applied-manifest ledger is
         cumulative in every snapshot, so exactly-once is unaffected.
+        Versions pinned by a ref (tag/branch — lake/refs.py) are NEVER
+        expired: the pin is the whole point of a ref, and because
+        ``vacuum`` reclaims only files referenced by no remaining
+        snapshot, keeping the snapshot keeps its data files too.
         Returns the expired version numbers."""
+        from etl_spark.lake.refs import protected_versions
+
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        protected = protected_versions(self.path)
         versions = self.versions()
-        expired = versions[:-keep_last]
+        expired = [v for v in versions[:-keep_last] if v not in protected]
         for v in expired:
             os.unlink(self._snap_path(v))
         return expired
 
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    # ------------------------------------------------------ refs (pins)
+
+    def tag(self, name: str, version: int | None = None) -> "LakeTable":
+        """Pin a snapshot under an immutable named TAG (Iceberg tag
+        semantics; lake/refs.py). Defaults to the current version.
+        Retention force: ``expire_snapshots`` keeps the target,
+        ``vacuum`` keeps its files, until ``drop_ref``. Returns self."""
+        from etl_spark.lake import refs as _refs
+
+        v = self.current_version() if version is None else version
+        _refs.create_ref(self.path, name, "tag", v, self.versions())
+        return self
+
+    def branch(self, name: str, version: int | None = None) -> "LakeTable":
+        """Create a movable BRANCH pointer (Iceberg branch semantics).
+        Move it with :meth:`move_branch`; consumers reading
+        ``version=name`` see updates only when the pointer moves —
+        publish cadence decoupled from commit cadence (composes with
+        write-audit-publish: audit the head, then move the branch)."""
+        from etl_spark.lake import refs as _refs
+
+        v = self.current_version() if version is None else version
+        _refs.create_ref(self.path, name, "branch", v, self.versions())
+        return self
+
+    def move_branch(self, name: str, version: int | None = None) -> int:
+        """Atomically repoint a branch (tags refuse). Defaults to the
+        current version ("promote head to consumers"). Returns the new
+        target version."""
+        from etl_spark.lake import refs as _refs
+
+        v = self.current_version() if version is None else version
+        return _refs.move_branch(self.path, name, v, self.versions()).version
+
+    def drop_ref(self, name: str) -> int:
+        """Remove a tag or branch, releasing its snapshot back to the
+        normal retention lifecycle. Returns the released version."""
+        from etl_spark.lake import refs as _refs
+
+        return _refs.drop_ref(self.path, name).version
+
+    def refs(self) -> dict:
+        """All refs on this table: name → ``Ref(name, kind, version)``."""
+        from etl_spark.lake import refs as _refs
+
+        return _refs.list_refs(self.path)
+
+    def resolve_ref(self, name: str) -> int:
+        """Ref name → pinned snapshot version (KeyError if absent)."""
+        from etl_spark.lake import refs as _refs
+
+        return _refs.load_ref(self.path, name).version
+
+    # -------------------------------------------------- metadata tables
+
+    def meta(self, kind: str, version: int | str | None = None,
+             buckets: list[int] | None = None) -> DataFrame:
+        """The table's own metadata as a DataFrame (Iceberg's
+        ``tbl.files`` / ``tbl.snapshots`` / … surface): one of
+        ``snapshots files partitions ledger refs stats`` — see
+        lake/meta.py. ``version`` may be a number or a ref name;
+        ``buckets`` prunes the files/partitions footer sweep before I/O."""
+        from etl_spark.lake.meta import metadata_table
+
+        return metadata_table(self, kind, version, buckets)
+
+    def changes(self, from_version: int | str,
+                to_version: int | str | None = None) -> DataFrame:
         """Change feed between two snapshots (CDC *out*): the rows landed by
         merges in ``(from_version, to_version]``, with an ``_op`` column
-        ('D' for tombstones, 'U' otherwise).
+        ('D' for tombstones, 'U' otherwise). Either bound may be a REF
+        NAME (lake/refs.py) — e.g. ``changes("stable")`` is "what the
+        consumer branch has not yet seen".
 
         Works off commit-level provenance: every snapshot records the data
         files its commit ADDED (``Snapshot.added``); the feed is the union
@@ -2002,6 +2085,10 @@ class LakeTable:
         destination with the SAME semantics; ``cdc.sync.sync_changes``
         enforces the match (row-LWW applied to partial rows, or
         per-column LWW applied to total rows, silently corrupts)."""
+        if isinstance(from_version, str):
+            from_version = self.resolve_ref(from_version)
+        if isinstance(to_version, str):
+            to_version = self.resolve_ref(to_version)
         if to_version is None:
             to_version = self.current_version()
         snap_to = self.snapshot(to_version)

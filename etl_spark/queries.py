@@ -2988,6 +2988,149 @@ WHERE user_id % 10 = 7 AND event_id % 3 <= 1
 """
 
 
+def q_snapshot_ref_read(spark, sf_dir):
+    """Named snapshot refs (lake/refs.py — Iceberg tag/branch parity;
+    reference analogue: the savepoint table copies of
+    utilitarios/bd.py:224-257, same pin-a-vintage guarantee with zero
+    data movement): waves 0-1 land and get TAGGED ``audited`` plus a
+    consumer BRANCH ``stable`` at the same version; wave 2 commits after.
+    The gate then proves the three ref properties end-to-end —
+    (a) *decoupling*: the branch-pinned read still shows the audited
+    state while the head has moved; (b) *retention force*:
+    ``expire_snapshots(keep_last=1)`` + ``vacuum(0)`` reclaim everything
+    EXCEPT the pinned vintage, which still reads in full; (c) *feed
+    anchoring*: ``changes("audited")`` is exactly wave 2. Returned rows
+    are the tagged vintage — time travel by NAME."""
+    from etl_spark.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
+    wave = ev.select("event_id", F.lit("I").alias("op"), "ts", "user_id",
+                     "event_type", "value", "props")
+    tmp = _tmpdir("etl_spark_refs_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "tbl"),
+        ev.select("event_id", "ts", "user_id", "event_type",
+                  "value", "props").schema,
+        key_cols=["event_id"], version_cols=["ts"], n_buckets=8,
+    )
+    table.merge(wave.filter(F.col("event_id") % 3 == 0), "wave:0")
+    table.merge(wave.filter(F.col("event_id") % 3 == 1), "wave:1")
+    table.tag("audited").branch("stable")
+    v_tag = table.resolve_ref("audited")
+    table.merge(wave.filter(F.col("event_id") % 3 == 2), "wave:2")
+
+    audited_n = table.read(version="audited").count()
+    wave2_n = table.read().count() - audited_n
+    assert wave2_n > 0, "wave 2 must land rows for the gate to mean anything"
+    # (a) the branch consumer still sees the audited state post-commit
+    assert table.read(version="stable").count() == audited_n
+    # (c) the feed from the tag is exactly wave 2
+    assert table.changes("audited").count() == wave2_n
+    # (b) retention: expiry skips the pinned version, vacuum keeps its files
+    expired = table.expire_snapshots(keep_last=1)
+    assert v_tag not in expired and v_tag in table.versions()
+    table.vacuum(older_than_sec=0)
+    assert table.read(version="audited").count() == audited_n
+    # promotion is an O(1) pointer move; rewind is equally legal
+    assert table.move_branch("stable") == table.current_version()
+    assert table.read(version="stable").count() == audited_n + wave2_n
+    return table.read(version="audited").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+SQL_SNAPSHOT_REF_READ = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE user_id % 10 = 3 AND event_id % 3 <= 1
+"""
+
+
+def q_lake_metadata_audit(spark, sf_dir):
+    """Metadata tables (lake/meta.py — Iceberg's ``tbl.files`` /
+    ``tbl.snapshots`` / ``tbl.refs`` surface; reference analogue: the
+    capture-history bookkeeping queries of scripts/geral.py:92-109):
+    events land, a fifth of the keys are deleted, and compaction with a
+    tombstone watermark folds every dirty bucket. The gate answers an
+    OPS question from the metadata plane alone — no data scan — and the
+    oracle checks the answer against the data: the per-file footer row
+    counts (``meta("files")``) must sum to exactly the live row count,
+    and the zone maps (``meta("stats")``) must bound exactly the live
+    ``ts`` domain, both true only because compacted unique files hold
+    precisely the LWW winners. Cross-view consistency (partitions vs
+    files vs snapshot JSON, ledger coverage of both waves, maintenance
+    flag on the compaction commit) is asserted in-gate."""
+    import json as _json
+
+    from etl_spark.lake import LakeTable
+    from etl_spark.lake.stats import decode_bound
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 4)
+    wave = ev.select("event_id", F.lit("I").alias("op"), "ts", "user_id",
+                     "event_type", "value", "props")
+    tmp = _tmpdir("etl_spark_meta_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "tbl"),
+        ev.select("event_id", "ts", "user_id", "event_type",
+                  "value", "props").schema,
+        key_cols=["event_id"], version_cols=["ts"], n_buckets=8,
+        props={"stats_cols": "ts"},
+    )
+    table.merge(wave, "wave:0")
+    dels = wave.filter(F.col("event_id") % 5 == 0).withColumns({
+        "op": F.lit("D"),
+        "ts": F.col("ts") + F.expr("INTERVAL 1 DAY"),  # outrank the insert
+    })
+    table.merge(dels, "wave:1")
+    import datetime as _dt
+
+    assert table.compact(
+        expire_tombstones_before=_dt.datetime(2030, 1, 1)) > 0
+
+    snap = table.current_snapshot()
+    files = table.meta("files").collect()
+    by_bucket: dict[int, list] = {}
+    for r in files:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert {f for fl in snap.buckets.values() for f in fl} == \
+        {r["file"] for r in files}
+    parts = {r["bucket"]: r for r in table.meta("partitions").collect()}
+    for b, rs in by_bucket.items():
+        assert parts[b]["files"] == len(rs)
+        assert parts[b]["rows"] == sum(r["row_count"] for r in rs)
+    snaps = {r["version"]: r for r in table.meta("snapshots").collect()}
+    assert snaps[table.current_version()]["is_maintenance"]
+    assert snaps[table.current_version()]["applied_count"] == 2
+    ledger = table.meta("ledger").collect()
+    window = {r["entry"] for r in ledger if r["kind"] == "window"}
+    folded = {r["entry"]: (r["wm_lo"], r["wm_hi"]) for r in ledger
+              if r["kind"] in ("folded", "cursor")}
+    for i in (0, 1):
+        assert f"wave:{i}" in window or (
+            "wave" in folded and folded["wave"][0] <= i <= folded["wave"][1])
+    assert table.meta("refs").count() == 0
+
+    live_rows = sum(r["row_count"] for r in files)
+    bounds = [
+        (decode_bound(_json.loads(r["min_json"])),
+         decode_bound(_json.loads(r["max_json"])))
+        for r in table.meta("stats").collect()
+        if r["column"] == "ts" and not r["is_bloom"]
+    ]
+    assert bounds, "stats_cols=ts zone maps must surface in meta('stats')"
+    return spark.createDataFrame(
+        [(live_rows, min(b[0] for b in bounds), max(b[1] for b in bounds))],
+        "live_rows bigint, min_ts timestamp, max_ts timestamp",
+    )
+
+
+SQL_LAKE_METADATA_AUDIT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS live_rows,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts
+FROM events
+WHERE user_id % 10 = 4 AND event_id % 5 <> 0
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic class-balanced downsampling (pretraining-mix
     curation): cut 'en' to 25% and 'zh' to 50% while keeping every other
@@ -4468,6 +4611,8 @@ QUERIES = {
     "cdc_state_range_read": q_cdc_state_range_read,
     "cdc_state_zorder_read": q_cdc_state_zorder_read,
     "wap_publish": q_wap_publish,
+    "snapshot_ref_read": q_snapshot_ref_read,
+    "lake_metadata_audit": q_lake_metadata_audit,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_incremental_sync": q_cdc_incremental_sync,
@@ -4501,6 +4646,7 @@ QUERIES = {
     # round (displacing period_lead + order_revenue_topk, driver-green
     # r1-r4)
     "kmeans_clusters": q_kmeans_clusters,
+    "pii_scrub": q_pii_scrub,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_buckets": q_minhash_lsh_buckets,
     "ngram_jaccard": q_ngram_jaccard,
@@ -4513,7 +4659,6 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "quality_repetition": q_quality_repetition,
     "salient_terms": q_salient_terms,
-    "pii_scrub": q_pii_scrub,
     "token_stats_bpe": q_token_stats_bpe,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
@@ -4522,10 +4667,12 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_quantize": q_embedding_quantize,
     "asof_join_rules": q_asof_join_rules,
+    # ---- positions 50+: outside the driver's first-50 window; still
+    # verified every round by tools/check_correctness.py's full sweep.
+    # range_join_period + anti_join_fill moved below in round 5 (driver-
+    # green r1-r4) to make room for snapshot_ref_read + lake_metadata_audit.
     "range_join_period": q_range_join_period,
     "anti_join_fill": q_anti_join_fill,
-    # ---- positions 50+: outside the driver's first-50 window; still
-    # verified every round by tools/check_correctness.py's full sweep ----
     "period_lead": q_period_lead,
     "order_revenue_topk": q_order_revenue_topk,
     "train_test_split": q_train_test_split,
@@ -4574,6 +4721,8 @@ ORACLES = {
     "cdc_state_range_read": SQL_CDC_RANGE_READ,
     "cdc_state_zorder_read": SQL_CDC_ZORDER_READ,
     "wap_publish": SQL_WAP_PUBLISH,
+    "snapshot_ref_read": SQL_SNAPSHOT_REF_READ,
+    "lake_metadata_audit": SQL_LAKE_METADATA_AUDIT,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_incremental_sync": SQL_CDC_SYNC,

@@ -10,7 +10,9 @@ Ship as:
         [--vacuum-older-than-sec S] [--rebucket N] \
         [--expire-tombstones-before 2024-01-01T00:00:00] \
         [--set-prop bloom_cols=repo|path --set-prop bloom_bits=auto \
-         --backfill-stats]
+         --backfill-stats] \
+        [--tag NAME[=V]] [--branch NAME[=V]] [--move-branch NAME[=V]] \
+        [--drop-ref NAME]
 
 Run it on a schedule beside the replay job (the reference's analogue is
 the monthly re-capture/cleanup cadence). Each action is its own atomic
@@ -31,6 +33,11 @@ def main() -> None:
     ap.add_argument("--table-path", required=True)
     ap.add_argument("--compact", action="store_true",
                     help="fold multi-file / nonunique buckets to one file")
+    ap.add_argument("--compact-budget-bytes", type=int, default=None,
+                    help="with --compact: bound this cycle's rewrite to "
+                         "the worst-read-amplification buckets under this "
+                         "input-byte budget (lake/planner.py); omit for "
+                         "the full dirty set")
     ap.add_argument("--expire-tombstones-before", default=None,
                     help="ISO event-time watermark: compaction drops older "
                          "tombstones (bounded-lateness contract)")
@@ -55,6 +62,22 @@ def main() -> None:
                     help="harvest zone maps and Bloom filters for "
                          "referenced files that predate stats_cols/"
                          "bloom_cols (migration entry point)")
+    ap.add_argument("--tag", action="append", default=[],
+                    metavar="NAME[=VERSION]",
+                    help="pin a snapshot under an immutable tag "
+                         "(default: current); tags survive expiry+vacuum "
+                         "until --drop-ref; repeatable")
+    ap.add_argument("--branch", action="append", default=[],
+                    metavar="NAME[=VERSION]",
+                    help="create a movable branch pointer; repeatable")
+    ap.add_argument("--move-branch", action="append", default=[],
+                    metavar="NAME[=VERSION]",
+                    help="repoint a branch (default: current head — the "
+                         "promote-to-consumers flip); repeatable")
+    ap.add_argument("--drop-ref", action="append", default=[],
+                    metavar="NAME",
+                    help="remove a tag/branch, releasing its snapshot to "
+                         "normal retention; repeatable")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -66,6 +89,28 @@ def main() -> None:
     table = LakeTable.load(spark, args.table_path)
     report: dict = {"table": args.table_path,
                     "version_before": table.current_version()}
+
+    def _name_ver(spec: str):
+        name, _, v = spec.partition("=")
+        return name, (int(v) if v else None)
+
+    # ref actions run FIRST: a --tag in the same invocation as
+    # --expire-keep-last must pin its snapshot before expiry sweeps
+    for spec in args.tag:
+        name, v = _name_ver(spec)
+        table.tag(name, version=v)
+        report.setdefault("tagged", []).append(name)
+    for spec in args.branch:
+        name, v = _name_ver(spec)
+        table.branch(name, version=v)
+        report.setdefault("branched", []).append(name)
+    for spec in args.move_branch:
+        name, v = _name_ver(spec)
+        report.setdefault("moved", []).append(
+            {"name": name, "to": table.move_branch(name, version=v)})
+    for name in args.drop_ref:
+        report.setdefault("dropped_refs", []).append(
+            {"name": name, "released": table.drop_ref(name)})
 
     if args.set_prop:
         props = dict(kv.split("=", 1) for kv in args.set_prop)
@@ -79,8 +124,22 @@ def main() -> None:
     if args.compact:
         wm = (dt.datetime.fromisoformat(args.expire_tombstones_before)
               if args.expire_tombstones_before else None)
-        report["compacted_buckets"] = table.compact(
-            expire_tombstones_before=wm)
+        sel = None
+        if args.compact_budget_bytes is not None:
+            from etl_spark.lake import plan_compaction
+
+            plan = plan_compaction(table,
+                                   budget_bytes=args.compact_budget_bytes)
+            sel = plan.buckets
+            report["compaction_plan"] = {
+                "planned_buckets": len(plan.buckets),
+                "planned_bytes": plan.planned_bytes,
+                "deferred_buckets": plan.skipped,
+            }
+        report["compacted_buckets"] = (
+            table.compact(buckets=sel, expire_tombstones_before=wm)
+            if sel is None or sel else 0
+        )
     if args.expire_keep_last is not None:
         report["expired_snapshots"] = len(
             table.expire_snapshots(keep_last=args.expire_keep_last))
