@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     # compaction + executor-side footer sweep (meta)
     "snapshot_ref_read",
     "lake_metadata_audit",
+    "constraint_merge_gate",
 ]
 
 

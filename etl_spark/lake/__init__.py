@@ -19,6 +19,12 @@ semaphores (utilitarios/semaforos.py:26-119) and the versioned-table intent
 (bd.py:77-84).
 """
 
+from etl_spark.lake.constraints import (
+    ConstraintViolation,
+    add_constraint,
+    drop_constraint,
+    violation_counts,
+)
 from etl_spark.lake.diff import snapshot_diff
 from etl_spark.lake.dml import delete_where, update_where
 from etl_spark.lake.port import TablePort
@@ -31,4 +37,6 @@ from etl_spark.lake.wap import StagedCommit, audit_capture
 __all__ = ["LakeTable", "Snapshot", "MergeStats", "CommitConflict", "purge_keys",
            "snapshot_diff", "delete_where", "update_where",
            "StagedCommit", "audit_capture", "TablePort", "Ref",
-           "plan_compaction", "CompactionPlan"]
+           "plan_compaction", "CompactionPlan",
+           "ConstraintViolation", "add_constraint", "drop_constraint",
+           "violation_counts"]

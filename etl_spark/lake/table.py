@@ -868,7 +868,25 @@ class LakeTable:
             except CommitConflict:
                 if attempt == max_retries:
                     raise
+            except Exception as exc:  # noqa: BLE001 — translate, re-raise
+                self._reraise_constraint(exc)
         raise AssertionError("unreachable")
+
+    @staticmethod
+    def _reraise_constraint(exc: Exception):
+        """A CHECK-constraint guard fires EXECUTOR-side as a generic
+        Spark job failure (lake/constraints.py raise_error); surface it
+        as the typed ConstraintViolation, everything else re-raises."""
+        from etl_spark.lake.constraints import MARKER, ConstraintViolation
+
+        msg = str(exc)
+        if MARKER in msg:
+            detail = msg[msg.index(MARKER):].splitlines()[0]
+            raise ConstraintViolation(
+                f"merge refused, nothing published, manifest key "
+                f"unclaimed: {detail}"
+            ) from exc
+        raise exc
 
     def merge_staged(
         self,
@@ -907,8 +925,13 @@ class LakeTable:
                 add_nonunique=[], new_stats={}, rows_written=0,
                 lineage={}, already_applied=True,
             )
-        return self._merge_once(snap, batch, manifest_key, op_col,
-                                delete_op, stage_only=True)
+        try:
+            return self._merge_once(snap, batch, manifest_key, op_col,
+                                    delete_op, stage_only=True)
+        except CommitConflict:
+            raise
+        except Exception as exc:  # noqa: BLE001 — translate, re-raise
+            self._reraise_constraint(exc)
 
     def _merge_once(
         self,
@@ -977,6 +1000,19 @@ class LakeTable:
             ],
             (F.col(op_col) == F.lit(delete_op)).alias(DEL_FLAG),
         ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
+
+        # ---- CHECK constraints (lake/constraints.py) -----------------
+        # zero-extra-pass enforcement: the guard folds into the tombstone
+        # flag the write already materializes — the first violating
+        # non-delete row aborts the write job (nothing publishes, the
+        # manifest key stays unclaimed); a clean batch pays one codegen'd
+        # boolean per constraint per row inside the existing scan
+        from etl_spark.lake.constraints import guard_del_flag, parse_constraints
+
+        _cons = parse_constraints(snap.props)
+        if _cons:
+            aligned = aligned.withColumn(
+                DEL_FLAG, guard_del_flag(F.col(DEL_FLAG), _cons))
 
         mode = snap.props.get("merge_mode", "mor")
         coarse = snap.props.get("write_metrics", "full") == "coarse"

@@ -3131,6 +3131,61 @@ WHERE user_id % 10 = 4 AND event_id % 5 <> 0
 """
 
 
+def q_constraint_merge_gate(spark, sf_dir):
+    """Table-level CHECK constraints (lake/constraints.py — Delta
+    ``ADD CONSTRAINT`` parity; reference analogue: the per-loader
+    validation steps every impulsoetl loader runs before its Postgres
+    load — declared on the TABLE here, so no write path can forget
+    them): the table declares ``value >= 0`` at create time; wave 0
+    lands clean; wave 1 arrives POISONED (negated values) and the merge
+    itself refuses it — zero-extra-pass enforcement: the guard is folded
+    into the write's own projection, the first violating row aborts the
+    job, nothing publishes, the manifest key stays unclaimed (all
+    asserted). The repaired wave 1 re-captures under the SAME key.
+    Unlike WAP (which audits a staged state a caller chose to stage),
+    the constraint refuses even a caller that never heard of gates."""
+    from etl_spark.lake import ConstraintViolation, LakeTable
+    from etl_spark.lake.constraints import violation_counts
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 6)
+    wave = ev.select("event_id", F.lit("I").alias("op"), "ts", "user_id",
+                     "event_type", "value", "props")
+    tmp = _tmpdir("etl_spark_cons_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "tbl"),
+        ev.select("event_id", "ts", "user_id", "event_type",
+                  "value", "props").schema,
+        key_cols=["event_id"], version_cols=["ts"], n_buckets=8,
+        props={"check_constraints": '{"nonneg": "value >= 0"}'},
+    )
+    table.merge(wave.filter(F.col("event_id") % 2 == 0), "wave:0")
+    v0 = table.current_version()
+    poisoned = (
+        wave.filter(F.col("event_id") % 2 == 1)
+        .withColumn("value", -F.col("value") - F.lit(1.0))
+    )
+    # the audit face prices the damage without touching the table
+    assert violation_counts(poisoned, {"nonneg": "value >= 0"})["nonneg"] > 0
+    try:
+        table.merge(poisoned, "wave:1")
+        raise AssertionError("poisoned merge must refuse")
+    except ConstraintViolation:
+        pass
+    assert table.current_version() == v0, "refused merge mutated the table"
+    assert not table.current_snapshot().has_applied("wave:1")
+    st = table.merge(wave.filter(F.col("event_id") % 2 == 1), "wave:1")
+    assert st.applied
+    return table.read().select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+SQL_CONSTRAINT_MERGE_GATE = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE user_id % 10 = 6
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic class-balanced downsampling (pretraining-mix
     curation): cut 'en' to 25% and 'zh' to 50% while keeping every other
@@ -4613,6 +4668,7 @@ QUERIES = {
     "wap_publish": q_wap_publish,
     "snapshot_ref_read": q_snapshot_ref_read,
     "lake_metadata_audit": q_lake_metadata_audit,
+    "constraint_merge_gate": q_constraint_merge_gate,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_incremental_sync": q_cdc_incremental_sync,
@@ -4723,6 +4779,7 @@ ORACLES = {
     "wap_publish": SQL_WAP_PUBLISH,
     "snapshot_ref_read": SQL_SNAPSHOT_REF_READ,
     "lake_metadata_audit": SQL_LAKE_METADATA_AUDIT,
+    "constraint_merge_gate": SQL_CONSTRAINT_MERGE_GATE,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_incremental_sync": SQL_CDC_SYNC,
