@@ -393,6 +393,34 @@ def build_file_blooms(
     partials = slim.mapInPandas(_kernel,
                                 schema="f string, i int, bm binary")
 
+    # Fast path: when NO bloom of this commit can be sidecar-sized —
+    # decidable from metadata alone (the largest raw bitmap plus zlib's
+    # worst-case expansion still fits inline_max) — the executor-side
+    # finish stage below would be a pure-overhead shuffle + Python stage
+    # per merge. Collect the (tiny, inline-by-definition) partials and
+    # OR them driver-side instead: same bytes the snapshot JSON is about
+    # to carry anyway, zero extra stages. The executor-side path runs
+    # exactly when a sidecar is possible, which is when it pays for
+    # itself (no bitmap bytes cross the driver for sidecar-sized blooms).
+    max_m = max([m, *m_for.values()]) if m_for else m
+    worst_packed = max_m // 8 + max_m // (8 * 256) + 64
+    if inline_max is None or worst_packed <= inline_max:
+        import numpy as np
+
+        acc: dict[tuple[str, int], "np.ndarray"] = {}
+        for r in partials.collect():
+            part = np.frombuffer(zlib.decompress(r["bm"]), np.uint8)
+            key = (r["f"], r["i"])
+            prev = acc.get(key)
+            acc[key] = part if prev is None else (prev | part)
+        inline_out: dict[str, dict[str, list]] = {}
+        for (rel, i), bm in acc.items():
+            packed = zlib.compress(bm.tobytes(), 6)
+            inline_out.setdefault(rel, {})[cols[i] + BLOOM_SUFFIX] = [
+                base64.b64encode(packed).decode("ascii"), len(bm) * 8, k,
+            ]
+        return inline_out
+
     digests = [
         hashlib.md5((c + BLOOM_SUFFIX).encode("utf-8")).hexdigest()[:8]
         for c in cols

@@ -134,13 +134,11 @@ def create_ref(table_path: str, name: str, kind: str, version: int,
     if kind not in ("tag", "branch"):
         raise ValueError(f"ref kind must be 'tag' or 'branch', got {kind!r}")
     if version not in known_versions:
+        known = (f"{known_versions[:3]}..{known_versions[-3:]}"
+                 if len(known_versions) > 6 else f"{known_versions}")
         raise ValueError(
             f"cannot create ref {name!r}: snapshot v{version} does not "
-            f"exist (or was already expired); known versions "
-            f"{known_versions[:3]}..{known_versions[-3:]}"
-            if len(known_versions) > 6 else
-            f"cannot create ref {name!r}: snapshot v{version} does not "
-            f"exist (or was already expired); known versions {known_versions}"
+            f"exist (or was already expired); known versions {known}"
         )
     os.makedirs(_refs_dir(table_path), exist_ok=True)
     ref = Ref(name=name, kind=kind, version=version)

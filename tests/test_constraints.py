@@ -125,3 +125,54 @@ def test_wap_staging_enforces_too(spark, tmp_root):
     with pytest.raises(ConstraintViolation):
         t.merge_staged(_batch(spark, _row(0, "a", -1)), "e0")
     assert not t.current_snapshot().has_applied("e0")
+
+
+def test_streaming_fails_batch_and_resumes(spark, tmp_root):
+    """Crash shape under Structured Streaming: a poisoned micro-batch
+    fails the query LOUDLY (constraint marker in the error), the
+    checkpoint keeps its offsets, and after the operator releases the
+    constraint a restart on the same checkpoint drains to completion —
+    exactly-once preserved (no rows doubled, none lost)."""
+    from etl_spark.lake.constraints import MARKER
+    from etl_spark.streaming import stream_replay
+
+    t = _table(spark, tmp_root, check_constraints='{"nonneg": "n >= 0"}')
+    wal = os.path.join(tmp_root, "wal")
+    os.makedirs(wal)
+    _batch(spark, _row(0, "a", 1), _row(1, "b", 2)).coalesce(1) \
+        .write.parquet(os.path.join(wal, "w0"))
+    # single flat files per wave (file source needs a directory of files)
+    for f in os.listdir(os.path.join(wal, "w0")):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(wal, "w0", f), os.path.join(wal, "0.parquet"))
+    import shutil
+
+    shutil.rmtree(os.path.join(wal, "w0"))
+    _batch(spark, _row(2, "c", -7)).coalesce(1) \
+        .write.parquet(os.path.join(wal, "w1"))
+    for f in os.listdir(os.path.join(wal, "w1")):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(wal, "w1", f), os.path.join(wal, "1.parquet"))
+    shutil.rmtree(os.path.join(wal, "w1"))
+
+    # pin file-source ordering (oldest mtime first): clean wave, then poison
+    os.utime(os.path.join(wal, "0.parquet"), (1_000_000, 1_000_000))
+    os.utime(os.path.join(wal, "1.parquet"), (2_000_000, 2_000_000))
+
+    ckpt = os.path.join(tmp_root, "ckpt")
+    q = stream_replay(spark, wal, t, ckpt, max_files_per_trigger=1,
+                      drop_cols=())
+    with pytest.raises(Exception, match="nonneg"):
+        q.awaitTermination()
+    assert MARKER.split("[")[1] in str(q.exception() or "")
+    done_after_fail = t.read().count()
+    assert done_after_fail >= 2  # clean first wave landed
+
+    # operator releases the rule; same checkpoint resumes and drains
+    from etl_spark.lake import drop_constraint
+
+    drop_constraint(t, "nonneg")
+    q2 = stream_replay(spark, wal, t, ckpt, max_files_per_trigger=1,
+                       drop_cols=())
+    q2.awaitTermination()
+    assert t.read().count() == 3  # exactly-once: 2 + 1, nothing doubled
