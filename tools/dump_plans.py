@@ -151,6 +151,32 @@ def main() -> None:
         out += [f"## {name}", "", f"*{why}*", "", "```"]
         out += lines[:30]
         out += ["```", ""]
+
+    # Write-path evidence: the CHECK-constraint guard (lake/constraints.py)
+    # lives in merge's alignment projection, not in any returned
+    # DataFrame, so it gets a dedicated section: the guarded projection
+    # must stay ONE WholeStageCodegen Project (raise_error confined to
+    # the violation branch) with no extra Exchange or stage.
+    from pyspark.sql import functions as F
+
+    from etl_spark.lake.constraints import guard_del_flag
+
+    probe = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"),
+        F.lit(False).alias("__is_del"),
+    ).withColumn("__is_del", guard_del_flag(
+        F.col("__is_del"), {"a": "v >= 0", "b": "k < 1000"}))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    out += [
+        "## CHECK-constraint guard (merge write path)", "",
+        "*zero-extra-pass enforcement: the guard is ONE codegen'd Project "
+        "over the batch the write already scans — raise_error (and its "
+        "row-JSON diagnostic) sits inside the violation CASE branch, so a "
+        "clean row pays one boolean per constraint; no Exchange, no extra "
+        "stage, no second evaluation of the batch plan*", "", "```",
+    ]
+    out += [line.rstrip()[:160] for line in plan.splitlines()][:8]
+    out += ["```", ""]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
