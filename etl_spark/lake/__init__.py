@@ -23,6 +23,7 @@ from etl_spark.lake.constraints import (
     ConstraintViolation,
     add_constraint,
     drop_constraint,
+    merge_quarantine,
     violation_counts,
 )
 from etl_spark.lake.diff import snapshot_diff
@@ -39,4 +40,4 @@ __all__ = ["LakeTable", "Snapshot", "MergeStats", "CommitConflict", "purge_keys"
            "StagedCommit", "audit_capture", "TablePort", "Ref",
            "plan_compaction", "CompactionPlan",
            "ConstraintViolation", "add_constraint", "drop_constraint",
-           "violation_counts"]
+           "violation_counts", "merge_quarantine"]

@@ -149,6 +149,66 @@ def add_constraint(table, name: str, expr: str, validate: bool = True) -> dict:
     return probe
 
 
+def merge_quarantine(
+    table,
+    batch: DataFrame,
+    manifest_key: str,
+    dlq_dir: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+):
+    """Dead-letter posture for CHECK constraints: instead of refusing
+    the whole batch (``merge``'s default — right for batch loads, wrong
+    for a stream one poison row must not stall), SPLIT it — violating
+    non-delete rows land as parquet under
+    ``<dlq_dir>/<manifest_key>/`` with a ``_violation`` reason column
+    (the first failing constraint's name, mirroring the envelope
+    router's reasoned dead-letter, cdc/router.py), and the clean
+    remainder merges under the SAME manifest key. Returns
+    ``(MergeStats, quarantined_row_count)``.
+
+    This is the documented TWO-PASS path (filter + merge both evaluate
+    the batch) — the price of not stalling; the zero-extra-pass refusal
+    stays the default. Crash shape: the DLQ write happens BEFORE the
+    merge and is idempotent per manifest key (overwrite of the key's own
+    directory), so a crash between the two re-runs both, and a re-run
+    after the merge committed is a metadata no-op that leaves the DLQ
+    in place — exactly-once on the table, at-least-once on the DLQ
+    directory, never a lost row on either side."""
+    snap = table.current_snapshot()
+    if snap.has_applied(manifest_key):
+        from etl_spark.lake.table import MergeStats
+
+        return MergeStats(manifest_key, False, snap.version), 0
+    cons = parse_constraints(snap.props)
+    if not cons:
+        return table.merge(batch, manifest_key, op_col=op_col,
+                           delete_op=delete_op), 0
+    import os
+
+    not_del = F.col(op_col) != F.lit(delete_op)
+    viol_any = F.lit(False)
+    reason = None
+    for name, expr in sorted(cons.items()):
+        # eqNullSafe: a NULL-evaluating constraint PASSES (SQL CHECK) —
+        # a plain == would make the row NULL in BOTH filters below and
+        # silently drop it from table and DLQ alike
+        this = F.expr(expr).cast("boolean").eqNullSafe(F.lit(False))
+        viol_any = viol_any | this
+        reason = F.when(this, F.lit(name)) if reason is None \
+            else reason.when(this, F.lit(name))
+    viol_any = not_del & viol_any
+    key_dir = os.path.join(
+        dlq_dir, "".join(c if c.isalnum() or c in "-_." else "_"
+                         for c in manifest_key))
+    bad = batch.filter(viol_any).withColumn("_violation", reason)
+    bad.write.mode("overwrite").parquet(key_dir)
+    n_bad = table.spark.read.parquet(key_dir).count()
+    stats = table.merge(batch.filter(~viol_any), manifest_key,
+                        op_col=op_col, delete_op=delete_op)
+    return stats, n_bad
+
+
 def drop_constraint(table, name: str) -> dict:
     cons = parse_constraints(table.current_snapshot().props)
     if name not in cons:

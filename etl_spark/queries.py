@@ -3186,6 +3186,52 @@ WHERE user_id % 10 = 6
 """
 
 
+def q_constraint_quarantine(spark, sf_dir):
+    """Dead-letter posture for CHECK constraints
+    (lake/constraints.py::merge_quarantine — the envelope router's
+    reasoned-DLQ shape applied at the merge layer): one wave arrives
+    with a poisoned MINORITY (every 4th row's value negated); instead
+    of stalling the stream the merge SPLITS — violators land in a
+    parquet dead-letter directory with the failing constraint's name,
+    the clean remainder lands under the same manifest key, and a re-run
+    of the same key is a table no-op with the DLQ intact (all
+    asserted). Returns the table state: exactly the clean rows."""
+    from etl_spark.lake import LakeTable, merge_quarantine
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 9)
+    tmp = _tmpdir("etl_spark_consq_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "tbl"),
+        ev.select("event_id", "ts", "user_id", "event_type",
+                  "value", "props").schema,
+        key_cols=["event_id"], version_cols=["ts"], n_buckets=8,
+        props={"check_constraints": '{"nonneg": "value >= 0"}'},
+    )
+    wave = ev.select(
+        "event_id", F.lit("I").alias("op"), "ts", "user_id", "event_type",
+        F.when(F.col("event_id") % 4 == 3, -F.col("value") - F.lit(1.0))
+        .otherwise(F.col("value")).alias("value"),
+        "props",
+    )
+    dlq = os.path.join(tmp, "dlq")
+    stats, n_bad = merge_quarantine(table, wave, "wave:0", dlq)
+    assert stats.applied and n_bad > 0
+    dl = spark.read.parquet(os.path.join(dlq, "wave_0"))
+    assert dl.filter(F.col("_violation") != "nonneg").count() == 0
+    assert dl.count() == n_bad
+    stats2, n2 = merge_quarantine(table, wave, "wave:0", dlq)
+    assert not stats2.applied and n2 == 0
+    return table.read().select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+SQL_CONSTRAINT_QUARANTINE = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+WHERE user_id % 10 = 9 AND event_id % 4 <> 3
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic class-balanced downsampling (pretraining-mix
     curation): cut 'en' to 25% and 'zh' to 50% while keeping every other
@@ -4729,6 +4775,7 @@ QUERIES = {
     # green r1-r4) to make room for snapshot_ref_read + lake_metadata_audit.
     "range_join_period": q_range_join_period,
     "anti_join_fill": q_anti_join_fill,
+    "constraint_quarantine": q_constraint_quarantine,
     "period_lead": q_period_lead,
     "order_revenue_topk": q_order_revenue_topk,
     "train_test_split": q_train_test_split,
@@ -4780,6 +4827,7 @@ ORACLES = {
     "snapshot_ref_read": SQL_SNAPSHOT_REF_READ,
     "lake_metadata_audit": SQL_LAKE_METADATA_AUDIT,
     "constraint_merge_gate": SQL_CONSTRAINT_MERGE_GATE,
+    "constraint_quarantine": SQL_CONSTRAINT_QUARANTINE,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_incremental_sync": SQL_CDC_SYNC,

@@ -127,6 +127,40 @@ def test_wap_staging_enforces_too(spark, tmp_root):
     assert not t.current_snapshot().has_applied("e0")
 
 
+def test_merge_quarantine_splits(spark, tmp_root):
+    """Dead-letter posture: violating rows land in the DLQ with the
+    failing constraint's name, clean rows (and NULL-evaluating rows,
+    which PASS) merge under the same key; re-run is a table no-op."""
+    from etl_spark.lake import merge_quarantine
+
+    t = _table(spark, tmp_root, check_constraints=CONS)
+    dlq = os.path.join(tmp_root, "dlq")
+    batch = _batch(
+        spark,
+        _row(0, "a", 5),                 # clean
+        _row(1, "b", -1),                # violates nonneg
+        (2, TS, 2, "c", None, "I"),      # NULL: passes (SQL CHECK)
+        _row(3, "dddddddddd", 4),        # violates named (len > 8)
+        (4, TS + dt.timedelta(1), 4, "b", -9, "D"),  # delete: exempt
+    )
+    stats, n_bad = merge_quarantine(t, batch, "e0", dlq)
+    assert stats.applied and n_bad == 2
+    got = {r["repo"] for r in t.read().collect()}
+    assert got == {"a", "c"}  # b tombstoned by the exempt delete
+    dl = spark.read.parquet(os.path.join(dlq, "e0")).collect()
+    assert {(r["repo"], r["_violation"]) for r in dl} == \
+        {("b", "nonneg"), ("dddddddddd", "named")}
+    # exactly-once on the table: re-run is a no-op, DLQ stays
+    stats2, n2 = merge_quarantine(t, batch, "e0", dlq)
+    assert not stats2.applied and n2 == 0
+    assert spark.read.parquet(os.path.join(dlq, "e0")).count() == 2
+    # a constraint-free table degrades to plain merge (one pass)
+    t2 = _table(spark, os.path.join(tmp_root, "t2x"))
+    st, n = merge_quarantine(t2, _batch(spark, _row(0, "a", -5)), "e0",
+                             dlq)
+    assert st.applied and n == 0 and t2.read().count() == 1
+
+
 def test_streaming_fails_batch_and_resumes(spark, tmp_root):
     """Crash shape under Structured Streaming: a poisoned micro-batch
     fails the query LOUDLY (constraint marker in the error), the
