@@ -313,6 +313,21 @@ def main() -> None:
     rounds = [rd for rd in all_rounds
               if all(rd.get(k) == v for k, v in cfg.items())]
 
+    # A quick probe at a non-headline config (fewer events than some
+    # other cohort in history) must not clobber the evidence file: the
+    # 16M-event cohort's best round reads 0.34 purely because a 67 s
+    # lo leg amortizes fixed costs 4x worse than a 240 s one. Rewrite
+    # BENCH/BASELINE.md only for the largest-events cohort on record
+    # (or under BENCH_SCALING_FORCE_MD=1).
+    max_events = max(rd.get("events", 0) for rd in all_rounds)
+    if events < max_events and os.environ.get(
+            "BENCH_SCALING_FORCE_MD") != "1":
+        print(f"probe config ({events:,} events < headline "
+              f"{max_events:,}): rounds appended to scaling_rounds.jsonl"
+              " but BENCH/BASELINE.md left untouched"
+              " (BENCH_SCALING_FORCE_MD=1 overrides)")
+        return
+
     # Least-degraded-round selector. Per-leg, the max events/sec across
     # rounds is the closest observation of that leg's true quiet-host
     # value (noise strictly subtracts). A round's quietness is its WORSE
