@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -403,6 +404,12 @@ class Snapshot:
     #   Entries live exactly as long as their file is referenced, so the
     #   metadata bound is O(files x stats_cols) — same order as the
     #   bucket file lists themselves.
+    commit_ts: float | None = None  # wall-clock publish time (epoch
+    #   seconds), stamped by _publish — Iceberg's committed_at. Drives
+    #   version_as_of() timestamp travel and the snapshots metadata
+    #   table; None only on pre-timestamp snapshots (ineligible for
+    #   timestamp travel, resolvable by version as always). Metadata
+    #   only: no query result may depend on it (determinism contract).
 
     def cursor_prefixes(self) -> set[str]:
         """Manifest-key prefixes declared MONOTONE CURSORS via the
@@ -488,6 +495,7 @@ class Snapshot:
                 "applied_count": self.applied_count,
                 "rollback_of": self.rollback_of,
                 "file_stats": self.file_stats,
+                "commit_ts": self.commit_ts,
             },
             indent=1,
             sort_keys=True,
@@ -517,6 +525,7 @@ class Snapshot:
             applied_count=d.get("applied_count", len(d["applied"])),
             rollback_of=d.get("rollback_of"),
             file_stats=d.get("file_stats", {}),
+            commit_ts=d.get("commit_ts"),
         )
 
 
@@ -627,11 +636,48 @@ class LakeTable:
     def current_snapshot(self) -> Snapshot:
         return self.snapshot(None)
 
+    def version_as_of(self, ts: float) -> int:
+        """Timestamp travel (Iceberg ``FOR SYSTEM_TIME AS OF``): the
+        snapshot version that was CURRENT at wall-clock ``ts`` (epoch
+        seconds) — the latest retained snapshot with
+        ``commit_ts <= ts``. Compose with any version surface:
+        ``read(version=t.version_as_of(ts))``.
+
+        Raises if ``ts`` predates every retained snapshot (the history
+        before it was expired — same failure Iceberg gives) or if the
+        candidate predates commit timestamps entirely. Resolution is an
+        ascending scan of the retained snapshot log, NOT a binary
+        search: publish order guarantees version order but wall clocks
+        may step backwards (NTP), and "latest version with ts <= T"
+        stays well-defined only if every candidate is examined —
+        O(retained snapshots), which ``expire_snapshots`` bounds, and
+        metadata-only."""
+        best: int | None = None
+        stamped = False
+        for v in self.versions():
+            s = self.snapshot(v)
+            if s.commit_ts is None:
+                continue
+            stamped = True
+            if s.commit_ts <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before ts={ts}"
+                + ("" if stamped else
+                   " (no snapshot carries a commit timestamp)")
+            )
+        return best
+
     def history(self) -> list[Snapshot]:
         return [self.snapshot(v) for v in self.versions()]
 
     def _publish(self, snap: Snapshot) -> None:
         """Atomically publish a snapshot (optimistic concurrency)."""
+        if snap.commit_ts is None:
+            snap.commit_ts = time.time()  # committed_at: stamped at
+            # PUBLISH (a WAP commit staged hours earlier is "as of" the
+            # moment it became visible — Iceberg's semantics)
         final = self._snap_path(snap.version)
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -1257,11 +1303,94 @@ class LakeTable:
         )
         return new_files
 
+    def _expirable_clean_buckets(
+        self, snap: Snapshot, wm, restrict: list[int] | None
+    ) -> dict[int, list[str]]:
+        """Single-file (already-compacted) buckets whose file provably
+        holds at least one tombstone that MAY be older than ``wm`` —
+        compaction's expiry pass must rewrite these too, or a tombstone
+        in a bucket that never receives another delta survives forever
+        (unbounded dead-marker residue on a 100 TB table; it also keeps
+        the fastagg footer tier inert for that bucket). Selection is one
+        executor-side footer sweep, metadata-only: the ``_deleted``
+        boolean column statistics prove tombstone presence, and the
+        version column's footer min refutes expirability when it is
+        entirely >= ``wm``. Conservative where footers are silent (a
+        file whose live rows alone are older than ``wm`` re-selects on
+        every pass — wasteful once, never wrong; watermarks are monotone
+        in practice). Unreadable footers are SKIPPED: maintenance must
+        not be the path that trips over a corrupt file."""
+        nonuniq = set(snap.nonunique)
+        cand = sorted(
+            (fl[0], int(b)) for b, fl in snap.buckets.items()
+            if len(fl) == 1 and fl[0] not in nonuniq
+            and (restrict is None or b in restrict)
+        )
+        if not cand:
+            return {}
+        from etl_spark.lake.stats import _norm
+
+        wm = _norm(wm)  # tz-aware watermark vs naive-UTC footer bounds
+        root = self.path
+        ts_col = snap.version_cols[0]
+
+        def _part(it):
+            import pyarrow.parquet as pq
+
+            from etl_spark.lake.stats import _footer_stats, decode_bound
+
+            for rel, b in it:
+                p = os.path.join(root, rel)
+                try:
+                    md = pq.ParquetFile(p).metadata
+                except Exception:  # noqa: BLE001 — corrupt footer: not
+                    continue       # maintenance's problem to surface
+                if md.num_rows == 0 or md.num_row_groups == 0:
+                    continue
+                rg0 = md.row_group(0)
+                di = None
+                for i in range(rg0.num_columns):
+                    if rg0.column(i).path_in_schema == META_DELETED:
+                        di = i
+                        break
+                has_tomb = True  # unknown stats => conservative
+                if di is not None:
+                    seen = True
+                    any_true = False
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(di).statistics
+                        if st is None or not st.has_min_max:
+                            seen = False
+                            break
+                        any_true = any_true or bool(st.max)
+                    if seen:
+                        has_tomb = any_true
+                if not has_tomb:
+                    continue
+                try:
+                    bound = _footer_stats(p, [ts_col]).get(ts_col)
+                except Exception:  # noqa: BLE001
+                    bound = None
+                if bound is not None and decode_bound(bound[0]) >= wm:
+                    continue  # every row, tombstones included, >= wm
+                yield (b, rel)
+
+        sc = self.spark.sparkContext
+        n = max(1, min(len(cand), 64))
+        got = sc.parallelize(cand, n).mapPartitions(_part).collect()
+        return {b: [rel] for b, rel in got}
+
     def compact(self, buckets: list[int] | None = None,
                 expire_tombstones_before=None) -> int:
         """Explicitly compact buckets (all multi-file buckets by default).
         Returns the number of buckets compacted. Runs as its own snapshot
-        commit with a deterministic manifest key."""
+        commit with a deterministic manifest key.
+
+        With ``expire_tombstones_before`` set, the pass ALSO rewrites
+        already-compacted single-file buckets whose footers prove
+        expirable tombstones (see :meth:`_expirable_clean_buckets`) —
+        without this, a tombstone in a bucket that never dirties again
+        would survive every expiry forever."""
         snap = self.current_snapshot()
         if expire_tombstones_before is not None and \
                 snap.props.get("bootstrap_floor"):
@@ -1279,6 +1408,9 @@ class LakeTable:
             if (len(fl) > 1 or any(f in nonuniq for f in fl))
             and (buckets is None or b in buckets)
         }
+        if expire_tombstones_before is not None:
+            target.update(self._expirable_clean_buckets(
+                snap, expire_tombstones_before, buckets))
         if not target:
             return 0
         cfiles = self._compact_files(snap, target, snap.schema, snap.version + 1,
