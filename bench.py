@@ -167,6 +167,10 @@ BENCH_QUERIES = [
     "snapshot_ref_read",
     "lake_metadata_audit",
     "constraint_merge_gate",
+    # metadata-plane aggregates (round 5): footer-tier count/min-max over
+    # a three-tier staged layout — the wall is fixture merges + two
+    # compactions + the footer sweep
+    "metadata_agg_pushdown",
 ]
 
 

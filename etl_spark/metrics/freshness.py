@@ -12,16 +12,18 @@ the ledger is the snapshot metadata itself.
 
 ``versions_behind`` is METADATA-ONLY — two snapshot-log reads per
 consumer, no data I/O, so a monitor can poll it every few seconds
-against 100 TB tables. ``with_event_time=True`` additionally runs one
-combinable max-aggregate per side over the first version column (use
-where the version leads with an event timestamp, which all the engine's
-WAL shapes do) — that is a scan, schedule it accordingly.
+against 100 TB tables. ``with_event_time=True`` additionally resolves the
+first version column's high-water per side (use where the version leads
+with an event timestamp, which all the engine's WAL shapes do) through
+the metadata-plane aggregates (lake/fastagg.py): footer stats answer
+for compacted all-live buckets, so on a well-maintained table even the
+event-time probe stays near-metadata-cost; only tombstone-bearing files
+and dirty buckets are scanned.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from etl_spark.lake import LakeTable
 
@@ -29,8 +31,14 @@ __all__ = ["consumer_lag"]
 
 
 def _event_high_water(table: LakeTable):
+    # metadata-plane max (lake/fastagg.py): footer stats answer for every
+    # compacted all-live bucket; only tombstone-bearing files and dirty
+    # buckets are scanned — same live-rows semantics as read().agg(max)
+    from etl_spark.lake.fastagg import fast_min_max
+
     col = table.current_snapshot().version_cols[0]
-    return table.read().agg(F.max(F.col(col)).alias("hw")).collect()[0]["hw"]
+    vals, _ = fast_min_max(table, [col])
+    return vals[col][1]
 
 
 def consumer_lag(

@@ -3131,6 +3131,85 @@ WHERE user_id % 10 = 4 AND event_id % 5 <> 0
 """
 
 
+def q_metadata_agg_pushdown(spark, sf_dir):
+    """Metadata-accelerated aggregates (lake/fastagg.py — Iceberg
+    answers ``SELECT count(*)`` / column min-max from manifest metadata;
+    reference analogue: the row-count bookkeeping the reference runs
+    around every load, scripts/geral.py:92-109, which at lake scale must
+    not cost a table scan): events replay as a WAL (error=D, signup=I,
+    else U) into a bucketed table, then the layout is deliberately
+    staged into all three soundness tiers — one slice of buckets
+    compacted WITH the tombstone watermark (footer stats prove all-live:
+    zero data I/O), one compacted WITHOUT it (tombstones retained: the
+    single-boolean-column scan tier), the rest left as raw deltas (the
+    bucket-pruned LWW resolve tier). ``fast_count`` / ``fast_min_max``
+    must equal the fully resolved state exactly; the oracle recomputes
+    both from the raw event stream. The gate raises if any tier goes
+    inert (a degenerate layout would silently stop testing the
+    merge-on-read soundness split). The delete wave KEEPS the doomed
+    rows' payloads, so a mixed file's footer physically carries values
+    the resolved table must not report — the scan tier is what excludes
+    them."""
+    import datetime as _dt
+
+    from etl_spark.lake import LakeTable
+    from etl_spark.lake.fastagg import fast_count, fast_min_max
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 7)
+    wave = ev.select("event_id", F.lit("I").alias("op"), "ts", "user_id",
+                     "event_type", "value", "props")
+    tmp = _tmpdir("etl_spark_fastagg_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "tbl"),
+        ev.select("event_id", "ts", "user_id", "event_type",
+                  "value", "props").schema,
+        key_cols=["event_id"], version_cols=["ts"], n_buckets=8,
+        props={"compact_threshold": "100"},
+    )
+    table.merge(wave, "wave:0")
+    # delete every 5th event, payload kept — outranked by ts + 1 day
+    table.merge(
+        wave.filter(F.col("event_id") % 5 == 0).withColumns({
+            "op": F.lit("D"),
+            "ts": F.col("ts") + F.expr("INTERVAL 1 DAY"),
+        }),
+        "wave:1",
+    )
+    buckets = sorted(table.current_snapshot().buckets)
+    far = _dt.datetime(2100, 1, 1)
+    table.compact(buckets=buckets[:3], expire_tombstones_before=far)
+    table.compact(buckets=buckets[3:6])  # tombstones retained => mixed
+
+    n, brk = fast_count(table)
+    vals, brk2 = fast_min_max(table, ["user_id", "value"])
+    for b in (brk, brk2):
+        assert b["files_footer"] >= 1, f"footer tier inert: {b}"
+        assert b["files_scanned"] >= 1, f"column-scan tier inert: {b}"
+        assert b["buckets_resolved"] >= 1, f"resolve tier inert: {b}"
+    out = spark.createDataFrame(
+        [(n, vals["user_id"][0], vals["user_id"][1],
+          vals["value"][0], vals["value"][1])],
+        "live_rows bigint, min_user bigint, max_user bigint, "
+        "min_value double, max_value double",
+    )
+    return out.select(
+        "live_rows", "min_user", "max_user",
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+SQL_METADATA_AGG_PUSHDOWN = """
+SELECT CAST(COUNT(*) AS BIGINT) AS live_rows,
+       CAST(MIN(user_id) AS BIGINT) AS min_user,
+       CAST(MAX(user_id) AS BIGINT) AS max_user,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events
+WHERE user_id % 10 = 7 AND event_id % 5 <> 0
+"""
+
+
 def q_constraint_merge_gate(spark, sf_dir):
     """Table-level CHECK constraints (lake/constraints.py — Delta
     ``ADD CONSTRAINT`` parity; reference analogue: the per-loader
@@ -4714,6 +4793,7 @@ QUERIES = {
     "wap_publish": q_wap_publish,
     "snapshot_ref_read": q_snapshot_ref_read,
     "lake_metadata_audit": q_lake_metadata_audit,
+    "metadata_agg_pushdown": q_metadata_agg_pushdown,
     "constraint_merge_gate": q_constraint_merge_gate,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_change_feed": q_cdc_change_feed,
@@ -4772,7 +4852,9 @@ QUERIES = {
     # ---- positions 50+: outside the driver's first-50 window; still
     # verified every round by tools/check_correctness.py's full sweep.
     # range_join_period + anti_join_fill moved below in round 5 (driver-
-    # green r1-r4) to make room for snapshot_ref_read + lake_metadata_audit.
+    # green r1-r4) to make room for snapshot_ref_read + lake_metadata_audit;
+    # metadata_agg_pushdown later displaced pack_budget (driver-green
+    # r3-r4) past the boundary.
     "range_join_period": q_range_join_period,
     "anti_join_fill": q_anti_join_fill,
     "constraint_quarantine": q_constraint_quarantine,
@@ -4826,6 +4908,7 @@ ORACLES = {
     "wap_publish": SQL_WAP_PUBLISH,
     "snapshot_ref_read": SQL_SNAPSHOT_REF_READ,
     "lake_metadata_audit": SQL_LAKE_METADATA_AUDIT,
+    "metadata_agg_pushdown": SQL_METADATA_AGG_PUSHDOWN,
     "constraint_merge_gate": SQL_CONSTRAINT_MERGE_GATE,
     "constraint_quarantine": SQL_CONSTRAINT_QUARANTINE,
     "cdc_time_travel": SQL_CDC_TIME_TRAVEL,

@@ -58,6 +58,12 @@ def main() -> None:
                     help="set a table prop first (e.g. stats_cols=...,"
                          " bloom_cols=repo|path, bloom_bits=auto);"
                          " repeatable")
+    ap.add_argument("--audit-counts", action="store_true",
+                    help="report the POST-maintenance live row count via "
+                         "the metadata-plane aggregate (lake/fastagg.py: "
+                         "footer tier where compaction allows) plus the "
+                         "tier breakdown — the reference's per-load "
+                         "row-count bookkeeping, priced for lake scale")
     ap.add_argument("--backfill-stats", action="store_true",
                     help="harvest zone maps and Bloom filters for "
                          "referenced files that predate stats_cols/"
@@ -147,6 +153,13 @@ def main() -> None:
         report["vacuumed_files"] = len(
             table.vacuum(older_than_sec=args.vacuum_older_than_sec,
                          reclaim_staging=args.reclaim_staging))
+
+    if args.audit_counts:
+        from etl_spark.lake import fast_count
+
+        n, tiers = fast_count(table)
+        report["live_rows"] = n
+        report["count_tiers"] = tiers
 
     report["version_after"] = table.current_version()
     print(json.dumps(report))

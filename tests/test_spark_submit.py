@@ -67,10 +67,15 @@ def test_spark_submit_replay_and_maintenance(spark, tmp_root):
     assert report2["rows"] == report["rows"]
 
     out3 = _submit("maintenance_job.py", "--table-path", tbl, "--compact",
-                   "--vacuum-older-than-sec", "0", zip_path=zip_path)
+                   "--vacuum-older-than-sec", "0", "--audit-counts",
+                   zip_path=zip_path)
     mreport = json.loads(out3.strip().splitlines()[-1])
     assert mreport["compacted_buckets"] >= 1
     assert mreport["version_after"] > mreport["version_before"]
+    # post-maintenance row-count audit (lake/fastagg.py): matches the
+    # replay report and, freshly compacted, answers from footers alone
+    assert mreport["live_rows"] == report["rows"]
+    assert mreport["count_tiers"]["buckets_resolved"] == 0
 
     # migration entry point: enable composite blooms on the existing
     # table and backfill them from a separate driver process
