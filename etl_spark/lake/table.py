@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -1000,6 +1001,22 @@ class LakeTable:
             for f in batch.schema.fields
             if f.name not in table_fields and f.name != op_col
         ]
+        if new_fields:
+            # name-tombstone guard (alter_drop_column): this format tracks
+            # columns by NAME, so re-adding a dropped name would resurrect
+            # the old files' values on read (Iceberg survives this via
+            # column IDs; we refuse the name instead)
+            tombstoned = {c.strip()
+                          for c in snap.props.get("dropped_cols", "").split(",")
+                          if c.strip()}
+            hit = sorted(f.name for f in new_fields if f.name in tombstoned)
+            if hit:
+                raise ValueError(
+                    f"batch re-adds dropped column(s) {hit}: existing data "
+                    f"files still hold the old values, which an explicit-"
+                    f"schema read would resurrect; rename the wire field "
+                    f"or unset 'dropped_cols' after a full rewrite"
+                )
         evolved_schema = StructType(list(snap.schema.fields) + new_fields)
         user_cols = [f.name for f in evolved_schema.fields]
         types = {f.name: f.dataType for f in evolved_schema.fields}
@@ -1685,6 +1702,88 @@ class LakeTable:
             new_stats=self._harvest_stats(snap, new_files))
         self._publish(child)
         return child.version
+
+    def alter_drop_column(self, col: str, max_retries: int = 3) -> int:
+        """Drop a payload column as a METADATA-ONLY commit (Iceberg
+        ``ALTER TABLE ... DROP COLUMN``): nothing is rewritten — every
+        read path uses an explicit schema, so the physical column in
+        existing files is simply never decoded again (and a later
+        compaction/rebucket rewrite sheds the bytes as a side effect).
+
+        The honest limitation, guarded rather than hidden: Iceberg
+        survives drop-then-re-add because it tracks columns by ID; this
+        format tracks them by NAME, and re-adding a dropped name would
+        RESURRECT the old files' values on read. The name is therefore
+        tombstoned in the ``dropped_cols`` prop and merge's additive
+        evolution refuses to bring it back (the wire field must be
+        renamed — or the prop unset after a full rewrite has shed the
+        physical column everywhere).
+
+        Refused: key/version columns (structural); columns carrying
+        zone maps, Bloom entries, or cluster order (their stored
+        metadata encodes the column — unset those props first); columns
+        referenced by a CHECK constraint (drop the constraint first).
+        Downstream ``cdc.sync`` replicas should apply the same drop;
+        until then their copies NULL-backfill the column for new rows
+        (additive evolution's normal shape), which is lossy-forward but
+        never wrong."""
+        for attempt in range(max_retries + 1):
+            snap = self.current_snapshot()
+            by_name = {f.name: f for f in snap.schema.fields}
+            if col not in by_name:
+                raise ValueError(f"no such column {col!r}")
+            if col in snap.key_cols or col in snap.version_cols:
+                raise ValueError(
+                    f"cannot drop {col!r}: key/version columns are "
+                    f"structural (bucket placement / LWW order)"
+                )
+            if col in snap.stats_cols():
+                raise ValueError(
+                    f"column {col!r} carries zone maps: unset stats_cols "
+                    f"for it first"
+                )
+            from etl_spark.lake.bloom import COMPOSITE_SEP
+            hit = [e for e in snap.bloom_cols()
+                   if col in e.split(COMPOSITE_SEP)]
+            if hit:
+                raise ValueError(
+                    f"column {col!r} is part of bloom entries {hit}: "
+                    f"unset bloom_cols for them first"
+                )
+            cluster = [c.strip()
+                       for c in snap.props.get("cluster_cols", "").split(",")
+                       if c.strip()]
+            if col in cluster:
+                raise ValueError(
+                    f"column {col!r} is a cluster dimension: unset "
+                    f"cluster_cols first"
+                )
+            from etl_spark.lake.constraints import parse_constraints
+            refs = sorted(
+                name for name, expr in parse_constraints(snap.props).items()
+                if re.search(rf"\b{re.escape(col)}\b", expr)
+            )
+            if refs:
+                raise ValueError(
+                    f"column {col!r} is referenced by CHECK constraint(s) "
+                    f"{refs}: drop_constraint first"
+                )
+            narrowed = StructType(
+                [f for f in snap.schema.fields if f.name != col])
+            props = dict(snap.props)
+            dropped = [c.strip() for c in props.get("dropped_cols", "").split(",")
+                       if c.strip()]
+            props["dropped_cols"] = ",".join(dropped + [col])
+            try:
+                child = self._child(snap, narrowed, snap.buckets, None,
+                                    added=[])
+                child.props = props
+                self._publish(child)
+                return child.version
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
 
     @staticmethod
     def _bijection_spread(n_buckets: int):
