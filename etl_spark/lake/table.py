@@ -430,6 +430,26 @@ class Snapshot:
         raw = self.props.get("stats_cols", "")
         return [c.strip() for c in raw.split(",") if c.strip()]
 
+    def renamed_map(self) -> dict[str, list[str]]:
+        """Current name -> prior PHYSICAL names, oldest last
+        (``renamed_cols`` table prop: ``"new:old"`` entries,
+        ``|``-joined when a column was renamed more than once —
+        ``"c:b|a"`` after a->b->c). Written by
+        :meth:`LakeTable.alter_rename_column`; consumed by
+        ``_read_files``, which decodes every listed physical name from
+        old-vintage files and coalesces newest-first into the current
+        name. Empty = no outstanding renames."""
+        raw = self.props.get("renamed_cols", "")
+        out: dict[str, list[str]] = {}
+        for entry in raw.split(","):
+            entry = entry.strip()
+            if not entry:
+                continue
+            new, _, olds = entry.partition(":")
+            out[new.strip()] = [o.strip() for o in olds.split("|")
+                                if o.strip()]
+        return out
+
     def bloom_cols(self) -> list[str]:
         """Columns with per-file Bloom filters (``bloom_cols`` table
         prop; size via ``bloom_bits``/``bloom_k`` — lake/bloom.py). An
@@ -711,9 +731,32 @@ class LakeTable:
         if not files:
             return self.spark.createDataFrame([], full)
         paths = [os.path.join(self.path, f) for f in files]
-        # Explicit schema => old-vintage files missing newly-added columns
-        # surface them as NULL (additive schema evolution on read).
-        return self.spark.read.schema(full).parquet(*paths)
+        renames = {n: olds for n, olds in snap.renamed_map().items()
+                   if n in {f.name for f in full.fields}}
+        if not renames:
+            # Explicit schema => old-vintage files missing newly-added
+            # columns surface them as NULL (additive schema evolution on
+            # read).
+            return self.spark.read.schema(full).parquet(*paths)
+        # Metadata-only renames (alter_rename_column): old-vintage files
+        # store the column under its prior physical name(s). Decode every
+        # listed physical name too (NULL where a file lacks it — exactly
+        # one name is physically present per file, since merges refuse
+        # tombstoned old names) and coalesce newest-first. The extra
+        # fields cost nothing on files that lack them, and a later full
+        # rewrite sheds them.
+        by_field = {f.name: f for f in full.fields}
+        read_schema = StructType(
+            list(full.fields)
+            + [StructField(o, by_field[n].dataType, True)
+               for n, olds in renames.items() for o in olds]
+        )
+        raw = self.spark.read.schema(read_schema).parquet(*paths)
+        return raw.select(*[
+            F.coalesce(F.col(f.name), *[F.col(o) for o in renames[f.name]])
+            .alias(f.name) if f.name in renames else F.col(f.name)
+            for f in full.fields
+        ])
 
     def _plan_scan(
         self, snap: Snapshot, sel: dict[int, list[str]], preds: list
@@ -1011,11 +1054,22 @@ class LakeTable:
                           if c.strip()}
             hit = sorted(f.name for f in new_fields if f.name in tombstoned)
             if hit:
+                now_called = {o: n for n, olds in snap.renamed_map().items()
+                              for o in olds}
+                renamed_hits = {h: now_called[h] for h in hit
+                                if h in now_called}
+                hint = (
+                    f" (renamed: the table now calls "
+                    f"{', '.join(f'{o!r} -> {n!r}' for o, n in sorted(renamed_hits.items()))}"
+                    f" — update the wire field name)"
+                    if renamed_hits else
+                    "; rename the wire field or unset 'dropped_cols' "
+                    "after a full rewrite"
+                )
                 raise ValueError(
                     f"batch re-adds dropped column(s) {hit}: existing data "
                     f"files still hold the old values, which an explicit-"
-                    f"schema read would resurrect; rename the wire field "
-                    f"or unset 'dropped_cols' after a full rewrite"
+                    f"schema read would resurrect{hint}"
                 )
         evolved_schema = StructType(list(snap.schema.fields) + new_fields)
         user_cols = [f.name for f in evolved_schema.fields]
@@ -1777,6 +1831,114 @@ class LakeTable:
             try:
                 child = self._child(snap, narrowed, snap.buckets, None,
                                     added=[])
+                child.props = props
+                self._publish(child)
+                return child.version
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def alter_rename_column(self, old: str, new: str,
+                            max_retries: int = 3) -> int:
+        """Rename a payload column as a METADATA-ONLY commit (Iceberg
+        ``ALTER TABLE ... RENAME COLUMN``): nothing is rewritten. The
+        prior physical name is recorded in the ``renamed_cols`` prop and
+        every read decodes BOTH names, coalescing newest-first — so
+        old-vintage files keep answering under the new name while files
+        written after the rename carry it physically (any
+        compaction/rebucket rewrite migrates the bytes as a side
+        effect). Renames chain: after a->b->c the prop holds ``c:b|a``
+        and reads coalesce across all three vintages.
+
+        The honest limitation, same as :meth:`alter_drop_column`: this
+        format tracks columns by NAME, so the old name is tombstoned in
+        ``dropped_cols`` — a wire batch still carrying it is REFUSED
+        (merge's resurrection guard names the rename) rather than
+        silently forking the column. After a full rewrite (rebucket) has
+        shed the old physical name everywhere, both props may be unset.
+
+        Refused (same structural set as drop): key/version columns;
+        columns carrying zone maps, Bloom entries, or cluster order;
+        columns referenced by CHECK constraints. Also refused: a target
+        name already in the schema, or tombstoned in ``dropped_cols`` —
+        old files still hold physical values under that name, which the
+        rename's own read path would resurrect."""
+        for attempt in range(max_retries + 1):
+            snap = self.current_snapshot()
+            by_name = {f.name: f for f in snap.schema.fields}
+            if old not in by_name:
+                raise ValueError(f"no such column {old!r}")
+            if new in by_name:
+                raise ValueError(f"column {new!r} already exists")
+            if not new or not new.isidentifier():
+                raise ValueError(f"invalid column name {new!r}")
+            if old in snap.key_cols or old in snap.version_cols:
+                raise ValueError(
+                    f"cannot rename {old!r}: key/version columns are "
+                    f"structural (bucket placement / LWW order / "
+                    f"manifest provenance reference them by name)"
+                )
+            if old in snap.stats_cols():
+                raise ValueError(
+                    f"column {old!r} carries zone maps: unset stats_cols "
+                    f"for it first"
+                )
+            from etl_spark.lake.bloom import COMPOSITE_SEP
+            hit = [e for e in snap.bloom_cols()
+                   if old in e.split(COMPOSITE_SEP)]
+            if hit:
+                raise ValueError(
+                    f"column {old!r} is part of bloom entries {hit}: "
+                    f"unset bloom_cols for them first"
+                )
+            cluster = [c.strip()
+                       for c in snap.props.get("cluster_cols", "").split(",")
+                       if c.strip()]
+            if old in cluster:
+                raise ValueError(
+                    f"column {old!r} is a cluster dimension: unset "
+                    f"cluster_cols first"
+                )
+            from etl_spark.lake.constraints import parse_constraints
+            refs = sorted(
+                name for name, expr in parse_constraints(snap.props).items()
+                if re.search(rf"\b{re.escape(old)}\b", expr)
+            )
+            if refs:
+                raise ValueError(
+                    f"column {old!r} is referenced by CHECK constraint(s) "
+                    f"{refs}: drop_constraint first"
+                )
+            props = dict(snap.props)
+            dropped = [c.strip()
+                       for c in props.get("dropped_cols", "").split(",")
+                       if c.strip()]
+            renames = snap.renamed_map()
+            if new in dropped or any(new in olds
+                                     for olds in renames.values()):
+                raise ValueError(
+                    f"cannot rename to {new!r}: the name is tombstoned "
+                    f"(dropped or renamed away) and existing data files "
+                    f"still hold physical values under it, which the "
+                    f"rename's read path would resurrect; pick another "
+                    f"name or unset the props after a full rewrite"
+                )
+            # chain fold: if `old` was itself a rename target, the new
+            # name inherits its physical-name history (newest first)
+            olds = [old] + renames.pop(old, [])
+            renames[new] = olds
+            props["renamed_cols"] = ",".join(
+                f"{n}:{'|'.join(o)}" for n, o in sorted(renames.items()))
+            props["dropped_cols"] = ",".join(dropped + [old])
+            renamed_schema = StructType([
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old else f
+                for f in snap.schema.fields
+            ])
+            try:
+                child = self._child(snap, renamed_schema, snap.buckets,
+                                    None, added=[])
                 child.props = props
                 self._publish(child)
                 return child.version

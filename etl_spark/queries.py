@@ -4140,6 +4140,54 @@ FROM (
 """
 
 
+def q_rename_evolution_read(spark, sf_dir):
+    """Column rename evolution (LakeTable.alter_rename_column — Iceberg
+    ``RENAME COLUMN``): a table born with measure ``x`` takes a first
+    wave, is renamed ``x -> val`` as a METADATA-ONLY commit (the prior
+    physical name is recorded; nothing rewritten), then a post-rename
+    wave lands under the new wire name; the read coalesces both physical
+    vintages under ``val`` and resolves LWW across the rename boundary."""
+    from etl_spark.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = _tmpdir("etl_spark_rename_")
+    pre = ev.filter(F.pmod("event_id", F.lit(2)) == 0).select(
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("I")).alias("op"),
+        "user_id", "event_id",
+        F.round("value").cast("long").alias("x"),
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "tbl"), pre.drop("op").schema,
+        key_cols=["user_id"], version_cols=["event_id"], n_buckets=8,
+        props={"write_metrics": "coarse"},
+    )
+    table.merge(pre, manifest_key="e:0")
+    table.alter_rename_column("x", "val")  # metadata-only rename
+    post = ev.filter(F.pmod("event_id", F.lit(2)) == 1).select(
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("I")).alias("op"),
+        "user_id", "event_id",
+        F.round(F.col("value") * 10).cast("long").alias("val"),
+    )
+    table.merge(post, manifest_key="e:1")
+    return table.read().select("user_id", "event_id", "val")
+
+
+SQL_RENAME_EVOLUTION = """
+SELECT user_id, event_id,
+       CASE WHEN event_id % 2 = 0
+            THEN CAST(round(value) AS BIGINT)
+            ELSE CAST(round(value * 10) AS BIGINT)
+       END AS val
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def q_sketch_distinct_sync(spark, sf_dir):
     """HLL sketch-maintained approx distinct rollup (cdc/sketch_sync.py):
     distinct-ever users per event_type kept from the change feed alone —
@@ -4818,6 +4866,7 @@ QUERIES = {
     "consistent_read_group": q_consistent_read_group,
     "sketch_distinct_sync": q_sketch_distinct_sync,
     "type_promotion_read": q_type_promotion_read,
+    "rename_evolution_read": q_rename_evolution_read,
     "dml_delete_where": q_dml_delete_where,
     "dml_update_where": q_dml_update_where,
     "txn_boundary_gate": q_txn_boundary_gate,
@@ -4932,6 +4981,7 @@ ORACLES = {
     "cdc_bootstrap_handoff": SQL_CDC_BOOTSTRAP,
     "wire_gap_audit": SQL_WIRE_GAPS,
     "type_promotion_read": SQL_TYPE_PROMOTION,
+    "rename_evolution_read": SQL_RENAME_EVOLUTION,
     "dml_delete_where": SQL_DML_DELETE,
     "dml_update_where": SQL_DML_UPDATE,
     "consistent_read_group": SQL_CONSISTENT_GROUP,
