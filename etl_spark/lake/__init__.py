@@ -33,6 +33,7 @@ from etl_spark.lake.port import TablePort
 from etl_spark.lake.planner import CompactionPlan, plan_compaction
 from etl_spark.lake.purge import purge_keys
 from etl_spark.lake.refs import Ref
+from etl_spark.lake.spj import cobucket_join
 from etl_spark.lake.table import CommitConflict, LakeTable, MergeStats, Snapshot
 from etl_spark.lake.wap import StagedCommit, audit_capture
 
@@ -42,4 +43,4 @@ __all__ = ["LakeTable", "Snapshot", "MergeStats", "CommitConflict", "purge_keys"
            "plan_compaction", "CompactionPlan",
            "ConstraintViolation", "add_constraint", "drop_constraint",
            "violation_counts", "merge_quarantine",
-           "fast_count", "fast_min_max"]
+           "fast_count", "fast_min_max", "cobucket_join"]

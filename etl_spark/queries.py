@@ -4188,6 +4188,70 @@ FROM (
 """
 
 
+def q_spj_cobucket_join(spark, sf_dir):
+    """Storage-partitioned join (lake/spj.cobucket_join — Spark's
+    SPARK-37375 SPJ re-expressed for this format): two LakeTables
+    sharing key hashing and bucket count are joined with ZERO shuffle —
+    one task per bucket Arrow-reads both sides' bucket files where they
+    lie, resolves merge-on-read LWW, drops tombstones, and joins
+    vectorized. The plan is Range -> mapInPandas: no Exchange on either
+    side at any scale (tests/test_spj.py pins that, plus task count ==
+    n_buckets)."""
+    from etl_spark.lake import LakeTable, cobucket_join
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = _tmpdir("etl_spark_spj_")
+    lrows = ev.filter(F.pmod("event_id", F.lit(2)) == 0).select(
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("I")).alias("op"),
+        "user_id", "event_id",
+        F.round("value").cast("long").alias("val_l"),
+    )
+    rrows = ev.filter(F.pmod("event_id", F.lit(3)) == 0).select(
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("I")).alias("op"),
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("val_r"),
+    )
+    left = LakeTable.create(
+        spark, os.path.join(tmp, "l"), lrows.drop("op").schema,
+        key_cols=["user_id"], version_cols=["event_id"], n_buckets=8,
+        props={"write_metrics": "coarse"},
+    )
+    right = LakeTable.create(
+        spark, os.path.join(tmp, "r"), rrows.drop("op").schema,
+        key_cols=["user_id"], version_cols=["event_id"], n_buckets=8,
+        props={"write_metrics": "coarse"},
+    )
+    left.merge(lrows, manifest_key="l:0")
+    right.merge(rrows, manifest_key="r:0")
+    return cobucket_join(left, right).select(
+        "user_id", "event_id", "val_l",
+        F.col("event_id_r"), "val_r")
+
+
+SQL_SPJ_COBUCKET = """
+WITH l AS (
+  SELECT user_id, event_id, CAST(round(value) AS BIGINT) AS val_l
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 0
+  ) WHERE rn = 1 AND event_type <> 'error'
+), r AS (
+  SELECT user_id, event_id AS event_id_r,
+         CAST(round(value * 100) AS BIGINT) AS val_r
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 3 = 0
+  ) WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT l.user_id, l.event_id, l.val_l, r.event_id_r, r.val_r
+FROM l JOIN r ON l.user_id = r.user_id
+"""
+
+
 def q_sketch_distinct_sync(spark, sf_dir):
     """HLL sketch-maintained approx distinct rollup (cdc/sketch_sync.py):
     distinct-ever users per event_type kept from the change feed alone —
@@ -4867,6 +4931,7 @@ QUERIES = {
     "sketch_distinct_sync": q_sketch_distinct_sync,
     "type_promotion_read": q_type_promotion_read,
     "rename_evolution_read": q_rename_evolution_read,
+    "spj_cobucket_join": q_spj_cobucket_join,
     "dml_delete_where": q_dml_delete_where,
     "dml_update_where": q_dml_update_where,
     "txn_boundary_gate": q_txn_boundary_gate,
@@ -4982,6 +5047,7 @@ ORACLES = {
     "wire_gap_audit": SQL_WIRE_GAPS,
     "type_promotion_read": SQL_TYPE_PROMOTION,
     "rename_evolution_read": SQL_RENAME_EVOLUTION,
+    "spj_cobucket_join": SQL_SPJ_COBUCKET,
     "dml_delete_where": SQL_DML_DELETE,
     "dml_update_where": SQL_DML_UPDATE,
     "consistent_read_group": SQL_CONSISTENT_GROUP,
