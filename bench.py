@@ -171,6 +171,11 @@ BENCH_QUERIES = [
     # a three-tier staged layout — the wall is fixture merges + two
     # compactions + the footer sweep
     "metadata_agg_pushdown",
+    # schema-evolution + layout-exploiting joins (round 5): rename is the
+    # metadata-only commit + cross-vintage coalesce read; SPJ is the
+    # zero-Exchange co-bucketed join (wall includes both fixture merges)
+    "rename_evolution_read",
+    "spj_cobucket_join",
 ]
 
 

@@ -30,6 +30,11 @@ through the cluster's network twice and one that reads each bucket once
 where it lies: wall-clock scales with the largest bucket pair, task
 count equals ``n_buckets`` at every cluster size (same decomposition at
 N and 4N executors), and file pruning keeps cold buckets at zero I/O.
+The working set of a task is its bucket PAIR in Arrow memory — the same
+sizing rule as the write path (n_buckets ≈ 10^5 keeps buckets ~1 GB at
+100 TB; a table that outgrows it takes one ``rebucket``), and a join
+whose buckets do not fit is a layout problem the metadata names, not a
+silent spill.
 
 Reference parity: the reference joins co-indexed pandas frames in one
 process (e.g. ``impulsoetl``'s enriquecimento merges); this is that
