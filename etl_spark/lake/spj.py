@@ -73,6 +73,33 @@ def _nullable_dtype(spark_type) -> str | None:
     }.get(s)
 
 
+def _arrow_join(lp, rp, keys, how):
+    """Join two pandas frames through Arrow's native hash join (Acero).
+    String join keys hash as native Arrow strings instead of Python
+    objects. Measured (tools/bench_spj.py, 8M x 8M): ~4% on the
+    merge-on-read shape, neutral on compacted buckets — the task wall
+    is parquet read + LWW resolve, not the join — kept because it also
+    removes a semantic trap: ``pandas.merge`` matches NaN keys to each
+    other, Acero (like SQL) does not; engine keys are non-null by
+    contract, so neither path could diverge, but the Arrow join makes
+    that true by construction. Output row order is arbitrary, like any
+    Spark join."""
+    import pandas as pd
+    import pyarrow as pa
+
+    mapper = {
+        pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype(),
+        pa.int16(): pd.Int16Dtype(), pa.int8(): pd.Int8Dtype(),
+        pa.bool_(): pd.BooleanDtype(),
+    }.get
+    la = pa.Table.from_pandas(lp, preserve_index=False)
+    ra = pa.Table.from_pandas(rp, preserve_index=False)
+    joined = la.join(
+        ra, keys=keys, join_type="inner" if how == "inner" else "left outer"
+    )
+    return joined.to_pandas(types_mapper=mapper)
+
+
 def _pred_mask(pdf, preds):
     """Residual predicate evaluation on LWW winners — the pandas mirror
     of lake/stats.predicate_column (same tuple grammar; NULL compares
@@ -316,10 +343,7 @@ def cobucket_join(
                 else:
                     rp = rp.rename(columns=cfg["rkey_to_l"]).rename(
                         columns=cfg["rout"])
-                    merged = lp.merge(
-                        rp, how=cfg["how"], on=cfg["lkeys"],
-                        suffixes=(None, None), copy=False,
-                    )
+                    merged = _arrow_join(lp, rp, cfg["lkeys"], cfg["how"])
                 if not len(merged):
                     continue
                 out = merged.reindex(columns=cfg["out_cols"])
