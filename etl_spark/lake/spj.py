@@ -11,19 +11,24 @@ storage-partitioned join (SPARK-37375) re-expressed for this format:
 the fact-to-fact join Catalyst cannot avoid shuffling for plain parquet
 (it cannot see the layout) runs here as one task per bucket.
 
-Execution shape (the whole plan is ``Range -> mapInPandas`` — no
-Exchange, no sort, no broadcast of either side):
+Execution shape (the whole plan is ``Range -> MapInArrow`` — no
+Exchange, no sort, no broadcast of either side, and no pandas on the
+fast path):
 
 * driver: per-bucket file lists from both snapshots — zone-map file
   pruning applied per side (same soundness rules as ``read(where=...)``,
   lake/stats.py) — shipped as ONE broadcast of O(files) metadata;
 * ``spark.range(n_buckets, numPartitions=n_buckets)``: task i owns
   bucket i on both sides (the same bijection the write path uses);
-* each task reads its bucket's parquet files column-pruned via Arrow,
-  resolves merge-on-read LWW exactly where the engine's read would
-  (multi-file or nonunique buckets), drops tombstones, applies the
-  residual predicates on the winners, and joins the two sides in one
-  vectorized pandas merge.
+* each task reads its bucket's parquet files column-pruned via Arrow
+  and CASTS each file to the declared table schema (which is also what
+  makes promoted-type and rename-evolved vintages align), resolves
+  merge-on-read LWW exactly where the engine's read would (multi-file
+  or nonunique buckets; Arrow sort + grouped ``last``, falling back to
+  a pandas resolve only for nested payload types), drops tombstones,
+  applies the residual predicates as Arrow compute expressions, and
+  joins the two sides through Acero's native hash join — the result
+  batches stream straight back to the JVM with no pandas round-trip.
 
 At 100 TB this is the difference between a join that moves both tables
 through the cluster's network twice and one that reads each bucket once
@@ -41,10 +46,13 @@ process (e.g. ``impulsoetl``'s enriquecimento merges); this is that
 merge made distributed WITHOUT acquiring a shuffle on the way.
 
 Limits, checked loudly: both tables row-semantics (patch tables fold
-per column — their winners are not rows a pandas LWW can reproduce);
-join is on the FULL key tuple of each side (bucket placement hashes all
-key columns, so a prefix join would not co-locate); version columns
-must be non-null (the engine's merges already require that).
+per column — their winners are not rows this bucket-local LWW can
+reproduce); join is on the FULL key tuple of each side (bucket
+placement hashes all key columns, so a prefix join would not
+co-locate); version columns must be non-null (the engine's merges
+already require that). Null join keys cannot occur (merge refuses
+null key columns), so SQL-vs-pandas null-match semantics never arise:
+Acero, like SQL, would not match them.
 """
 
 from __future__ import annotations
@@ -61,80 +69,64 @@ from etl_spark.lake import stats as _st
 __all__ = ["cobucket_join"]
 
 
-def _nullable_dtype(spark_type) -> str | None:
-    """Pandas NULLABLE dtype for a Spark type — integral/bool columns
-    must not decay to float64 when a file lacks them or a left join
-    misses (NaN would then fail the Arrow cast back to long)."""
-    s = spark_type.simpleString()
-    return {
-        "bigint": "Int64", "int": "Int32", "smallint": "Int16",
-        "tinyint": "Int8", "boolean": "boolean",
-        "double": "float64", "float": "float32",
-    }.get(s)
+def _arrow_type(spark_type):
+    """Arrow type for a Spark type — pyspark's own mapping, so the
+    batches this kernel yields match what mapInArrow expects."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(spark_type)
 
 
-def _arrow_join(lp, rp, keys, how):
-    """Join two pandas frames through Arrow's native hash join (Acero).
-    String join keys hash as native Arrow strings instead of Python
-    objects. Measured (tools/bench_spj.py, 8M x 8M): ~4% on the
-    merge-on-read shape, neutral on compacted buckets — the task wall
-    is parquet read + LWW resolve, not the join — kept because it also
-    removes a semantic trap: ``pandas.merge`` matches NaN keys to each
-    other, Acero (like SQL) does not; engine keys are non-null by
-    contract, so neither path could diverge, but the Arrow join makes
-    that true by construction. Output row order is arbitrary, like any
-    Spark join."""
-    import pandas as pd
-    import pyarrow as pa
+def _is_nested(atype) -> bool:
+    import pyarrow.types as pt
 
-    mapper = {
-        pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype(),
-        pa.int16(): pd.Int16Dtype(), pa.int8(): pd.Int8Dtype(),
-        pa.bool_(): pd.BooleanDtype(),
-    }.get
-    la = pa.Table.from_pandas(lp, preserve_index=False)
-    ra = pa.Table.from_pandas(rp, preserve_index=False)
-    joined = la.join(
-        ra, keys=keys, join_type="inner" if how == "inner" else "left outer"
-    )
-    return joined.to_pandas(types_mapper=mapper)
+    return (pt.is_nested(atype) or pt.is_list(atype)
+            or pt.is_struct(atype) or pt.is_map(atype))
 
 
-def _pred_mask(pdf, preds):
-    """Residual predicate evaluation on LWW winners — the pandas mirror
+def _pred_mask(tbl, preds):
+    """Residual predicate evaluation on LWW winners — the Arrow mirror
     of lake/stats.predicate_column (same tuple grammar; NULL compares
     false, like SQL)."""
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    mask = pd.Series(True, index=pdf.index)
+    mask = None
     for p in preds:
         col, op = p[0], p[1]
         if isinstance(col, (tuple, list)):
+            # composite-key IN: OR of per-tuple AND-equalities (the
+            # tuple lists are bounded probe sets, lake/stats.py)
             tuples = p[2] if op == "in" else [p[2]]
-            keys = pd.MultiIndex.from_frame(pdf[list(col)])
-            want = pd.MultiIndex.from_tuples([tuple(t) for t in tuples])
-            m = pd.Series(keys.isin(want), index=pdf.index)
+            m = None
+            for t in tuples:
+                em = None
+                for c, v in zip(col, t):
+                    e = pc.equal(tbl[c], v)
+                    em = e if em is None else pc.and_kleene(em, e)
+                m = em if m is None else pc.or_kleene(m, em)
         else:
-            s = pdf[col]
+            s = tbl[col]
             v = p[2]
             if op == "=":
-                m = s == v
+                m = pc.equal(s, v)
             elif op == ">":
-                m = s > v
+                m = pc.greater(s, v)
             elif op == ">=":
-                m = s >= v
+                m = pc.greater_equal(s, v)
             elif op == "<":
-                m = s < v
+                m = pc.less(s, v)
             elif op == "<=":
-                m = s <= v
+                m = pc.less_equal(s, v)
             elif op == "in":
-                m = s.isin(list(v))
+                m = pc.is_in(s, value_set=pa.array(list(v), type=s.type))
             elif op == "between":
-                m = (s >= v) & (s <= p[3])
+                m = pc.and_kleene(pc.greater_equal(s, v),
+                                  pc.less_equal(s, p[3]))
             else:  # pragma: no cover — validate_predicates refuses these
                 raise ValueError(f"unsupported op {op!r}")
-        # nullable-dtype comparisons yield pd.NA for NULL operands
-        mask &= pd.Series(m, index=pdf.index).fillna(False).astype(bool)
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_kleene(mask, m)
     return mask
 
 
@@ -161,46 +153,70 @@ def _side_plan(table: LakeTable, snap, preds, buckets):
     return out
 
 
-def _read_side(root, files, user_cols, types_by_col, renames):
-    """Read one bucket side into a pandas frame: per-file column-pruned
-    Arrow reads, rename coalesce across physical vintages, nullable
-    integral dtypes, columns aligned to ``user_cols`` + tombstone."""
-    import pandas as pd
+def _lww_pandas(tbl, keys, vers):
+    """LWW resolve through pandas for payload types Arrow's grouped
+    ``last`` kernel does not take (nested lists/structs) — the slow
+    path; primitive schemas stay in Arrow."""
+    import pyarrow as pa
+
+    pdf = tbl.to_pandas()
+    pdf = pdf.sort_values(vers, kind="mergesort", na_position="first") \
+             .drop_duplicates(subset=keys, keep="last")
+    return pa.Table.from_pandas(pdf, schema=tbl.schema,
+                                preserve_index=False)
+
+
+def _load_side(root, files, user_cols, atypes, renames, mor, keys, vers,
+               preds):
+    """Read one bucket side into an Arrow table of live LWW winners:
+    per-file column-pruned reads cast to the declared schema (aligning
+    promoted-type and rename-evolved vintages), rename coalesce
+    newest-first, merge-on-read resolve, tombstone drop, residual
+    predicate filter. Columns exactly ``user_cols``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     want = user_cols + [META_DELETED]
-    frames = []
+    parts = []
     for rel in files:
         pf = pq.ParquetFile(os.path.join(root, rel))
         have = set(pf.schema_arrow.names)
         phys = [c for c in want if c in have]
         for n, olds in renames.items():
             phys += [o for o in olds if o in have and o not in phys]
-        pdf = pf.read(columns=phys).to_pandas()
-        for n, olds in renames.items():
-            if n not in pdf.columns:
-                pdf[n] = pd.NA
-            for o in olds:  # newest-first precedence, like the read path
-                if o in pdf.columns:
-                    pdf[n] = pdf[n].where(pdf[n].notna(), pdf[o])
-        frames.append(pdf.reindex(columns=want))
-    pdf = frames[0] if len(frames) == 1 else pd.concat(
-        frames, ignore_index=True)
-    for c in user_cols:
-        st = types_by_col[c].simpleString()
-        dt = _nullable_dtype(types_by_col[c])
-        if dt is not None:
-            if str(pdf[c].dtype) != dt:
-                pdf[c] = pdf[c].astype(dt)
-        elif str(pdf[c].dtype) == "float64":
-            # reindex/concat filler for a file that lacks this column:
-            # an all-NaN float64 that Arrow cannot cast back to the
-            # declared string/timestamp/etc. type
-            if st.startswith("timestamp"):
-                pdf[c] = pdf[c].astype("datetime64[ns]")
-            else:
-                pdf[c] = pdf[c].astype(object).where(pdf[c].notna(), None)
-    return pdf
+        t = pf.read(columns=phys)
+        cols = {}
+        for c in want:
+            target = atypes[c]
+            src = t[c] if c in t.column_names else None
+            if src is not None:
+                src = pc.cast(src, target)
+            for o in renames.get(c, ()):  # newest-first precedence
+                if o in t.column_names:
+                    oc = pc.cast(t[o], target)
+                    src = oc if src is None else pc.coalesce(src, oc)
+            cols[c] = src if src is not None else pa.nulls(
+                t.num_rows, target)
+        parts.append(pa.table(cols))
+    tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+    if mor and tbl.num_rows:
+        if any(_is_nested(atypes[c]) for c in want):
+            tbl = _lww_pandas(tbl, keys, vers)
+        else:
+            tbl = tbl.sort_by([(v, "ascending") for v in vers])
+            aggs = [c for c in want if c not in keys]
+            g = pa.TableGroupBy(tbl, keys, use_threads=False).aggregate(
+                [(c, "last") for c in aggs])
+            ren = {f"{c}_last": c for c in aggs}
+            g = g.rename_columns([ren.get(n, n) for n in g.column_names])
+            tbl = g.select(want)
+    if tbl.num_rows:
+        tbl = tbl.filter(pc.invert(pc.fill_null(tbl[META_DELETED], False)))
+    tbl = tbl.drop_columns([META_DELETED])
+    if preds and tbl.num_rows:
+        tbl = tbl.filter(_pred_mask(tbl, preds))
+    return tbl
 
 
 def cobucket_join(
@@ -277,6 +293,16 @@ def cobucket_join(
         + [StructField(rout[c], rtypes[c], True) for c in rpayload]
     )
 
+    import pyarrow as pa
+
+    latypes = {c: _arrow_type(ltypes[c]) for c in lcols}
+    ratypes = {c: _arrow_type(rtypes[c]) for c in rcols}
+    latypes[META_DELETED] = ratypes[META_DELETED] = pa.bool_()
+    out_arrow = pa.schema(
+        [pa.field(c, latypes[c]) for c in lcols]
+        + [pa.field(rout[c], ratypes[c]) for c in rpayload]
+    )
+
     plan = {}
     lplan = _side_plan(left, ls, lpreds, buckets)
     rplan = _side_plan(right, rs, rpreds, buckets)
@@ -291,68 +317,59 @@ def cobucket_join(
         "plan": plan,
         "lroot": left.path, "rroot": right.path,
         "lcols": lcols, "rcols": rcols,
-        "ltypes": ltypes, "rtypes": rtypes,
+        "latypes": latypes, "ratypes": ratypes,
         "lkeys": ls.key_cols, "lvers": ls.version_cols,
         "rkeys": rs.key_cols, "rvers": rs.version_cols,
         "lren": {n: o for n, o in ls.renamed_map().items() if n in lcols},
         "rren": {n: o for n, o in rs.renamed_map().items() if n in rcols},
         "lpreds": lpreds, "rpreds": rpreds,
         "rkey_to_l": rkey_to_l, "rout": rout, "out_cols": out_cols,
-        "how": how,
+        "out_arrow": out_arrow, "how": how,
     })
 
     def _kernel(batches):
-        import pandas as pd
-
         cfg = bc.value
-        for pdf_ids in batches:
-            for b in pdf_ids["id"].tolist():
+        out_a = cfg["out_arrow"]
+        for rb in batches:
+            for b in rb.column("id").to_pylist():
                 entry = cfg["plan"].get(int(b))
                 if entry is None:
                     continue
                 (lfiles, lmor), (rfiles, rmor) = entry
-
-                def _load(files, mor, root, cols, types, ren, keys, vers,
-                          preds):
-                    if not files:
-                        return None
-                    pdf = _read_side(root, files, cols, types, ren)
-                    if mor and len(pdf):
-                        pdf = pdf.sort_values(
-                            vers, kind="mergesort", na_position="first"
-                        ).drop_duplicates(subset=keys, keep="last")
-                    pdf = pdf[~pdf[META_DELETED].astype(bool)]
-                    if preds and len(pdf):
-                        pdf = pdf[_pred_mask(pdf, preds)]
-                    return pdf.drop(columns=[META_DELETED])
-
-                lp = _load(lfiles, lmor, cfg["lroot"], cfg["lcols"],
-                           cfg["ltypes"], cfg["lren"], cfg["lkeys"],
-                           cfg["lvers"], cfg["lpreds"])
-                if lp is None or not len(lp):
+                if not lfiles:
                     continue
-                rp = _load(rfiles, rmor, cfg["rroot"], cfg["rcols"],
-                           cfg["rtypes"], cfg["rren"], cfg["rkeys"],
-                           cfg["rvers"], cfg["rpreds"])
-                if rp is None or not len(rp):
+                la = _load_side(cfg["lroot"], lfiles, cfg["lcols"],
+                                cfg["latypes"], cfg["lren"], lmor,
+                                cfg["lkeys"], cfg["lvers"], cfg["lpreds"])
+                if not la.num_rows:
+                    continue
+                ra = None
+                if rfiles:
+                    ra = _load_side(cfg["rroot"], rfiles, cfg["rcols"],
+                                    cfg["ratypes"], cfg["rren"], rmor,
+                                    cfg["rkeys"], cfg["rvers"],
+                                    cfg["rpreds"])
+                if ra is None or not ra.num_rows:
                     if cfg["how"] == "inner":
                         continue
-                    merged = lp.copy()
+                    merged = la
                     for c, name in cfg["rout"].items():
-                        merged[name] = None
+                        merged = merged.append_column(name, pa.nulls(
+                            merged.num_rows, cfg["ratypes"][c]))
                 else:
-                    rp = rp.rename(columns=cfg["rkey_to_l"]).rename(
-                        columns=cfg["rout"])
-                    merged = _arrow_join(lp, rp, cfg["lkeys"], cfg["how"])
-                if not len(merged):
+                    ren = {**cfg["rkey_to_l"], **cfg["rout"]}
+                    ra = ra.rename_columns(
+                        [ren.get(n, n) for n in ra.column_names])
+                    merged = la.join(
+                        ra, keys=cfg["lkeys"],
+                        join_type="inner" if cfg["how"] == "inner"
+                        else "left outer",
+                    )
+                if not merged.num_rows:
                     continue
-                out = merged.reindex(columns=cfg["out_cols"])
-                for c, name in cfg["rout"].items():
-                    dt = _nullable_dtype(cfg["rtypes"][c])
-                    if dt is not None and str(out[name].dtype) != dt:
-                        out[name] = out[name].astype(dt)
-                yield out
+                merged = merged.select(cfg["out_cols"]).cast(out_a)
+                yield from merged.combine_chunks().to_batches()
 
     n = ls.n_buckets
-    return spark.range(0, n, 1, numPartitions=n).mapInPandas(
+    return spark.range(0, n, 1, numPartitions=n).mapInArrow(
         _kernel, schema=out_schema)

@@ -1,7 +1,7 @@
 """Storage-partitioned join (lake/spj.cobucket_join): two co-bucketed
 LakeTables joined with ZERO shuffle — one task per bucket reads both
 sides' bucket files where they lie, resolves merge-on-read LWW, drops
-tombstones, and pandas-merges. Semantics gate: every result must equal
+tombstones, and Acero-joins. Semantics gate: every result must equal
 the engine's own ``read().join(read())`` (whose read paths are
 oracle-verified); plan gate: no Exchange anywhere, task count ==
 n_buckets."""

@@ -6,7 +6,7 @@ LakeTables (same snapshots, same rows) and are timed in the SAME JVM,
 interleaved warmup-then-best-of-R — the usual anti-noise protocol
 (project notes):
 
-* ``spj``       — cobucket_join: Range -> mapInPandas, zero Exchange;
+* ``spj``       — cobucket_join: Range -> MapInArrow, zero Exchange;
 * ``plain``     — read().join(read()) with whatever strategy Catalyst
                   picks at this size (often BroadcastHashJoin — legal
                   only while one side fits the 64 MB threshold);
