@@ -143,6 +143,18 @@ def bootstrap_snapshot(
     if n_chunks < 1:
         raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
     snap_meta = dest.current_snapshot()
+    if snap_meta.rescale_to is not None:
+        # chunk assignment (_chunk_expr) is recomputed from the CURRENT
+        # n_buckets on every resume; a rescale finalize mid-bootstrap
+        # would repartition the chunks under already-applied manifest
+        # keys and silently skip rows. start_rescale refuses while a
+        # bootstrap floor is set — this is the mirror-image guard.
+        raise ValueError(
+            f"bootstrap is blocked while a rescale to "
+            f"{snap_meta.rescale_to} is in flight (watermark "
+            f"{snap_meta.rescale_watermark}/{snap_meta.n_buckets}): "
+            f"drive rescale_step() to completion first"
+        )
     if snap_meta.props.get("update_semantics", "row") == "patch":
         raise ValueError(
             "bootstrap needs row update semantics: under patch, a NULL "

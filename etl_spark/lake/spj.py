@@ -252,6 +252,16 @@ def cobucket_join(
             f"tables are not co-bucketed: n_buckets {ls.n_buckets} != "
             f"{rs.n_buckets} (rebucket one side first)"
         )
+    for side, s in (("left", ls), ("right", rs)):
+        if s.rescale_to is not None:
+            # mid-rescale a bucket id is watermark-dependent, so "equal
+            # keys share a bucket id" no longer holds ACROSS tables —
+            # the zero-shuffle decomposition would silently drop matches
+            raise ValueError(
+                f"{side} table is mid-rescale to {s.rescale_to} "
+                f"(watermark {s.rescale_watermark}/{s.n_buckets}): drive "
+                f"rescale_step() to completion before a co-bucketed join"
+            )
     if len(ls.key_cols) != len(rs.key_cols):
         raise ValueError(
             f"key arity differs: {ls.key_cols} vs {rs.key_cols}"

@@ -78,6 +78,34 @@ def _is_canonical_seq(seq: str) -> bool:
     return seq.isdigit() and str(int(seq)) == seq
 
 
+def _route_of(snap):
+    """Bucket id of a row under ``snap``'s layout — THE routing function.
+
+    Steady state: ``pmod(xxhash64(key...), n_buckets)``. Mid-rescale
+    (``rescale_to`` set), routing is the watermark CASE::
+
+        old_b < watermark  ->  pmod(hash, rescale_to)   (migrated)
+        otherwise          ->  old_b                    (not yet split)
+
+    Sound because ``rescale_to`` is an integer multiple of
+    ``n_buckets``: ``hash % n_buckets = b`` implies
+    ``hash % rescale_to ∈ {b, b+n, b+2n, ...}`` — an old bucket's rows
+    land in exactly its own child ids, so migrated and unmigrated
+    buckets never share a key space and the CASE is O(1) per row (no
+    membership set: rescale_step migrates old buckets in ASCENDING
+    order, so "migrated" ≡ ``old_b < watermark``). Every write path,
+    point-lookup pruner and consumer cursor routes through this one
+    expression; a reader on snapshot S and a writer on snapshot S
+    always agree."""
+    h = F.xxhash64(*[F.col(c) for c in snap.key_cols])
+    old_b = F.pmod(h, F.lit(snap.n_buckets)).cast("int")
+    if snap.rescale_to is None:
+        return old_b
+    new_b = F.pmod(h, F.lit(snap.rescale_to)).cast("int")
+    return F.when(old_b < F.lit(snap.rescale_watermark), new_b) \
+        .otherwise(old_b)
+
+
 def _bucket_of(key_cols: list[str], n_buckets: int):
     """Bucket id of a row: pmod(xxhash64(key cols), n_buckets)."""
     return F.pmod(
@@ -411,6 +439,26 @@ class Snapshot:
     #   table; None only on pre-timestamp snapshots (ineligible for
     #   timestamp travel, resolvable by version as always). Metadata
     #   only: no query result may depend on it (determinism contract).
+    rescale_to: int | None = None   # incremental bucket rescale in
+    #   flight (start_rescale): the TARGET bucket count, an integer
+    #   multiple of n_buckets. While set, the row-routing function is
+    #   the watermark CASE in _route_of, bucket ids span
+    #   [0, rescale_to), and rescale_step() migrates old buckets in
+    #   ascending order. None = steady state.
+    rescale_watermark: int = 0      # old buckets [0, watermark) are
+    #   SPLIT: their rows live under pmod(hash, rescale_to) child ids;
+    #   buckets [watermark, n_buckets) still hold their pre-rescale
+    #   supersets. Only ever advances; meaningful only mid-rescale.
+
+    def id_space(self) -> int:
+        """Exclusive upper bound of bucket ids in this snapshot:
+        ``rescale_to`` while an incremental rescale is in flight (child
+        ids reach up to it), else ``n_buckets``. Write-path spreads and
+        routing literals size against THIS, never raw ``n_buckets`` —
+        the strict ``element_at`` bijection would otherwise reject (or
+        worse, misplace) a migrated row mid-rescale."""
+        return self.rescale_to if self.rescale_to is not None \
+            else self.n_buckets
 
     def cursor_prefixes(self) -> set[str]:
         """Manifest-key prefixes declared MONOTONE CURSORS via the
@@ -517,6 +565,8 @@ class Snapshot:
                 "rollback_of": self.rollback_of,
                 "file_stats": self.file_stats,
                 "commit_ts": self.commit_ts,
+                "rescale_to": self.rescale_to,
+                "rescale_watermark": self.rescale_watermark,
             },
             indent=1,
             sort_keys=True,
@@ -547,6 +597,8 @@ class Snapshot:
             rollback_of=d.get("rollback_of"),
             file_stats=d.get("file_stats", {}),
             commit_ts=d.get("commit_ts"),
+            rescale_to=d.get("rescale_to"),
+            rescale_watermark=d.get("rescale_watermark", 0),
         )
 
 
@@ -885,9 +937,9 @@ class LakeTable:
         return df
 
     def bucket_expr(self, snap: Snapshot):
-        """Bucket id of a row: pmod(xxhash64(key cols), n_buckets)."""
-        return F.pmod(F.xxhash64(*[F.col(c) for c in snap.key_cols]),
-                      F.lit(snap.n_buckets)).cast("int")
+        """Bucket id of a row under ``snap``'s layout (mid-rescale:
+        the watermark-routed id — see :func:`_route_of`)."""
+        return _route_of(snap)
 
     def lookup(self, keys: list[tuple], version: int | None = None) -> DataFrame:
         """Point lookups with bucket pruning: hash the requested keys
@@ -1116,7 +1168,7 @@ class LakeTable:
                 for c in user_cols
             ],
             (F.col(op_col) == F.lit(delete_op)).alias(DEL_FLAG),
-        ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
+        ).withColumn(BUCKET_COL, _route_of(snap))
 
         # ---- CHECK constraints (lake/constraints.py) -----------------
         # zero-extra-pass enforcement: the guard folds into the tombstone
@@ -1144,7 +1196,7 @@ class LakeTable:
             # MoR appends only the files actually written; claiming every
             # bucket as "affected" costs nothing (empty appends are dropped)
             # and saves a full scan of the batch per merge.
-            affected = list(range(snap.n_buckets))
+            affected = list(range(snap.id_space()))
         if not affected:
             new_snap = self._child(snap, evolved_schema, snap.buckets, manifest_key,
                                    added=[])
@@ -1176,13 +1228,13 @@ class LakeTable:
             existing = self._read_files(snap, existing_files, user_schema=evolved_schema)
             existing = existing.select(
                 *user_cols, F.col(META_DELETED).alias(DEL_FLAG)
-            ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
+            ).withColumn(BUCKET_COL, _route_of(snap))
             merged = _folder(snap.props)(
                 aligned.unionByName(existing), key_cols, ver_cols, user_cols, types
-            ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
+            ).withColumn(BUCKET_COL, _route_of(snap))
             new_files, rows_written, lineage = self._write_buckets(
                 merged, snap.version + 1, coarse_metrics=coarse,
-                spread=self._bijection_spread(snap.n_buckets),
+                spread=self._bijection_spread(snap.id_space()),
             )
             if _is_patch(snap.props):
                 # CoW fold output = partial rows; keep on the resolving path
@@ -1228,7 +1280,7 @@ class LakeTable:
             else:
                 merged = _lww_rows(
                     aligned, key_cols, ver_cols, user_cols, types
-                ).withColumn(BUCKET_COL, _bucket_of(key_cols, snap.n_buckets))
+                ).withColumn(BUCKET_COL, _route_of(snap))
             new_files, rows_written, lineage = self._write_buckets(
                 merged, snap.version + 1, coarse_metrics=coarse,
                 spread=self._salted_spread(snap, key_cols),
@@ -1364,13 +1416,13 @@ class LakeTable:
                 ~(F.col(META_DELETED) & (F.col(ts_col) < F.lit(expire_tombstones_before)))
             )
         compacted = compacted.withColumn(
-            BUCKET_COL, _bucket_of(snap.key_cols, snap.n_buckets)
+            BUCKET_COL, _route_of(snap)
         )
         new_files, _, _ = self._write_buckets(
             compacted, version, tag="c",
             coarse_metrics=snap.props.get("write_metrics", "full") == "coarse",
             sort_cols=self._sort_exprs(snap, files, storage),
-            spread=self._bijection_spread(snap.n_buckets),
+            spread=self._bijection_spread(snap.id_space()),
         )
         return new_files
 
@@ -1579,6 +1631,8 @@ class LakeTable:
             applied_count=snap.applied_count,
             rollback_of=to_version,
             file_stats={f: s for f, s in target.file_stats.items()},
+            rescale_to=target.rescale_to,
+            rescale_watermark=target.rescale_watermark,
         )
         self._publish(child)
         return child.version
@@ -1597,6 +1651,13 @@ class LakeTable:
         if new_n_buckets < 1:
             raise ValueError("new_n_buckets must be >= 1")
         snap = self.current_snapshot()
+        if snap.rescale_to is not None:
+            raise ValueError(
+                f"an incremental rescale to {snap.rescale_to} is in "
+                f"flight (watermark {snap.rescale_watermark}/"
+                f"{snap.n_buckets}); drive it to completion with "
+                f"rescale_step() before an atomic rebucket"
+            )
         files = [f for fl in snap.buckets.values() for f in fl]
         user_cols = [f.name for f in snap.schema.fields]
         types = {f.name: f.dataType for f in snap.schema.fields}
@@ -1626,6 +1687,205 @@ class LakeTable:
         child.n_buckets = new_n_buckets
         self._publish(child)
         return child.version
+
+    # ------------------------------------------------------ incremental rescale
+
+    def start_rescale(self, new_n_buckets: int, max_retries: int = 3) -> int:
+        """Begin changing the bucket count WITHOUT an O(table) rewrite —
+        the 100 TB alternative to :meth:`rebucket`, whose single atomic
+        commit is a multi-hour job that loses every publish race with
+        concurrent ingest. Two regimes, both correct mid-flight:
+
+        - **Grow** (``new % n_buckets == 0``): this commit is
+          metadata-only (records the target + a zero watermark); data
+          moves later, one old bucket at a time, via
+          :meth:`rescale_step` — each step is O(bucket), budget-bounded,
+          and merges/reads stay correct throughout because every path
+          routes through the watermark CASE (:func:`_route_of`).
+        - **Shrink** (``n_buckets % new == 0``): completes IN this
+          commit with ZERO data I/O. ``hash % old = b`` implies
+          ``hash % new = b % new``, so each old bucket's files belong
+          wholly to one new bucket — the file LISTS merge and read-time
+          LWW (buckets are disjoint key spaces) resolves across them;
+          later compaction folds the extra files at leisure.
+
+        Iceberg analogue: partition-spec evolution — old data stays
+        under the old spec while the layout migrates incrementally,
+        instead of Hive's rewrite-the-world. Returns the new snapshot
+        version."""
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        last_exc = None
+        for _ in range(max_retries + 1):
+            snap = self.current_snapshot()
+            if snap.rescale_to is not None:
+                raise ValueError(
+                    f"a rescale to {snap.rescale_to} is already in flight "
+                    f"(watermark {snap.rescale_watermark}/{snap.n_buckets})"
+                )
+            if snap.props.get("bootstrap_floor"):
+                # bootstrap chunk assignment is derived from the CURRENT
+                # n_buckets on every resume (cdc/bootstrap.py _chunk_expr);
+                # finalizing a rescale mid-bootstrap would repartition the
+                # chunks and let a resumed bootstrap skip rows
+                raise ValueError(
+                    f"rescale is blocked while bootstrap "
+                    f"{snap.props['bootstrap_floor']!r} is in flight"
+                )
+            if new_n_buckets == snap.n_buckets:
+                raise ValueError(f"table already has {new_n_buckets} buckets")
+            if new_n_buckets > snap.n_buckets:
+                if new_n_buckets % snap.n_buckets != 0:
+                    raise ValueError(
+                        f"incremental grow needs an integer multiple of "
+                        f"{snap.n_buckets} (got {new_n_buckets}) so each "
+                        f"old bucket splits into exactly its own child "
+                        f"ids; use rebucket() for an arbitrary count"
+                    )
+                child = self._child(snap, snap.schema, dict(snap.buckets),
+                                    None, added=[])
+                child.rescale_to = new_n_buckets
+                child.rescale_watermark = 0
+            else:
+                if snap.n_buckets % new_n_buckets != 0:
+                    raise ValueError(
+                        f"metadata-only shrink needs a divisor of "
+                        f"{snap.n_buckets} (got {new_n_buckets}); use "
+                        f"rebucket() for an arbitrary count"
+                    )
+                merged: dict[int, list[str]] = {}
+                for b in sorted(snap.buckets):
+                    if snap.buckets[b]:
+                        merged.setdefault(b % new_n_buckets, []).extend(
+                            snap.buckets[b])
+                child = self._child(snap, snap.schema, merged, None,
+                                    added=[])
+                child.n_buckets = new_n_buckets
+            try:
+                self._publish(child)
+                return child.version
+            except CommitConflict as exc:
+                last_exc = exc
+        raise last_exc
+
+    def rescale_step(self, max_buckets: int = 1,
+                     budget_bytes: int | None = None,
+                     max_retries: int = 3) -> dict:
+        """Migrate the next slice of an in-flight grow rescale: split old
+        buckets ``[watermark, ...)`` (ascending — the order the routing
+        CASE relies on) into their ``rescale_to`` child ids. Each split
+        reads ONE old bucket's files, LWW-folds them (free compaction,
+        tombstones retained — they must keep suppressing late events
+        from their new child id), re-buckets by the new modulus and
+        writes via the collision-free bijection. O(selected buckets),
+        never O(table); a maintenance commit (no manifest key, empty
+        change-feed provenance) exactly like compaction.
+
+        ``budget_bytes`` bounds the input bytes per call with the same
+        progress guarantee as the compaction planner: the first pending
+        bucket is ALWAYS taken, so an outsized hot bucket cannot wedge
+        convergence. Empty pending buckets advance the watermark for
+        free. The step that migrates the last bucket also FINALIZES:
+        ``n_buckets`` flips to the target and the rescale state clears,
+        all in the same commit.
+
+        Returns ``{"split": [...], "watermark": w, "done": bool,
+        "version": v}``."""
+        if max_buckets < 1:
+            raise ValueError("max_buckets must be >= 1")
+        last_exc = None
+        for _ in range(max_retries + 1):
+            snap = self.current_snapshot()
+            if snap.rescale_to is None:
+                raise ValueError("no rescale in flight (start_rescale first)")
+            new_n = snap.rescale_to
+            w = snap.rescale_watermark
+            selected: list[int] = []
+            spent = 0
+            b = w
+            while b < snap.n_buckets:
+                fl = snap.buckets.get(b, [])
+                if fl:
+                    if len(selected) >= max_buckets:
+                        break
+                    cost = 0
+                    for f in fl:
+                        try:
+                            cost += os.stat(
+                                os.path.join(self.path, f)).st_size
+                        except OSError:
+                            pass
+                    if selected and budget_bytes is not None and \
+                            spent + cost > budget_bytes:
+                        break
+                    selected.append(b)
+                    spent += cost
+                b += 1
+            new_wm = b
+            buckets = dict(snap.buckets)
+            new_files: dict[int, list[str]] = {}
+            add_nonunique: list[str] = []
+            if selected:
+                files = [f for sb in selected for f in snap.buckets[sb]]
+                user_cols = [f.name for f in snap.schema.fields]
+                types = {f.name: f.dataType for f in snap.schema.fields}
+                storage = self._read_files(snap, files).select(
+                    *user_cols, F.col(META_DELETED).alias(DEL_FLAG)
+                )
+                resolved = _folder(snap.props)(
+                    storage, snap.key_cols, snap.version_cols, user_cols,
+                    types,
+                ).withColumn(
+                    BUCKET_COL,
+                    F.pmod(F.xxhash64(*[F.col(c) for c in snap.key_cols]),
+                           F.lit(new_n)).cast("int"),
+                )
+                coarse = snap.props.get("write_metrics", "full") == "coarse"
+                new_files, _, _ = self._write_buckets(
+                    resolved, snap.version + 1, tag="s",
+                    coarse_metrics=coarse,
+                    sort_cols=self._sort_exprs(snap, files, storage),
+                    spread=self._bijection_spread(new_n),
+                )
+                for sb in selected:
+                    del buckets[sb]
+                for cb, fl in new_files.items():
+                    buckets[cb] = fl
+                if _is_patch(snap.props):
+                    # patch fold output = PARTIAL rows, possibly several
+                    # per key — children stay on the resolving read path
+                    add_nonunique = [f for fl in new_files.values()
+                                     for f in fl]
+            done = new_wm >= snap.n_buckets
+            child = self._child(snap, snap.schema, buckets, None,
+                                added=[], add_nonunique=add_nonunique,
+                                new_stats=self._harvest_stats(snap, new_files))
+            if done:
+                child.n_buckets = new_n
+                child.rescale_to = None
+                child.rescale_watermark = 0
+            else:
+                child.rescale_watermark = new_wm
+            try:
+                self._publish(child)
+                return {"split": selected, "watermark": new_wm,
+                        "done": done, "version": child.version}
+            except CommitConflict as exc:
+                last_exc = exc
+        raise last_exc
+
+    def rescale_status(self) -> dict | None:
+        """``None`` in steady state, else progress of the in-flight
+        grow rescale."""
+        snap = self.current_snapshot()
+        if snap.rescale_to is None:
+            return None
+        return {
+            "from_buckets": snap.n_buckets,
+            "to_buckets": snap.rescale_to,
+            "watermark": snap.rescale_watermark,
+            "remaining": snap.n_buckets - snap.rescale_watermark,
+        }
 
     # (old simpleString, new simpleString) the parquet vectorized reader
     # converts on the fly (probed on this Spark: int->long, int->double,
@@ -1742,12 +2002,12 @@ class LakeTable:
         )
         resolved = _folder(snap.props)(
             storage, snap.key_cols, snap.version_cols, user_cols, types
-        ).withColumn(BUCKET_COL, _bucket_of(snap.key_cols, snap.n_buckets))
+        ).withColumn(BUCKET_COL, _route_of(snap))
         coarse = snap.props.get("write_metrics", "full") == "coarse"
         new_files, _, _ = self._write_buckets(
             resolved, snap.version + 1, tag="w", coarse_metrics=coarse,
             sort_cols=self._sort_exprs(snap, files, storage),
-            spread=self._bijection_spread(snap.n_buckets),
+            spread=self._bijection_spread(snap.id_space()),
         )
         child = self._child(
             snap, evolved, new_files, None, added=[],
@@ -1988,7 +2248,7 @@ class LakeTable:
         bijection. ``merge_balance="plain"`` opts out entirely."""
         if snap.props.get("merge_balance", "salted") != "salted":
             return None
-        n = snap.n_buckets
+        n = snap.id_space()
         sizes: dict[int, int] = {}
         for b, fl in snap.buckets.items():
             tot = 0
@@ -2286,6 +2546,8 @@ class LakeTable:
             applied_watermarks=watermarks,
             applied_count=snap.applied_count + (1 if manifest_key is not None else 0),
             file_stats=file_stats,
+            rescale_to=snap.rescale_to,
+            rescale_watermark=snap.rescale_watermark,
         )
 
     # --------------------------------------------------------------- utils

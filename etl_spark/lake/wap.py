@@ -116,6 +116,19 @@ class StagedCommit:
                     f"(parent v{self.parent_version}, now v{cur.version}) "
                     f"— abort and re-stage"
                 )
+            elif (cur.n_buckets != self.snapshot.n_buckets
+                  or cur.rescale_to != self.snapshot.rescale_to
+                  or cur.rescale_watermark != self.snapshot.rescale_watermark):
+                # the staged files were ROUTED under the layout of the
+                # stage-time snapshot; a rebucket / rescale start / step /
+                # finalize in between means appending them would put rows
+                # where the new routing will never look (a point lookup
+                # for a migrated key would silently miss them)
+                raise CommitConflict(
+                    f"staged commit {self.manifest_key!r} cannot rebase: "
+                    f"the bucket layout changed since staging "
+                    f"(rebucket/rescale) — abort and re-stage"
+                )
             else:
                 # MoR rebase: staged files are pure appends to their
                 # buckets; schema union is additive both ways

@@ -4252,6 +4252,65 @@ FROM l JOIN r ON l.user_id = r.user_id
 """
 
 
+def q_bucket_rescale_read(spark, sf_dir):
+    """Incremental bucket rescale (LakeTable.start_rescale /
+    rescale_step): grow the hash layout 8 -> 16 WITHOUT an O(table)
+    rewrite — a metadata-only start, then budget-bounded per-bucket
+    migration steps that interleave with live merges (routing follows
+    the split watermark: lake/table.py::_route_of), a finalize that
+    flips n_buckets in the last step's commit, and a metadata-only
+    shrink back to 4 (a divisor: file lists merge, zero data I/O).
+    Iceberg partition-spec-evolution analogue; the atomic rebucket()
+    stays for arbitrary counts. Final state must equal a plain replay —
+    the layout is invisible to query results."""
+    from etl_spark.cdc.events import write_event_epochs
+    from etl_spark.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    wal = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "ts", "user_id", "event_type", "value", "props",
+        F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("epoch"),
+    )
+    tmp = _tmpdir("etl_spark_rescale_")
+    wal_dir = os.path.join(tmp, "wal")
+    write_event_epochs(wal, wal_dir)
+    from pyspark.sql.types import StructType
+
+    user = StructType([f for f in wal.schema.fields
+                       if f.name not in ("op", "epoch")])
+    t = LakeTable.create(
+        spark, os.path.join(tmp, "tbl"), user, key_cols=["user_id"],
+        version_cols=["ts", "event_id"], n_buckets=8,
+        props={"write_metrics": "coarse"},
+    )
+
+    def ep(e):
+        t.merge(spark.read.parquet(os.path.join(wal_dir, f"epoch={e}")),
+                f"epoch:{e}")
+
+    ep(0); ep(1)
+    t.start_rescale(16)
+    t.rescale_step(max_buckets=3)       # partial migration...
+    ep(2)                               # ...merge routes mid-flight
+    while t.rescale_status():
+        t.rescale_step(max_buckets=99)  # finalize flips n_buckets
+    ep(3)
+    assert t.current_snapshot().n_buckets == 16
+    t.start_rescale(4)                  # divisor: metadata-only shrink
+    assert t.current_snapshot().n_buckets == 4
+    return t.read().select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+SQL_BUCKET_RESCALE = SQL_CDC_REPLAY
+
+
 def q_sketch_distinct_sync(spark, sf_dir):
     """HLL sketch-maintained approx distinct rollup (cdc/sketch_sync.py):
     distinct-ever users per event_type kept from the change feed alone —
@@ -4932,6 +4991,7 @@ QUERIES = {
     "type_promotion_read": q_type_promotion_read,
     "rename_evolution_read": q_rename_evolution_read,
     "spj_cobucket_join": q_spj_cobucket_join,
+    "bucket_rescale_read": q_bucket_rescale_read,
     "dml_delete_where": q_dml_delete_where,
     "dml_update_where": q_dml_update_where,
     "txn_boundary_gate": q_txn_boundary_gate,
@@ -5048,6 +5108,7 @@ ORACLES = {
     "type_promotion_read": SQL_TYPE_PROMOTION,
     "rename_evolution_read": SQL_RENAME_EVOLUTION,
     "spj_cobucket_join": SQL_SPJ_COBUCKET,
+    "bucket_rescale_read": SQL_BUCKET_RESCALE,
     "dml_delete_where": SQL_DML_DELETE,
     "dml_update_where": SQL_DML_UPDATE,
     "consistent_read_group": SQL_CONSISTENT_GROUP,
