@@ -29,6 +29,7 @@ from etl_spark.lake.constraints import (
 from etl_spark.lake.diff import snapshot_diff
 from etl_spark.lake.dml import delete_where, update_where
 from etl_spark.lake.fastagg import fast_count, fast_min_max
+from etl_spark.lake.fsck import check_integrity
 from etl_spark.lake.port import TablePort
 from etl_spark.lake.planner import CompactionPlan, plan_compaction
 from etl_spark.lake.purge import purge_keys
@@ -43,4 +44,5 @@ __all__ = ["LakeTable", "Snapshot", "MergeStats", "CommitConflict", "purge_keys"
            "plan_compaction", "CompactionPlan",
            "ConstraintViolation", "add_constraint", "drop_constraint",
            "violation_counts", "merge_quarantine",
-           "fast_count", "fast_min_max", "cobucket_join"]
+           "fast_count", "fast_min_max", "cobucket_join",
+           "check_integrity"]

@@ -4311,6 +4311,56 @@ def q_bucket_rescale_read(spark, sf_dir):
 SQL_BUCKET_RESCALE = SQL_CDC_REPLAY
 
 
+def q_integrity_audit(spark, sf_dir):
+    """Table fsck (lake/fsck.check_integrity — the reference's post-load
+    verification posture at the lake layer, sisab/relatorio_validacao_
+    producao/verificacao.py:15-98): a healthy bloomed + zone-mapped table
+    audits clean on all three planes (metadata invariants, executor-side
+    footer sweep, deep row-placement); physically deleting one referenced
+    data file is then caught BY NAME, and restoring it audits clean
+    again. The returned live state is oracled — proving the audited
+    metadata belongs to a table whose answers are right."""
+    import shutil as _sh
+
+    from etl_spark.lake import LakeTable, check_integrity
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 7)
+    wave = ev.select("event_id", F.lit("I").alias("op"), "ts", "user_id",
+                     "event_type", "value", "props")
+    tmp = _tmpdir("etl_spark_fsck_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "tbl"),
+        ev.select("event_id", "ts", "user_id", "event_type",
+                  "value", "props").schema,
+        key_cols=["event_id"], version_cols=["ts"], n_buckets=8,
+        props={"stats_cols": "ts", "bloom_cols": "event_id"},
+    )
+    table.merge(wave, "wave:0")
+    table.compact()
+
+    rep = check_integrity(table, deep=True)
+    assert rep["ok"] and rep["files_checked"] > 0, rep
+    assert rep["misplaced_rows"] == []
+
+    snap = table.current_snapshot()
+    victim = next(f for fl in snap.buckets.values() for f in fl)
+    vp = os.path.join(table.path, victim)
+    _sh.move(vp, vp + ".hidden")
+    damaged = check_integrity(table)
+    assert not damaged["ok"]
+    assert {m["file"] for m in damaged["missing_files"]} == {victim}
+    _sh.move(vp + ".hidden", vp)
+    assert check_integrity(table)["ok"]
+    return table.read().select("event_id", "ts", "user_id",
+                               "event_type", "value", "props")
+
+
+SQL_INTEGRITY_AUDIT = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events WHERE user_id % 10 = 7
+"""
+
+
 def q_sketch_distinct_sync(spark, sf_dir):
     """HLL sketch-maintained approx distinct rollup (cdc/sketch_sync.py):
     distinct-ever users per event_type kept from the change feed alone —
@@ -4992,6 +5042,7 @@ QUERIES = {
     "rename_evolution_read": q_rename_evolution_read,
     "spj_cobucket_join": q_spj_cobucket_join,
     "bucket_rescale_read": q_bucket_rescale_read,
+    "integrity_audit": q_integrity_audit,
     "dml_delete_where": q_dml_delete_where,
     "dml_update_where": q_dml_update_where,
     "txn_boundary_gate": q_txn_boundary_gate,
@@ -5109,6 +5160,7 @@ ORACLES = {
     "rename_evolution_read": SQL_RENAME_EVOLUTION,
     "spj_cobucket_join": SQL_SPJ_COBUCKET,
     "bucket_rescale_read": SQL_BUCKET_RESCALE,
+    "integrity_audit": SQL_INTEGRITY_AUDIT,
     "dml_delete_where": SQL_DML_DELETE,
     "dml_update_where": SQL_DML_UPDATE,
     "consistent_read_group": SQL_CONSISTENT_GROUP,

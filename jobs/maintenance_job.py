@@ -50,6 +50,31 @@ def main() -> None:
                     help="also remove crashed writers' .stage trees older "
                          "than the window (use a window above the longest "
                          "plausible merge)")
+    ap.add_argument("--rescale-to", type=int, default=None,
+                    help="start (or continue) an INCREMENTAL rescale to "
+                         "this bucket count; each invocation advances by "
+                         "--rescale-step-buckets (grow) or completes "
+                         "instantly (divisor shrink) — the scheduled, "
+                         "racing-writer-safe alternative to --rebucket")
+    ap.add_argument("--rescale-step-buckets", type=int, default=None,
+                    help="max old buckets to migrate THIS invocation "
+                         "(default: all remaining)")
+    ap.add_argument("--rescale-budget-bytes", type=int, default=None,
+                    help="input-byte budget per invocation for rescale "
+                         "steps (first pending bucket always taken)")
+    ap.add_argument("--auto-rescale-max-bucket-bytes", type=int,
+                    default=None,
+                    help="layout policy: if the MEAN stored bytes per "
+                         "bucket exceeds this, start (or continue) a 2x "
+                         "grow rescale — keeps bucket size bounded as "
+                         "the table grows, without operator math")
+    ap.add_argument("--fsck", action="store_true",
+                    help="integrity audit (lake/fsck.py): metadata "
+                         "invariants + executor-side footer sweep "
+                         "(existence, corruption, sidecars, zone-map "
+                         "bounds); report under 'fsck'")
+    ap.add_argument("--fsck-deep", action="store_true",
+                    help="fsck plus the O(table) row-placement scan")
     ap.add_argument("--rebucket", type=int, default=None,
                     help="rewrite the table into this bucket count "
                          "(O(table); layout evolution)")
@@ -127,6 +152,41 @@ def main() -> None:
     if args.rebucket is not None:
         report["rebucketed_to"] = args.rebucket
         table.rebucket(args.rebucket)
+    if args.auto_rescale_max_bucket_bytes is not None and \
+            args.rescale_to is None:
+        # layout policy: mean stored bytes per bucket vs the cap. Uses
+        # the same driver-side file sizes the salted spread reads; only
+        # proposes a 2x grow (repeat invocations compound as needed).
+        import os as _os
+
+        snap = table.current_snapshot()
+        if snap.rescale_to is not None:
+            args.rescale_to = snap.rescale_to  # drain the in-flight one
+        else:
+            total = 0
+            for fl in snap.buckets.values():
+                for f in fl:
+                    try:
+                        total += _os.stat(
+                            _os.path.join(table.path, f)).st_size
+                    except OSError:
+                        pass
+            mean = total / max(snap.n_buckets, 1)
+            report["auto_rescale_mean_bucket_bytes"] = int(mean)
+            if mean > args.auto_rescale_max_bucket_bytes:
+                args.rescale_to = 2 * snap.n_buckets
+    if args.rescale_to is not None:
+        snap = table.current_snapshot()
+        if snap.rescale_to is None and snap.n_buckets != args.rescale_to:
+            table.start_rescale(args.rescale_to)
+            report["rescale_started_to"] = args.rescale_to
+        if table.rescale_status() is not None:
+            step = table.rescale_step(
+                max_buckets=args.rescale_step_buckets
+                or table.current_snapshot().n_buckets,
+                budget_bytes=args.rescale_budget_bytes)
+            report["rescale_step"] = step
+        report["rescale_status"] = table.rescale_status()
     if args.compact:
         wm = (dt.datetime.fromisoformat(args.expire_tombstones_before)
               if args.expire_tombstones_before else None)
@@ -160,6 +220,11 @@ def main() -> None:
         n, tiers = fast_count(table)
         report["live_rows"] = n
         report["count_tiers"] = tiers
+
+    if args.fsck or args.fsck_deep:
+        from etl_spark.lake import check_integrity
+
+        report["fsck"] = check_integrity(table, deep=args.fsck_deep)
 
     report["version_after"] = table.current_version()
     print(json.dumps(report))
