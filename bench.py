@@ -176,6 +176,12 @@ BENCH_QUERIES = [
     # zero-Exchange co-bucketed join (wall includes both fixture merges)
     "rename_evolution_read",
     "spj_cobucket_join",
+    # layout evolution + integrity (round 5): rescale is the watermark-
+    # routed grow with mid-flight merges plus a metadata-only shrink
+    # (wall includes four fixture merges and every migration step); the
+    # audit is three fsck planes incl. the deep row-placement scan
+    "bucket_rescale_read",
+    "integrity_audit",
 ]
 
 
