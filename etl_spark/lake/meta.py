@@ -54,7 +54,8 @@ _FILES_SCHEMA = ("file string, bucket int, row_count bigint, "
 _SNAPSHOTS_SCHEMA = ("version bigint, parent bigint, data_files bigint, "
                      "added_files bigint, applied_count bigint, "
                      "rollback_of bigint, n_buckets int, "
-                     "is_maintenance boolean, committed_at double")
+                     "is_maintenance boolean, committed_at double, "
+                     "rescale_to int, rescale_watermark int")
 _LEDGER_SCHEMA = "entry string, kind string, wm_lo bigint, wm_hi bigint"
 _REFS_SCHEMA = "name string, kind string, version bigint"
 _STATS_SCHEMA = ("file string, column string, min_json string, "
@@ -111,6 +112,9 @@ def metadata_table(table, kind: str, version=None,
                 int(s.n_buckets),
                 s.added == [],
                 None if s.commit_ts is None else float(s.commit_ts),
+                None if s.rescale_to is None else int(s.rescale_to),
+                None if s.rescale_to is None
+                else int(s.rescale_watermark),
             ))
         return spark.createDataFrame(rows, schema=_SNAPSHOTS_SCHEMA)
 

@@ -303,6 +303,10 @@ def test_rescale_state_survives_reload(spark, tmp_root, wal):
     t2 = LakeTable.load(spark, t.path)
     assert t2.rescale_status() == {
         "from_buckets": 4, "to_buckets": 8, "watermark": 1, "remaining": 3}
+    # ops surface: the in-flight state shows in the snapshots meta table
+    cur = [r for r in t2.meta("snapshots").collect()
+           if r["version"] == t2.current_version()][0]
+    assert (cur["rescale_to"], cur["rescale_watermark"]) == (8, 1)
     while t2.rescale_status():
         t2.rescale_step(max_buckets=99)
     ref = _mk(spark, tmp_root, "reload_ref", wal, n_buckets=8)
