@@ -6,7 +6,12 @@ Both tables hash their rows into ``n_buckets`` buckets by
 When two tables share the bucket count and their key columns are
 pairwise type-identical, equal join keys land in the SAME bucket id on
 both sides — so the join decomposes into ``n_buckets`` independent
-bucket-pair joins with no data movement at all. This is Spark 3.3+'s
+bucket-pair joins with no data movement at all. COMPATIBLE counts join
+too: when one ``n_buckets`` divides the other (the shape an incremental
+rescale leaves behind), keys co-locate at the coarser granularity
+(``h % coarse = (h % fine) % coarse``) and the join runs one task per
+COARSE bucket, folding the finer side's k child buckets in — disjoint
+key spaces, every file read exactly once, still zero Exchange. This is Spark 3.3+'s
 storage-partitioned join (SPARK-37375) re-expressed for this format:
 the fact-to-fact join Catalyst cannot avoid shuffling for plain parquet
 (it cannot see the layout) runs here as one task per bucket.
@@ -37,7 +42,7 @@ count equals ``n_buckets`` at every cluster size (same decomposition at
 N and 4N executors), and file pruning keeps cold buckets at zero I/O.
 The working set of a task is its bucket PAIR in Arrow memory — the same
 sizing rule as the write path (n_buckets ≈ 10^5 keeps buckets ~1 GB at
-100 TB; a table that outgrows it takes one ``rebucket``), and a join
+100 TB; a table that outgrows it takes an incremental rescale), and a join
 whose buckets do not fit is a layout problem the metadata names, not a
 silent spill.
 
@@ -247,10 +252,20 @@ def cobucket_join(
             "(patch tables fold winners per COLUMN — resolve them with "
             "read() and join normally)"
         )
-    if ls.n_buckets != rs.n_buckets:
+    if ls.n_buckets != rs.n_buckets and \
+            max(ls.n_buckets, rs.n_buckets) % \
+            min(ls.n_buckets, rs.n_buckets) != 0:
+        # COMPATIBLE layouts need only a common modulus: when one count
+        # divides the other, keys still co-locate at the coarser
+        # granularity — h % coarse = (h % fine) % coarse. An incremental
+        # rescale therefore never breaks a table's SPJ partners: the
+        # finer side's k child buckets per coarse id are disjoint key
+        # spaces and join inside one task. Arbitrary counts share no
+        # modulus and genuinely require a rebucket.
         raise ValueError(
-            f"tables are not co-bucketed: n_buckets {ls.n_buckets} != "
-            f"{rs.n_buckets} (rebucket one side first)"
+            f"tables are not co-bucketed: n_buckets {ls.n_buckets} vs "
+            f"{rs.n_buckets} share no common modulus (one must divide "
+            f"the other; rebucket or rescale one side)"
         )
     for side, s in (("left", ls), ("right", rs)):
         if s.rescale_to is not None:
@@ -313,9 +328,37 @@ def cobucket_join(
         + [pa.field(rout[c], ratypes[c]) for c in rpayload]
     )
 
+    # join-unit space = the COARSER layout: with nF = k * nC, fine
+    # bucket f holds exactly the keys with h % nC = f % nC of coarse
+    # bucket f % nC, so one task per coarse id reads the coarse bucket
+    # plus its k fine children — every file exactly once. ``buckets``
+    # subsets are interpreted in this coarse space.
+    n_coarse = min(ls.n_buckets, rs.n_buckets)
+
+    def _fine_sel(n_side):
+        if buckets is None or n_side == n_coarse:
+            return buckets
+        return [c + j * n_coarse for c in buckets
+                for j in range(n_side // n_coarse)]
+
+    def _fold(side_plan, n_side):
+        if n_side == n_coarse:
+            return side_plan
+        out: dict = {}
+        for b in sorted(side_plan):
+            fl, mor = side_plan[b]
+            cf, cm = out.get(b % n_coarse, ([], False))
+            # children are disjoint key spaces: concatenating clean
+            # buckets stays clean (no cross-file key repeats), so the
+            # union needs LWW only if some constituent did
+            out[b % n_coarse] = (cf + fl, cm or mor)
+        return out
+
     plan = {}
-    lplan = _side_plan(left, ls, lpreds, buckets)
-    rplan = _side_plan(right, rs, rpreds, buckets)
+    lplan = _fold(_side_plan(left, ls, lpreds, _fine_sel(ls.n_buckets)),
+                  ls.n_buckets)
+    rplan = _fold(_side_plan(right, rs, rpreds, _fine_sel(rs.n_buckets)),
+                  rs.n_buckets)
     # left join output only needs buckets where the LEFT has rows
     ids = set(lplan) & set(rplan) if how == "inner" else set(lplan)
     for b in ids:
@@ -380,6 +423,6 @@ def cobucket_join(
                 merged = merged.select(cfg["out_cols"]).cast(out_a)
                 yield from merged.combine_chunks().to_batches()
 
-    n = ls.n_buckets
+    n = n_coarse
     return spark.range(0, n, 1, numPartitions=n).mapInArrow(
         _kernel, schema=out_schema)

@@ -166,7 +166,8 @@ def test_refusals(spark, tmp_root):
     other = LakeTable.create(
         spark, os.path.join(tmp_root, "nb"), StructType.fromDDL(RSCHEMA),
         key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
-        n_buckets=4)
+        n_buckets=3)  # 3 and 8 share no common modulus (4 would: SPJ
+        # now joins compatible multiple-of layouts at the coarser one)
     with pytest.raises(ValueError, match="not co-bucketed"):
         cobucket_join(left, other)
     typed = LakeTable.create(
@@ -185,3 +186,60 @@ def test_refusals(spark, tmp_root):
         cobucket_join(left, patch)
     with pytest.raises(ValueError, match="how"):
         cobucket_join(left, left, how="outer")
+
+
+def test_compatible_multiple_of_layouts(spark, tmp_root):
+    """A 16-bucket left joins an 8-bucket right with zero shuffle: task
+    per COARSE bucket, fine children folded in (disjoint key spaces)."""
+    left = LakeTable.create(
+        spark, os.path.join(tmp_root, "l16"), StructType.fromDDL(LSCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=16, props={"compact_threshold": "100"},
+    )
+    right = _mk(spark, tmp_root, "r8", RSCHEMA)
+    _seed(spark, left, right)
+    # extra MoR generation on the fine side so folded children carry
+    # both clean and delta files
+    left.merge(spark.createDataFrame(
+        [_lrows(i + 100) for i in range(10)], LSCHEMA + ", op string"),
+        "l:1")
+    cols = ["repo", "path", "event_id", "content", "size",
+            "event_id_r", "lang", "stars"]
+    got = cobucket_join(left, right)
+    assert _sorted(got, cols) == _sorted(_expected(left, right), cols)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert got.rdd.getNumPartitions() == 8  # the coarser layout
+    # left join + coarse-space bucket subset compose
+    got_l = cobucket_join(left, right, how="left", buckets=[0, 3, 5])
+    want = _expected(left, right, how="left").withColumn(
+        "__b", F.pmod(F.xxhash64("repo", "path"), F.lit(8)).cast("int")
+    ).filter(F.col("__b").isin([0, 3, 5])).drop("__b")
+    assert _sorted(got_l, cols) == _sorted(want, cols)
+    # arbitrary counts still refuse
+    odd = LakeTable.create(
+        spark, os.path.join(tmp_root, "r6"), StructType.fromDDL(RSCHEMA),
+        key_cols=["repo", "path"], version_cols=["op_ts", "event_id"],
+        n_buckets=6,
+    )
+    with pytest.raises(ValueError, match="common modulus"):
+        cobucket_join(left, odd)
+
+
+def test_rescale_does_not_strand_spj_partners(spark, tmp_root):
+    """The story the feature exists for: an SPJ pair keeps working after
+    ONE side rescales 2x (refusing only while the rescale is in
+    flight)."""
+    left = _mk(spark, tmp_root, "lg", LSCHEMA)
+    right = _mk(spark, tmp_root, "rg", RSCHEMA)
+    _seed(spark, left, right)
+    cols = ["repo", "path", "event_id", "size", "event_id_r", "stars"]
+    before = _sorted(cobucket_join(left, right), cols)
+    left.start_rescale(16)
+    with pytest.raises(ValueError, match="mid-rescale"):
+        cobucket_join(left, right)
+    while left.rescale_status():
+        left.rescale_step(max_buckets=99)
+    after = cobucket_join(left, right)
+    assert _sorted(after, cols) == before
+    assert after.rdd.getNumPartitions() == 8
