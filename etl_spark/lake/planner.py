@@ -79,6 +79,12 @@ def plan_compaction(
     for b, fl in snap.buckets.items():
         if not fl:
             continue
+        if snap.rescale_to is not None and \
+                snap.rescale_watermark <= b < snap.n_buckets:
+            # pending-rescale bucket: its migration step LWW-folds it
+            # anyway (free compaction) — compacting it first is the same
+            # rewrite paid twice. Leave it for rescale_step.
+            continue
         gens = _generations(fl)
         if (len(fl) > 1 and gens >= min_generations) or \
                 any(f in nonuniq for f in fl):

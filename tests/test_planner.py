@@ -110,3 +110,24 @@ def test_nonunique_always_dirty(spark, tmp_root):
     t.compact(buckets=plan.buckets)
     assert not t.current_snapshot().nonunique or \
         plan_compaction(t, min_generations=99).total_dirty == 0
+
+
+def test_pending_rescale_buckets_left_for_their_step(spark, tmp_root):
+    """Mid-rescale, a dirty bucket the watermark has not reached is NOT
+    planned: its migration step LWW-folds it anyway, so compacting it
+    first is the same rewrite paid twice. Migrated children still plan."""
+    t = _table(spark, tmp_root)
+    t.merge(_wave(spark, 0, 400, 0), "w:0")
+    t.merge(_wave(spark, 0, 400, 1000), "w:1")   # every bucket dirty
+    assert sorted(plan_compaction(t).buckets) == [0, 1, 2, 3]
+    t.start_rescale(8)
+    t.rescale_step()  # watermark 1: bucket 0 split into children {0, 4}
+    t.merge(_wave(spark, 0, 400, 2000), "w:2")   # dirties children too
+    planned = set(plan_compaction(t).buckets)
+    assert not planned & {1, 2, 3}, planned       # pending: left alone
+    assert planned and planned <= {0, 4}          # children plan normally
+    while t.rescale_status():
+        t.rescale_step(max_buckets=9)
+    # steady state again: everything dirty is plannable
+    t.merge(_wave(spark, 0, 400, 3000), "w:3")
+    assert len(plan_compaction(t).buckets) > 0
