@@ -8,6 +8,10 @@ Ship as:
         jobs/maintenance_job.py --table-path TBL \
         [--compact] [--expire-keep-last N] \
         [--vacuum-older-than-sec S] [--rebucket N] \
+        [--rescale-to N [--rescale-step-buckets K] \
+         [--rescale-budget-bytes B]] \
+        [--auto-rescale-max-bucket-bytes B] \
+        [--fsck | --fsck-deep] \
         [--expire-tombstones-before 2024-01-01T00:00:00] \
         [--set-prop bloom_cols=repo|path --set-prop bloom_bits=auto \
          --backfill-stats] \
