@@ -837,6 +837,61 @@ class LakeTable:
                 (mor if is_mor else clean).append(f)
         return clean, mor, pruned
 
+    def _auto_bucket_subset(self, snap: Snapshot, preds: list):
+        """Bucket ids that can possibly hold a row matching ``preds``,
+        when the predicates PIN every key column with ``=``/``in``
+        (conjunctive semantics) — else None.
+
+        The candidate key set is the cartesian product of each key
+        column's pinned values (a SUPERSET of the matching rows' keys,
+        so hashing it driver-side gives a sound bucket superset); a
+        composite tuple predicate over exactly the key columns pins the
+        pairing directly and wins. Bounded: above 256 candidate tuples
+        the planning job costs more than it prunes — skip. This is what
+        makes ``read(where=<full key>)`` — and therefore predicate DML
+        on a key — O(matched buckets) instead of O(table): zone maps
+        cannot refute hash-distributed key values, so without this every
+        targeted DELETE/UPDATE WHERE key=... scanned every bucket's
+        files."""
+        if not preds:
+            return None
+        tuples = None
+        for p in preds:
+            col, op = p[0], p[1]
+            if isinstance(col, (tuple, list)) and \
+                    list(col) == list(snap.key_cols) and op in ("=", "in"):
+                vals = p[2] if op == "in" else [p[2]]
+                tuples = [tuple(v) for v in vals]
+                break
+        if tuples is None:
+            per_col = {}
+            for p in preds:
+                col, op = p[0], p[1]
+                if isinstance(col, (tuple, list)) or \
+                        col not in snap.key_cols or col in per_col:
+                    continue
+                if op == "=":
+                    per_col[col] = [p[2]]
+                elif op == "in":
+                    per_col[col] = list(p[2])
+            if set(per_col) != set(snap.key_cols):
+                return None
+            tuples = [()]
+            for c in snap.key_cols:
+                tuples = [t + (v,) for t in tuples for v in per_col[c]]
+                if len(tuples) > 256:
+                    return None
+        if not tuples or len(tuples) > 256:
+            return None if tuples else []
+        by_name = {f.name: f for f in snap.schema.fields}
+        key_rows = self.spark.createDataFrame(
+            tuples, StructType([by_name[c] for c in snap.key_cols])
+        )
+        return sorted({
+            r["__b"] for r in key_rows.select(
+                self.bucket_expr(snap).alias("__b")).collect()
+        })
+
     def scan_counts(
         self,
         where: list | None = None,
@@ -846,14 +901,23 @@ class LakeTable:
         """Plan-only diagnostics for ``read(where=...)``: how many data
         files the snapshot holds vs how many the pruned scan touches."""
         snap = self.snapshot(version)
-        sel = snap.buckets if buckets is None else {
-            b: snap.buckets.get(b, []) for b in buckets
-        }
         preds = list(where or [])
         if preds:
             from etl_spark.lake.stats import validate_predicates
             validate_predicates(preds, [f.name for f in snap.schema.fields])
+        auto = None
+        if buckets is None and preds:
+            auto = self._auto_bucket_subset(snap, preds)
+        chosen = buckets if buckets is not None else auto
+        sel = snap.buckets if chosen is None else {
+            b: snap.buckets.get(b, []) for b in chosen
+        }
         clean, mor, pruned = self._plan_scan(snap, sel, preds)
+        if auto is not None and buckets is None:
+            # auto bucket-pruning: report against the WHOLE snapshot so
+            # the skipped buckets' files show up as pruned
+            total = sum(len(fl) for fl in snap.buckets.values())
+            pruned = total - len(clean) - len(mor)
         return {"files_total": len(clean) + len(mor) + pruned,
                 "files_read": len(clean) + len(mor),
                 "files_pruned": pruned}
@@ -905,13 +969,18 @@ class LakeTable:
         """``read`` against an explicit snapshot object — the staged
         (not-yet-published) snapshot of a write-audit-publish commit
         reads through here (lake/wap.py)."""
-        sel = snap.buckets if buckets is None else {
-            b: snap.buckets.get(b, []) for b in buckets
-        }
         preds = list(where or [])
         if preds:
             from etl_spark.lake.stats import validate_predicates
             validate_predicates(preds, [f.name for f in snap.schema.fields])
+        if buckets is None and preds:
+            # predicates pinning the FULL key admit sound bucket pruning
+            # (the point-read / targeted-DML shape) — see
+            # _auto_bucket_subset
+            buckets = self._auto_bucket_subset(snap, preds)
+        sel = snap.buckets if buckets is None else {
+            b: snap.buckets.get(b, []) for b in buckets
+        }
         clean_files, agg_files, _ = self._plan_scan(snap, sel, preds)
         df = self._read_files(snap, clean_files)
         if agg_files:

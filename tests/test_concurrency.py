@@ -78,3 +78,72 @@ def test_racing_writers_all_land_exactly_once(spark, tmp_root):
     t.expire_snapshots(keep_last=1)
     t.vacuum(older_than_sec=0.0)
     assert {(r["k"], r["who"]) for r in t.read().collect()} == state
+
+
+def test_merges_race_rescale_steps(spark, tmp_root):
+    """The rescale claim under a REAL interleaving: a writer thread lands
+    merge after merge while a maintenance thread drives start_rescale +
+    rescale_step to completion. Every merge must apply exactly once,
+    every row must land in the final 2x layout, and the final state must
+    equal what a quiet replay of the same batches produces."""
+    path = os.path.join(tmp_root, "race_rescale")
+    LakeTable.create(spark, path, SCHEMA, key_cols=["k"],
+                     version_cols=["v"], n_buckets=4)
+    n_batches, rows_each = 8, 40
+    errors: list[BaseException] = []
+    start = threading.Barrier(2)
+
+    def batch_df(i):
+        return spark.createDataFrame(
+            [("I", j, i + 1, f"b{i}")
+             for j in range(i * 7, i * 7 + rows_each)],
+            "op string, k bigint, v bigint, who string",
+        )
+
+    def writer() -> None:
+        try:
+            t = LakeTable.load(spark, path)
+            start.wait()
+            for i in range(n_batches):
+                st = t.merge(batch_df(i), manifest_key=f"b:{i}",
+                             max_retries=40)
+                assert st.applied
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def rescaler() -> None:
+        try:
+            t = LakeTable.load(spark, path)
+            start.wait()
+            t.start_rescale(8, max_retries=40)
+            while t.rescale_status() is not None:
+                t.rescale_step(max_buckets=1, max_retries=40)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer),
+               threading.Thread(target=rescaler)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert not errors, errors
+
+    t = LakeTable.load(spark, path)
+    snap = t.current_snapshot()
+    assert snap.n_buckets == 8 and snap.rescale_to is None
+    for i in range(n_batches):
+        assert snap.has_applied(f"b:{i}")
+
+    ref_path = os.path.join(tmp_root, "race_rescale_ref")
+    ref = LakeTable.create(spark, ref_path, SCHEMA, key_cols=["k"],
+                           version_cols=["v"], n_buckets=8)
+    for i in range(n_batches):
+        ref.merge(batch_df(i), manifest_key=f"b:{i}")
+    got = sorted(tuple(r) for r in t.read().collect())
+    want = sorted(tuple(r) for r in ref.read().collect())
+    assert got == want
+    # ... and the layout is coherent: every row routes to its bucket
+    from etl_spark.lake.fsck import check_integrity
+
+    assert check_integrity(t, deep=True)["ok"]
