@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     # audit is three fsck planes incl. the deep row-placement scan
     "bucket_rescale_read",
     "integrity_audit",
+    "default_column_read",
 ]
 
 

@@ -133,15 +133,16 @@ def _sweep(spark, root: str, rels: list[str], cols: list[str]):
 
 def _scan_live(table, snap, rels: list[str], cols: list[str]):
     """Read ONLY ``cols`` of the given clean files, tombstones filtered.
-    Explicit one-field-per-column schema so old-vintage files surface
-    missing columns as NULL and nothing else is decoded."""
+    Routed through ``_read_files`` so the projection stays one field per
+    column AND evolution semantics hold: renamed columns coalesce their
+    old physical names and initial-default columns fill by file vintage
+    (a plain explicit-schema read would silently aggregate NULLs for
+    both, under-reporting extremes)."""
     fields = [f for f in snap.schema.fields if f.name in cols]
-    schema = StructType(
-        list(fields) + [StructField(META_DELETED, BooleanType(), False)]
-    )
-    paths = [os.path.join(table.path, r) for r in rels]
+    from pyspark.sql.types import StructType as _St
+
     return (
-        table.spark.read.schema(schema).parquet(*paths)
+        table._read_files(snap, rels, user_schema=_St(fields))
         .filter(~F.col(META_DELETED))
         .drop(META_DELETED)
     )
@@ -223,11 +224,20 @@ def fast_min_max(table, cols: list[str],
                  "patch_fallback": 1})
 
     clean, dirty = _plan(snap)
+    from etl_spark.lake.table import _file_vintage
+
+    defaults = {c: d for c, d in snap.default_map().items() if c in cols}
     scan: list[str] = []
     footer = 0
     for rel, n, state, bounds in _sweep(table.spark, table.path, clean, cols):
         if state == "dead":
             footer += 1
+        elif defaults and state != "dead" and any(
+                _file_vintage(rel) < d["at"] for d in defaults.values()):
+            # pre-alter file for an initial-default column: its live
+            # rows READ the default, which no footer statistic carries —
+            # the (default-aware) scan tier is the exact path
+            scan.append(rel)
         elif state == "live" and all(c in bounds for c in cols):
             for c in cols:
                 _fold(c, bounds[c][0], bounds[c][1])

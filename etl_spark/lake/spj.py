@@ -172,15 +172,18 @@ def _lww_pandas(tbl, keys, vers):
 
 
 def _load_side(root, files, user_cols, atypes, renames, mor, keys, vers,
-               preds):
+               preds, defaults=None):
     """Read one bucket side into an Arrow table of live LWW winners:
     per-file column-pruned reads cast to the declared schema (aligning
     promoted-type and rename-evolved vintages), rename coalesce
-    newest-first, merge-on-read resolve, tombstone drop, residual
+    newest-first, initial-default fill by file vintage
+    (alter_add_column), merge-on-read resolve, tombstone drop, residual
     predicate filter. Columns exactly ``user_cols``."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    from etl_spark.lake.table import _file_vintage
 
     want = user_cols + [META_DELETED]
     parts = []
@@ -191,6 +194,7 @@ def _load_side(root, files, user_cols, atypes, renames, mor, keys, vers,
         for n, olds in renames.items():
             phys += [o for o in olds if o in have and o not in phys]
         t = pf.read(columns=phys)
+        vintage = _file_vintage(rel)
         cols = {}
         for c in want:
             target = atypes[c]
@@ -201,6 +205,15 @@ def _load_side(root, files, user_cols, atypes, renames, mor, keys, vers,
                 if o in t.column_names:
                     oc = pc.cast(t[o], target)
                     src = oc if src is None else pc.coalesce(src, oc)
+            d = (defaults or {}).get(c)
+            if d is not None and vintage < d["at"]:
+                # pre-alter file: rows read the column's initial default
+                # (cast from the JSON-stored literal, so e.g. an ISO
+                # string default fills a date column)
+                dv = pc.cast(pa.scalar(d["v"]), target)
+                src = pc.fill_null(
+                    pa.nulls(t.num_rows, target) if src is None else src,
+                    dv)
             cols[c] = src if src is not None else pa.nulls(
                 t.num_rows, target)
         parts.append(pa.table(cols))
@@ -375,6 +388,8 @@ def cobucket_join(
         "rkeys": rs.key_cols, "rvers": rs.version_cols,
         "lren": {n: o for n, o in ls.renamed_map().items() if n in lcols},
         "rren": {n: o for n, o in rs.renamed_map().items() if n in rcols},
+        "ldef": {c: d for c, d in ls.default_map().items() if c in lcols},
+        "rdef": {c: d for c, d in rs.default_map().items() if c in rcols},
         "lpreds": lpreds, "rpreds": rpreds,
         "rkey_to_l": rkey_to_l, "rout": rout, "out_cols": out_cols,
         "out_arrow": out_arrow, "how": how,
@@ -393,7 +408,8 @@ def cobucket_join(
                     continue
                 la = _load_side(cfg["lroot"], lfiles, cfg["lcols"],
                                 cfg["latypes"], cfg["lren"], lmor,
-                                cfg["lkeys"], cfg["lvers"], cfg["lpreds"])
+                                cfg["lkeys"], cfg["lvers"], cfg["lpreds"],
+                                cfg["ldef"])
                 if not la.num_rows:
                     continue
                 ra = None
@@ -401,7 +417,7 @@ def cobucket_join(
                     ra = _load_side(cfg["rroot"], rfiles, cfg["rcols"],
                                     cfg["ratypes"], cfg["rren"], rmor,
                                     cfg["rkeys"], cfg["rvers"],
-                                    cfg["rpreds"])
+                                    cfg["rpreds"], cfg["rdef"])
                 if ra is None or not ra.num_rows:
                     if cfg["how"] == "inner":
                         continue

@@ -106,6 +106,17 @@ def _route_of(snap):
         .otherwise(old_b)
 
 
+_VINTAGE_RE = re.compile(r"^[^/]+/v(\d+)")
+
+
+def _file_vintage(rel_path: str) -> int:
+    """Commit version a data file was written at, parsed from its
+    segment path (``data/v0000000012<tag>-<tok>/...``). Pre-segment
+    flat files return 0 — they predate every ALTER by construction."""
+    m = _VINTAGE_RE.match(rel_path)
+    return int(m.group(1)) if m else 0
+
+
 def _bucket_of(key_cols: list[str], n_buckets: int):
     """Bucket id of a row: pmod(xxhash64(key cols), n_buckets)."""
     return F.pmod(
@@ -498,6 +509,19 @@ class Snapshot:
                                 if o.strip()]
         return out
 
+    def default_map(self) -> dict[str, dict]:
+        """Column -> ``{"v": <json value>, "at": <alter version>}`` for
+        columns added with an INITIAL DEFAULT (``default_cols`` table
+        prop, JSON; written by :meth:`LakeTable.alter_add_column`).
+        Iceberg initial-default semantics: rows in files written BEFORE
+        the alter commit read the default; files at/after it read their
+        physical value (NULL included). Consumed by ``_read_files``
+        (vintage-grouped coalesce) and the SPJ kernel."""
+        raw = self.props.get("default_cols", "")
+        if not raw:
+            return {}
+        return json.loads(raw)
+
     def bloom_cols(self) -> list[str]:
         """Columns with per-file Bloom filters (``bloom_cols`` table
         prop; size via ``bloom_bits``/``bloom_k`` — lake/bloom.py). An
@@ -782,6 +806,43 @@ class LakeTable:
         )
         if not files:
             return self.spark.createDataFrame([], full)
+        defaults = {c: d for c, d in snap.default_map().items()
+                    if c in {f.name for f in full.fields}}
+        if defaults:
+            # Initial-default columns (alter_add_column): rows written
+            # BEFORE a column's alter commit read its default; later
+            # files read their physical value (NULL included). Group the
+            # files by which defaults apply to their vintage — one plain
+            # read per group, coalesced, unioned. Group count is bounded
+            # by the number of DISTINCT alter versions + 1, not by file
+            # count; tables without defaults never reach this branch.
+            # Rewrites (compact/rescale/rebucket) read through here, so
+            # they MATERIALIZE defaults — their output files carry
+            # later vintages and drop out of the coalesce by themselves.
+            types = {f.name: f.dataType for f in full.fields}
+            groups: dict[frozenset, list[str]] = {}
+            for f in files:
+                v = _file_vintage(f)
+                applicable = frozenset(
+                    c for c, d in defaults.items() if v < d["at"])
+                groups.setdefault(applicable, []).append(f)
+            parts = []
+            for applicable in sorted(groups, key=sorted):
+                df = self._read_files_plain(snap, groups[applicable], full)
+                for c in sorted(applicable):
+                    df = df.withColumn(c, F.coalesce(
+                        F.col(c),
+                        F.lit(defaults[c]["v"]).cast(types[c])))
+                parts.append(df.select(*[f.name for f in full.fields]))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        return self._read_files_plain(snap, files, full)
+
+    def _read_files_plain(
+        self, snap: Snapshot, files: list[str], full: StructType
+    ) -> DataFrame:
         paths = [os.path.join(self.path, f) for f in files]
         renames = {n: olds for n, olds in snap.renamed_map().items()
                    if n in {f.name for f in full.fields}}
@@ -2157,6 +2218,9 @@ class LakeTable:
             dropped = [c.strip() for c in props.get("dropped_cols", "").split(",")
                        if c.strip()]
             props["dropped_cols"] = ",".join(dropped + [col])
+            defaults = json.loads(props.get("default_cols", "{}"))
+            if defaults.pop(col, None) is not None:
+                props["default_cols"] = json.dumps(defaults, sort_keys=True)
             try:
                 child = self._child(snap, narrowed, snap.buckets, None,
                                     added=[])
@@ -2260,6 +2324,11 @@ class LakeTable:
             props["renamed_cols"] = ",".join(
                 f"{n}:{'|'.join(o)}" for n, o in sorted(renames.items()))
             props["dropped_cols"] = ",".join(dropped + [old])
+            defaults = json.loads(props.get("default_cols", "{}"))
+            if old in defaults:
+                # the initial default follows the column to its new name
+                defaults[new] = defaults.pop(old)
+                props["default_cols"] = json.dumps(defaults, sort_keys=True)
             renamed_schema = StructType([
                 StructField(new, f.dataType, f.nullable)
                 if f.name == old else f
@@ -2268,6 +2337,82 @@ class LakeTable:
             try:
                 child = self._child(snap, renamed_schema, snap.buckets,
                                     None, added=[])
+                child.props = props
+                self._publish(child)
+                return child.version
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def alter_add_column(self, col: str, dtype, default=None,
+                         max_retries: int = 3) -> int:
+        """Add a nullable payload column as a METADATA-ONLY commit —
+        with an optional INITIAL DEFAULT (Iceberg ``ADD COLUMN ...``
+        initial-default semantics): rows in files written BEFORE this
+        commit read ``default``; rows written after read their physical
+        value, NULL included. Nothing is rewritten — ``_read_files``
+        groups files by vintage and coalesces, and background rewrites
+        (compact/rescale/rebucket) materialize the default as a side
+        effect, after which their output vintages drop out of the
+        coalesce by themselves.
+
+        Deliberately NOT a write-side default: a merge batch omitting
+        the column stores NULL (additive evolution's contract) — the
+        default describes the PAST, not future writes (Delta's
+        write-time ``DEFAULT`` is a different feature; a wire that wants
+        the default must send it).
+
+        Additive merges can also introduce columns, but only as
+        all-NULL history; this is the verb for "old rows should read X".
+        Refused: existing names; tombstoned names (``dropped_cols`` —
+        old files may still hold physical values a re-add would
+        resurrect). ``dtype`` is a Spark DataType or DDL string;
+        ``default`` must cast to it (validated loudly here, through
+        Spark's own cast)."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        if isinstance(dtype, str):
+            dtype = _parse_datatype_string(dtype)
+        if default is not None:
+            # exact Spark cast semantics, one local row; ANSI throws on
+            # garbage — translate to the typed refusal either way
+            try:
+                chk = self.spark.range(1).select(
+                    F.lit(default).cast(dtype).alias("v")).collect()[0]["v"]
+            except Exception as exc:  # noqa: BLE001 — ANSI cast error
+                raise ValueError(
+                    f"default {default!r} does not cast to "
+                    f"{dtype.simpleString()}") from exc
+            if chk is None:
+                raise ValueError(
+                    f"default {default!r} does not cast to "
+                    f"{dtype.simpleString()}")
+        for attempt in range(max_retries + 1):
+            snap = self.current_snapshot()
+            if col in {f.name for f in snap.schema.fields}:
+                raise ValueError(f"column {col!r} already exists")
+            props = dict(snap.props)
+            tombstoned = {c.strip()
+                          for c in props.get("dropped_cols", "").split(",")
+                          if c.strip()}
+            if col in tombstoned:
+                raise ValueError(
+                    f"cannot add {col!r}: the name is tombstoned (dropped "
+                    f"or renamed away) and existing data files still hold "
+                    f"physical values under it, which this column's read "
+                    f"path would resurrect; pick another name or unset "
+                    f"'dropped_cols' after a full rewrite"
+                )
+            if default is not None:
+                defaults = json.loads(props.get("default_cols", "{}"))
+                defaults[col] = {"v": default, "at": snap.version + 1}
+                props["default_cols"] = json.dumps(defaults, sort_keys=True)
+            widened = StructType(
+                list(snap.schema.fields) + [StructField(col, dtype, True)])
+            try:
+                child = self._child(snap, widened, snap.buckets, None,
+                                    added=[])
                 child.props = props
                 self._publish(child)
                 return child.version

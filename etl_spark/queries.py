@@ -4361,6 +4361,45 @@ FROM events WHERE user_id % 10 = 7
 """
 
 
+def q_default_column_read(spark, sf_dir):
+    """ADD COLUMN with an initial DEFAULT (LakeTable.alter_add_column —
+    Iceberg initial-default semantics; reference analogue: the
+    ADICIONAIS backfill columns the DE-PARA layer adds with constant
+    values, plans/depara.py): wave 1 lands, the column is added
+    metadata-only with default 'bronze', wave 2 lands carrying physical
+    values. Pre-alter rows must read the default, post-alter rows their
+    own values — with zero rewrite (the read groups files by vintage and
+    coalesces)."""
+    from etl_spark.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
+    base = ev.select("event_id", F.lit("I").alias("op"), "ts", "user_id",
+                     "event_type", "value", "props")
+    tmp = _tmpdir("etl_spark_defcol_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "tbl"),
+        ev.select("event_id", "ts", "user_id", "event_type",
+                  "value", "props").schema,
+        key_cols=["event_id"], version_cols=["ts"], n_buckets=8,
+    )
+    table.merge(base.filter(F.col("event_id") % 2 == 0), "wave:0")
+    table.alter_add_column("tier", "string", default="bronze")
+    table.merge(
+        base.filter(F.col("event_id") % 2 == 1)
+        .withColumn("tier", F.col("event_type")),
+        "wave:1")
+    return table.read().select(
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+        "tier")
+
+
+SQL_DEFAULT_COLUMN = """
+SELECT event_id, ts, user_id, event_type, value, props,
+       CASE WHEN event_id % 2 = 0 THEN 'bronze' ELSE event_type END AS tier
+FROM events WHERE user_id % 10 = 3
+"""
+
+
 def q_sketch_distinct_sync(spark, sf_dir):
     """HLL sketch-maintained approx distinct rollup (cdc/sketch_sync.py):
     distinct-ever users per event_type kept from the change feed alone —
@@ -5043,6 +5082,7 @@ QUERIES = {
     "spj_cobucket_join": q_spj_cobucket_join,
     "bucket_rescale_read": q_bucket_rescale_read,
     "integrity_audit": q_integrity_audit,
+    "default_column_read": q_default_column_read,
     "dml_delete_where": q_dml_delete_where,
     "dml_update_where": q_dml_update_where,
     "txn_boundary_gate": q_txn_boundary_gate,
@@ -5161,6 +5201,7 @@ ORACLES = {
     "spj_cobucket_join": SQL_SPJ_COBUCKET,
     "bucket_rescale_read": SQL_BUCKET_RESCALE,
     "integrity_audit": SQL_INTEGRITY_AUDIT,
+    "default_column_read": SQL_DEFAULT_COLUMN,
     "dml_delete_where": SQL_DML_DELETE,
     "dml_update_where": SQL_DML_UPDATE,
     "consistent_read_group": SQL_CONSISTENT_GROUP,
