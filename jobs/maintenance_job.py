@@ -13,6 +13,7 @@ Ship as:
         [--auto-rescale-max-bucket-bytes B] \
         [--fsck | --fsck-deep] \
         [--expire-tombstones-before 2024-01-01T00:00:00] \
+        [--add-column tier:string:bronze] \
         [--set-prop bloom_cols=repo|path --set-prop bloom_bits=auto \
          --backfill-stats] \
         [--tag NAME[=V]] [--branch NAME[=V]] [--move-branch NAME[=V]] \
@@ -82,6 +83,11 @@ def main() -> None:
     ap.add_argument("--rebucket", type=int, default=None,
                     help="rewrite the table into this bucket count "
                          "(O(table); layout evolution)")
+    ap.add_argument("--add-column", action="append", default=[],
+                    metavar="NAME:TYPE[:DEFAULT]",
+                    help="metadata-only ADD COLUMN (alter_add_column); "
+                         "with :DEFAULT, pre-existing rows read that "
+                         "initial default. Repeatable")
     ap.add_argument("--set-prop", action="append", default=[],
                     metavar="KEY=VALUE",
                     help="set a table prop first (e.g. stats_cols=...,"
@@ -147,6 +153,14 @@ def main() -> None:
         report.setdefault("dropped_refs", []).append(
             {"name": name, "released": table.drop_ref(name)})
 
+    for spec in args.add_column:
+        name, _, rest = spec.partition(":")
+        dtype, _, default = rest.partition(":")
+        if not name or not dtype:
+            raise SystemExit(f"--add-column wants NAME:TYPE[:DEFAULT], "
+                             f"got {spec!r}")
+        table.alter_add_column(name, dtype, default=default or None)
+        report.setdefault("columns_added", []).append(name)
     if args.set_prop:
         props = dict(kv.split("=", 1) for kv in args.set_prop)
         table.alter_props(props)
