@@ -161,25 +161,40 @@ def _physical_findings(table, snap) -> dict[str, list]:
 
 
 def _deep_findings(table, snap) -> dict[str, list]:
-    """O(table): every stored row must route to the bucket holding it."""
+    """O(table) data scan, ONE distributed job: every stored row must
+    route to the bucket holding it. A per-bucket loop would be
+    O(n_buckets) sequential job launches — hours of pure scheduling at
+    the format's 10^5-bucket design point — so the whole table is read
+    in one pass with ``input_file_name`` and joined (broadcast) to the
+    snapshot's file→bucket map on the file BASENAME, which is unique by
+    construction (every part file carries its writer task's uuid)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
     from etl_spark.lake.table import _route_of
 
-    misplaced = []
-    for b, fl in sorted(snap.buckets.items()):
-        if not fl:
-            continue
-        bad = (
-            table._read_files(snap, fl)
-            .select(_route_of(snap).alias("__routed"))
-            .filter(F.col("__routed") != F.lit(b))
-            .groupBy("__routed").count().collect()
-        )
-        for r in bad:
-            misplaced.append({"bucket": b, "routed_to": r["__routed"],
-                              "rows": r["count"]})
-    return {"misplaced_rows": misplaced}
+    pairs = [(os.path.basename(f), b)
+             for b, fl in snap.buckets.items() for f in fl]
+    files = [f for fl in snap.buckets.values() for f in fl]
+    if not files:
+        return {"misplaced_rows": []}
+    key_schema = StructType(
+        [f for f in snap.schema.fields if f.name in snap.key_cols])
+    owners = table.spark.createDataFrame(
+        pairs, "__base string, __owner int")
+    bad = (
+        table._read_files(snap, files, user_schema=key_schema)
+        .withColumn("__base",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .join(F.broadcast(owners), "__base")
+        .select(_route_of(snap).alias("__routed"), "__owner")
+        .filter(F.col("__routed") != F.col("__owner"))
+        .groupBy("__owner", "__routed").count().collect()
+    )
+    return {"misplaced_rows": sorted(
+        ({"bucket": r["__owner"], "routed_to": r["__routed"],
+          "rows": r["count"]} for r in bad),
+        key=lambda m: (m["bucket"], m["routed_to"]))}
 
 
 def check_integrity(table, version: int | str | None = None,

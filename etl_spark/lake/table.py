@@ -945,13 +945,20 @@ class LakeTable:
         if not tuples or len(tuples) > 256:
             return None if tuples else []
         by_name = {f.name: f for f in snap.schema.fields}
-        key_rows = self.spark.createDataFrame(
-            tuples, StructType([by_name[c] for c in snap.key_cols])
-        )
-        return sorted({
-            r["__b"] for r in key_rows.select(
-                self.bucket_expr(snap).alias("__b")).collect()
-        })
+        try:
+            key_rows = self.spark.createDataFrame(
+                tuples, StructType([by_name[c] for c in snap.key_cols])
+            )
+            return sorted({
+                r["__b"] for r in key_rows.select(
+                    self.bucket_expr(snap).alias("__b")).collect()
+            })
+        except Exception:  # noqa: BLE001 — createDataFrame is TYPE-STRICT
+            # while the residual filter ANSI-coerces (e.g. '42' against a
+            # bigint key matched before this optimization existed, and
+            # must keep matching). A value the strict path rejects just
+            # means no pruning — never a failed read.
+            return None
 
     def scan_counts(
         self,
@@ -1454,6 +1461,14 @@ class LakeTable:
             to_compact = [
                 b for b in buckets
                 if len({f.split("/", 2)[1] for f in buckets[b]}) > threshold
+                # pending-rescale buckets are left for their migration
+                # step, which LWW-folds them anyway — auto-compacting
+                # first would pay the same rewrite twice (the planner
+                # applies the same skip; an EXPLICIT compact(buckets=...)
+                # still rewrites them, e.g. purge's payload scrub cannot
+                # wait for the watermark)
+                and not (snap.rescale_to is not None
+                         and snap.rescale_watermark <= b < snap.n_buckets)
             ]
             if to_compact:
                 try:
@@ -1643,7 +1658,12 @@ class LakeTable:
         already-compacted single-file buckets whose footers prove
         expirable tombstones (see :meth:`_expirable_clean_buckets`) —
         without this, a tombstone in a bucket that never dirties again
-        would survive every expiry forever."""
+        would survive every expiry forever.
+
+        Mid-rescale: an explicit call DOES rewrite pending (unmigrated)
+        buckets — redundant beside their coming migration fold, but
+        callers like purge cannot wait for the watermark. The AUTOMATIC
+        paths (merge's threshold follow-up, plan_compaction) skip them."""
         snap = self.current_snapshot()
         if expire_tombstones_before is not None and \
                 snap.props.get("bootstrap_floor"):
@@ -1938,13 +1958,7 @@ class LakeTable:
                 if fl:
                     if len(selected) >= max_buckets:
                         break
-                    cost = 0
-                    for f in fl:
-                        try:
-                            cost += os.stat(
-                                os.path.join(self.path, f)).st_size
-                        except OSError:
-                            pass
+                    cost = self._stored_bytes(fl)
                     if selected and budget_bytes is not None and \
                             spent + cost > budget_bytes:
                         break
@@ -2375,6 +2389,19 @@ class LakeTable:
         if isinstance(dtype, str):
             dtype = _parse_datatype_string(dtype)
         if default is not None:
+            # the default is stored as a JSON literal and re-cast on
+            # every read (Spark lit().cast and the SPJ Arrow kernel both
+            # consume the literal) — refuse non-JSON values with the
+            # typed error instead of an untyped dumps crash, naming the
+            # portable form
+            try:
+                json.dumps(default)
+            except TypeError as exc:
+                raise ValueError(
+                    f"default {default!r} ({type(default).__name__}) is "
+                    f"not a JSON-storable literal: pass the ISO/string "
+                    f"form (it is cast to {dtype.simpleString()} on "
+                    f"read)") from exc
             # exact Spark cast semantics, one local row; ANSI throws on
             # garbage — translate to the typed refusal either way
             try:
@@ -2421,6 +2448,20 @@ class LakeTable:
                     raise
         raise AssertionError("unreachable")
 
+    def _stored_bytes(self, files) -> int:
+        """Driver-side sum of stored file sizes (vanished files count 0
+        — a racing vacuum must not fail planning). An object-store
+        deployment would read catalog-recorded sizes here instead; this
+        is the ONE place to swap that in (salted spread, rescale budget
+        and the auto-rescale policy all size through it)."""
+        total = 0
+        for f in files:
+            try:
+                total += os.stat(os.path.join(self.path, f)).st_size
+            except OSError:
+                pass
+        return total
+
     @staticmethod
     def _bijection_spread(n_buckets: int):
         """``(num_partitions, partition_key)`` making the bucket-aligned
@@ -2463,15 +2504,8 @@ class LakeTable:
         if snap.props.get("merge_balance", "salted") != "salted":
             return None
         n = snap.id_space()
-        sizes: dict[int, int] = {}
-        for b, fl in snap.buckets.items():
-            tot = 0
-            for f in fl:
-                try:
-                    tot += os.stat(os.path.join(self.path, f)).st_size
-                except OSError:
-                    pass
-            sizes[b] = tot
+        sizes = {b: self._stored_bytes(fl)
+                 for b, fl in snap.buckets.items()}
         mean = sum(sizes.values()) / max(n, 1)
         factors = {
             b: min(16, int(round(s / mean)))

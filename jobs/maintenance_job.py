@@ -159,6 +159,14 @@ def main() -> None:
         if not name or not dtype:
             raise SystemExit(f"--add-column wants NAME:TYPE[:DEFAULT], "
                              f"got {spec!r}")
+        # re-runnable like every other verb here: a scheduled command
+        # line must not start crashing (and skipping compact/fsck/vacuum
+        # below) once its column exists
+        cur = {f.name: f.dataType.simpleString()
+               for f in table.current_snapshot().schema.fields}
+        if cur.get(name) == dtype:
+            report.setdefault("columns_existing", []).append(name)
+            continue
         table.alter_add_column(name, dtype, default=default or None)
         report.setdefault("columns_added", []).append(name)
     if args.set_prop:
@@ -175,20 +183,12 @@ def main() -> None:
         # layout policy: mean stored bytes per bucket vs the cap. Uses
         # the same driver-side file sizes the salted spread reads; only
         # proposes a 2x grow (repeat invocations compound as needed).
-        import os as _os
-
         snap = table.current_snapshot()
         if snap.rescale_to is not None:
             args.rescale_to = snap.rescale_to  # drain the in-flight one
         else:
-            total = 0
-            for fl in snap.buckets.values():
-                for f in fl:
-                    try:
-                        total += _os.stat(
-                            _os.path.join(table.path, f)).st_size
-                    except OSError:
-                        pass
+            total = table._stored_bytes(
+                f for fl in snap.buckets.values() for f in fl)
             mean = total / max(snap.n_buckets, 1)
             report["auto_rescale_mean_bucket_bytes"] = int(mean)
             if mean > args.auto_rescale_max_bucket_bytes:

@@ -149,3 +149,16 @@ def test_spj_kernel_applies_defaults(spark, tmp_root):
         assert got[k] == f"t{k}"
     for k in range(15, 20):
         assert got[k] == "bronze"
+
+
+def test_non_json_default_refused_typed(spark, tmp_root):
+    import datetime as dt
+
+    t = _mk(spark, tmp_root, "nonjson")
+    t.merge(_wave(spark, 0, 3, 10), "m:0")
+    with pytest.raises(ValueError, match="JSON-storable"):
+        t.alter_add_column("since", "date", default=dt.date(2020, 1, 1))
+    # the portable string form works and reads back as a date
+    t.alter_add_column("since", "date", default="2020-01-01")
+    got = {str(r["since"]) for r in t.read().collect()}
+    assert got == {"2020-01-01"}

@@ -99,3 +99,25 @@ def test_mid_rescale_pruning_follows_the_watermark(spark, tmp_root):
         c = t.scan_counts(where=where)
         assert c["files_read"] <= 1
         assert t.read(where=where).count() == 1
+
+
+def test_coercible_value_types_still_read(spark, tmp_root):
+    """A predicate value the strict planner typing rejects (string
+    against a bigint key) must fall back to no-pruning, not crash —
+    the ANSI-coerced residual filter matched it before the optimization
+    existed and must keep matching."""
+    from pyspark.sql.types import StructType
+
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "coerce"),
+        StructType.fromDDL("uid bigint, op_ts long, event_id long, v string"),
+        key_cols=["uid"], version_cols=["op_ts", "event_id"], n_buckets=4)
+    t.merge(spark.createDataFrame(
+        [(i, 1, i, f"v{i}", "I") for i in range(50)],
+        "uid bigint, op_ts long, event_id long, v string, op string"),
+        "m:0")
+    where = [("uid", "=", "42")]  # string literal against bigint key
+    got = t.read(where=where).collect()
+    assert [(r["uid"], r["v"]) for r in got] == [(42, "v42")]
+    c = t.scan_counts(where=where)
+    assert c["files_read"] == c["files_total"]  # planner declined, loudly not

@@ -313,3 +313,25 @@ def test_rescale_state_survives_reload(spark, tmp_root, wal):
     ref.merge(_epoch(spark, wal, 0), "epoch:0")
     pd.testing.assert_frame_equal(_state(t2), _state(ref),
                                   check_dtype=False)
+
+
+def test_auto_compaction_skips_pending_buckets(spark, tmp_root, wal):
+    """Merge's threshold follow-up must not fold a bucket its migration
+    step is about to fold anyway (explicit compact(buckets=...) still
+    may — purge cannot wait for the watermark)."""
+    t = _mk(spark, tmp_root, "autoskip", wal, n_buckets=4,
+            props={"compact_threshold": "2"})
+    t.merge(_epoch(spark, wal, 0), "epoch:0")
+    t.start_rescale(8)
+    for e in range(1, 5):
+        t.merge(_epoch(spark, wal, e), f"epoch:{e}")
+    snap = t.current_snapshot()
+    gens = {b: len({f.split("/", 2)[1] for f in fl})
+            for b, fl in snap.buckets.items() if fl}
+    assert max(gens.values()) > 2  # past threshold, yet NOT auto-folded
+    # the step folds them, and post-rescale auto-compaction resumes
+    while t.rescale_status():
+        t.rescale_step(max_buckets=99)
+    snap2 = t.current_snapshot()
+    assert max(len({f.split("/", 2)[1] for f in fl})
+               for fl in snap2.buckets.values() if fl) == 1
